@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-function library for the cleaning/normalization operator family
+  * (SURVEY.md §2.1 O12-O18, O25-O28). Everything here is built from
+  * `org.apache.spark.sql.functions._` so it stays inside whole-stage codegen —
+  * no UDFs, no driver round-trips, scale-independent.
+  */
+object CleanFunctions {
+
+  /** O12 — lowercase + trim key normalization (reference py:230-232). */
+  def normalizeKey(c: Column): Column = lower(trim(c))
+
+  /** O13 — combined HTML-tag + non-alphanumeric scrub (reference py:234-235).
+    * Same Java regex dialect as the reference's PySpark call.
+    */
+  def scrub(c: Column): Column =
+    regexp_replace(c, "<[^>]+>|[^a-zA-Z0-9\\s]", "")
+
+  /** O14 — two-pass text clean: lower, strip tags, strip non-alphanumerics
+    * (reference py:340-345). Kept as two passes to preserve the reference's
+    * semantics (a tag spanning the lowered text is removed before the
+    * character scrub).
+    */
+  def cleanText(c: Column): Column =
+    regexp_replace(regexp_replace(lower(c), "<.*?>", ""), "[^a-z0-9\\s]", "")
+
+  /** O16 intended semantics — comma-tolerant numeric parse (SURVEY §1.4(2)):
+    * `"559,365,151.11"` parses instead of casting to null.
+    */
+  def parseNumeric(c: Column, to: DataType = DoubleType): Column =
+    regexp_replace(c, ",", "").cast(to)
+
+  /** O15 intended semantics — default AFTER the cast so cast-failures are
+    * also defaulted (fixes SURVEY §1.4(3)).
+    */
+  def numericWithDefault(c: Column, default: Double, to: DataType = DoubleType): Column =
+    coalesce(parseNumeric(c, to), lit(default).cast(to))
+
+  /** O17 — timestamp parse accepting both dialects present in the reference
+    * data: `yyyy-MM-dd HH:mm:ss` (generator, reference py:120) and ISO-8601
+    * `...T...Z` (shipped reddit_posts.json). Plain cast handles both under
+    * UTC session TZ.
+    */
+  def parseTimestamp(c: Column): Column = c.cast(TimestampType)
+
+  /** O18 intended semantics — string record id (reference py:281-282 used `+`,
+    * which is numeric addition in Spark and yields null; SURVEY §1.4(1)).
+    */
+  def recordId(cols: Column*): Column = concat_ws("_", cols: _*)
+
+  /** O26 — text assembly `title + " " + content` (reference py:365-367). */
+  def assembleText(title: Column, content: Column): Column =
+    concat_ws(" ", title, coalesce(content, lit("")))
+
+  /** O27 — priority-ordered multi-field document text extraction
+    * (reference py:412-422). Null-safe concat of the candidate fields,
+    * trimmed; callers filter `length > 0`. Field matching is by caller-supplied
+    * column list (case-insensitivity is resolved at the DataFrame layer —
+    * SURVEY §1.4(4)).
+    */
+  def extractText(fields: Seq[Column]): Column =
+    trim(concat_ws(" ", fields.map(f => coalesce(f, lit(""))): _*))
+
+  /** O28 — context truncation (reference py:459). 1-based, inclusive. */
+  def truncate(c: Column, n: Int): Column = substring(c, 1, n)
+}
