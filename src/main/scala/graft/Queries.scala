@@ -1,0 +1,447 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.{CleanFunctions => CF, TextFunctions => TF, VectorFunctions => VF}
+import graft.multimodal.Multimodal
+import graft.operators.{Ann, Dedup, Similarity}
+import graft.text.RuleNer
+import graft.vector.Featurizer
+
+/** The registered query set: every operator from SURVEY.md §2 that is
+  * DuckDB-expressible carries an oracle (driver hash-compares Spark output
+  * vs DuckDB on the same tables); vector/NLP operators whose semantics
+  * DuckDB can't mirror are registered rows-only and verified by ScalaTest
+  * against exact-path oracles instead (SURVEY §2.2).
+  *
+  * Column names are aliased identically on both sides — the driver compare
+  * sorts columns by name before hashing. Every query ends in a total ORDER
+  * BY so row order is stable. Floats that cross an arithmetic boundary are
+  * rounded and cast to DECIMAL on both sides; untouched doubles are carried
+  * raw (same source bits).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private def dec(c: Column, p: Int = 10, s: Int = 4): Column =
+    round(c, s).cast(DecimalType(p, s))
+
+  /** Query vector: embedding of vec_id=0 (the fixed probe row). */
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  // ------------------------------------------------------------------
+  // Spark-side query implementations
+  // ------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1/O2 scan + O10 projection
+    "q01_scan_project" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")),
+
+    // O11 rename + O16 cast
+    "q02_rename_cast" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("bal")).orderBy("id")),
+
+    // O12 lower+trim
+    "q03_normalize" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        CF.normalizeKey(col("p_name")).as("p_name_norm")).orderBy("p_partkey")),
+
+    // O13 combined regex scrub
+    "q04_scrub" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        CF.scrub(col("props")).as("props_clean")).orderBy("event_id")),
+
+    // O15 null-default (null synthesized via nullif to exercise the default)
+    "q05_null_default" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        coalesce(when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus")),
+          lit("none")).as("status_filled")).orderBy("o_orderkey")),
+
+    // O16 comma-tolerant numeric parse: derive a comma-grouped string, parse it back
+    "q06_comma_parse" -> ((s, dir) => {
+      val str = col("p_retailprice").cast(DecimalType(18, 2)).cast(StringType)
+      val withComma = concat(substring(str, 1, 1), lit(","), substring(str, 2, 100))
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        CF.parseNumeric(withComma, DecimalType(18, 2)).as("price")).orderBy("p_partkey")
+    }),
+
+    // O17 timestamp string round-trip
+    "q07_ts_roundtrip" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        CF.parseTimestamp(col("ts").cast(StringType)).cast(TimestampNTZType).as("ts2"))
+        .orderBy("event_id")),
+
+    // O18 string record-id concat (intended semantics)
+    "q08_concat_id" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        CF.recordId(col("o_custkey").cast(StringType), col("o_orderstatus")).as("rid"))
+        .orderBy("o_orderkey")),
+
+    // O19 keyed dedup, deterministic winner
+    "q09_dedup_key" -> ((s, dir) =>
+      Dedup.firstRowByKey(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey"), Seq(col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber").as("ln"))
+        .orderBy("l_orderkey", "l_partkey")),
+
+    // O20 union
+    "q10_union" -> ((s, dir) =>
+      t(s, dir, "nation").select(col("n_nationkey").as("k"))
+        .union(t(s, dir, "region").select(col("r_regionkey").as("k")))
+        .orderBy("k")),
+
+    // O21 count
+    "q11_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // O22 limit
+    "q12_limit" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey").orderBy("o_orderkey").limit(10)),
+
+    // O25/O26 fill + text assembly
+    "q13_fill_assemble" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        CF.assembleText(col("c_name"), col("c_mktsegment")).as("txt"))
+        .orderBy("c_custkey")),
+
+    // O27 multi-field doc text extraction
+    "q14_extract_text" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        CF.extractText(Seq(col("event_type"), col("props"))).as("txt"))
+        .filter(length(col("txt")) > 0)
+        .orderBy("event_id")),
+
+    // O28 truncation
+    "q15_truncate" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        CF.truncate(col("text"), 20).as("prefix")).orderBy("doc_id")),
+
+    // O31/O32 top-k by computed score (TakeOrderedAndProject shape)
+    "q16_topk_score" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy((col("l_extendedprice") * (lit(1) - col("l_discount"))).desc,
+          col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+        .select("l_orderkey", "l_linenumber")),
+
+    // O14 two-pass clean-text
+    "q17_clean_text" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        CF.cleanText(col("text")).as("txt")).orderBy("doc_id")),
+
+    // O31 exact L2 top-k on real vectors
+    "q18_topk_l2" -> ((s, dir) => {
+      val q = Similarity.vecLit(queryVec(s, dir))
+      t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dec(VF.l2(col("embedding"), q)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+    }),
+
+    // O32 exact inner-product top-k
+    "q19_topk_ip" -> ((s, dir) => {
+      val q = Similarity.vecLit(queryVec(s, dir))
+      t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dec(VF.dot(col("embedding"), q)).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+    }),
+
+    // O7-O9/O23 sink round-trip: write single-file CSV, read back, emit
+    "q20_sink_roundtrip" -> ((s, dir) => {
+      val df = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      val path = "/tmp/graft_q20_csv"
+      graft.sinks.Sinks.writeSingleCsv(df, path)
+      graft.sinks.Sinks.readBackCsv(s, path, df.schema).orderBy("id")
+    }),
+
+    // exact content dedup (hash-groupBy)
+    "q21_dedup_exact" -> ((s, dir) =>
+      Dedup.exactText(t(s, dir, "documents"), "doc_id", "text").orderBy("keeper_id")),
+
+    // n-gram Jaccard near-dup, brute oracle form on a bounded doc set
+    "q22_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", n = 3, minJaccard = 0.05)
+        .select(col("da"), col("db"), dec(col("jaccard")).as("j"))
+        .orderBy("da", "db")),
+
+    // embedding-cosine near-dup pairs, bounded id range
+    "q23_cosine_pairs" -> ((s, dir) =>
+      Dedup.cosinePairs(t(s, dir, "embeddings").filter(col("vec_id") < 300),
+          "vec_id", "embedding", minCos = 0.2)
+        .select(col("va"), col("vb"), dec(col("cos")).as("cos"))
+        .orderBy("va", "vb")),
+
+    // brute-force cosine top-k (ANN baseline)
+    "q24_topk_cosine" -> ((s, dir) => {
+      val q = Similarity.vecLit(queryVec(s, dir))
+      t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dec(VF.cosine(col("embedding"), q)).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(20)
+    }),
+
+    // heuristic language ID
+    "q25_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TF.langId(col("text")).as("lang_pred")).orderBy("doc_id")),
+
+    // quality scoring
+    "q26_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.punctCount(col("text")).as("n_punct"),
+        dec(TF.qualityScore(col("text"))).as("score")).orderBy("doc_id")),
+
+    // token counting (whitespace + BPE-ish)
+    "q27_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("ws_tokens"),
+        TF.bpeishCount(col("text")).as("bpe_tokens")).orderBy("doc_id")),
+
+    // document fingerprinting
+    "q28_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+
+    // grouped aggregation with partial (map-side) combine — TPC-H Q1 shape
+    "q29_agg_pushdown" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_base"),
+        count(lit(1)).as("cnt")).orderBy("l_returnflag", "l_linestatus")),
+
+    // windowed top-N per group
+    "q30_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("event_type"), col("rn"))
+        .select("event_id", "event_type", "value")
+    }),
+
+    // broadcast join + shuffled agg
+    "q31_join_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("rev"),
+          count(lit(1)).as("cnt")).orderBy("n_name")),
+
+    // rule/gazetteer NER (rows-only: char offsets aren't DuckDB-mirrorable)
+    "q32_ner" -> ((s, dir) =>
+      RuleNer.annotate(
+          t(s, dir, "documents").filter(col("doc_id") < 50)
+            .select(col("doc_id"), initcap(col("text")).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id", "begin", "end", "entity_type")),
+
+    // MinHash+LSH near-dup (rows-only: salted-hash minima aren't in DuckDB)
+    "q33_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+        .select(col("da"), col("db"), dec(col("jaccard")).as("j"))
+        .orderBy("da", "db")),
+
+    // SimHash signatures (rows-only)
+    "q34_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // IVF approximate top-k (rows-only; recall vs exact tested in ScalaTest)
+    "q35_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      Ann.ivfSearch(idx, queryVec(s, dir), k = 10, nprobe = 4, Similarity.Cosine)
+        .select(col("vec_id"), dec(col("score")).as("score"))
+    }),
+
+    // deterministic featurizer + retrieval (rows-only: IDF isn't in DuckDB)
+    "q36_embed_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fz = new Featurizer(dim = 64).fit(docs, "text")
+      val corpus = fz.transform(docs, "text")
+      val qv = fz.embedQuery(s, "spark join merge sort table")
+      Similarity.topK(corpus, "doc_id", "embedding", qv, 10, Similarity.Cosine)
+        .select(col("doc_id"), dec(col("score")).as("score"))
+    }),
+
+    // extractive answer over the retrieval path (rows-only)
+    "q37_answer" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val fz = new Featurizer(dim = 64).fit(docs, "text")
+      val corpus = fz.transform(docs, "text")
+      val engine = new graft.query.QueryEngine(corpus, fz)
+      val q = "spark join merge sort table"
+      val ans = engine.answer(q, k = 5, maxSentences = 2)
+      Seq((q, ans)).toDF("query", "answer")
+    }),
+
+    // multimodal column plumbing: binary payload + metadata + describe
+    "q38_multimodal" -> ((s, dir) =>
+      Multimodal.describe(
+        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("id"))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL (driver runs these on the same parquet tables)
+  // ------------------------------------------------------------------
+
+  /** DuckDB mirror of TextFunctions.tokens(CleanFunctions.cleanText(text)). */
+  private val duckCleanTokens =
+    """string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '<.*?>', '', 'g'), '[^a-z0-9\s]', '', 'g')), '\s+')"""
+
+  private val duckLangCase: String = {
+    val scores = TF.langMarkers.map { case (lang, ws) =>
+      lang -> s"len(list_intersect(dw, [${ws.map(w => s"'$w'").mkString(",")}]))"
+    }
+    val names = scores.map { case (lang, _) => s"s_$lang" }
+    val defs = scores.map { case (lang, e) => s"$e AS s_$lang" }.mkString(", ")
+    val mx = s"greatest(${names.mkString(",")})"
+    val cases = TF.langMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang = $mx AND s_$lang > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, list_distinct($duckCleanTokens) AS dw FROM documents),
+       |s AS (SELECT doc_id, lang, $defs FROM t)
+       |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val duckStops = TF.stopwords.map(w => s"'$w'").mkString(",")
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey",
+    "q02_rename_cast" ->
+      "SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer ORDER BY id",
+    "q03_normalize" ->
+      "SELECT p_partkey, lower(trim(p_name)) AS p_name_norm FROM part ORDER BY p_partkey",
+    "q04_scrub" ->
+      """SELECT event_id, regexp_replace(props, '<[^>]+>|[^a-zA-Z0-9\s]', '', 'g') AS props_clean FROM events ORDER BY event_id""",
+    "q05_null_default" ->
+      "SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'), 'none') AS status_filled FROM orders ORDER BY o_orderkey",
+    "q06_comma_parse" ->
+      """SELECT p_partkey, CAST(replace(substring(s,1,1) || ',' || substring(s,2,100), ',', '') AS DECIMAL(18,2)) AS price
+        |FROM (SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS s FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q07_ts_roundtrip" ->
+      "SELECT event_id, CAST(CAST(ts AS VARCHAR) AS TIMESTAMP) AS ts2 FROM events ORDER BY event_id",
+    "q08_concat_id" ->
+      "SELECT o_orderkey, concat_ws('_', CAST(o_custkey AS VARCHAR), o_orderstatus) AS rid FROM orders ORDER BY o_orderkey",
+    "q09_dedup_key" ->
+      "SELECT l_orderkey, l_partkey, min(l_linenumber) AS ln FROM lineitem GROUP BY 1,2 ORDER BY 1,2",
+    "q10_union" ->
+      "SELECT k FROM (SELECT n_nationkey AS k FROM nation UNION ALL SELECT r_regionkey AS k FROM region) ORDER BY k",
+    "q11_count" ->
+      "SELECT count(*) AS n FROM lineitem",
+    "q12_limit" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10",
+    "q13_fill_assemble" ->
+      "SELECT c_custkey, concat_ws(' ', c_name, coalesce(c_mktsegment, '')) AS txt FROM customer ORDER BY c_custkey",
+    "q14_extract_text" ->
+      """SELECT event_id, trim(concat_ws(' ', coalesce(event_type,''), coalesce(props,''))) AS txt FROM events
+        |WHERE length(trim(concat_ws(' ', coalesce(event_type,''), coalesce(props,'')))) > 0
+        |ORDER BY event_id""".stripMargin,
+    "q15_truncate" ->
+      "SELECT doc_id, substring(text, 1, 20) AS prefix FROM documents ORDER BY doc_id",
+    "q16_topk_score" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY (l_extendedprice * (1 - l_discount)) DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q17_clean_text" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(lower(text), '<.*?>', '', 'g'), '[^a-z0-9\s]', '', 'g') AS txt FROM documents ORDER BY doc_id""",
+    "q18_topk_l2" ->
+      """SELECT vec_id, CAST(round(list_distance(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS d
+        |FROM embeddings WHERE vec_id <> 0 ORDER BY d, vec_id LIMIT 10""".stripMargin,
+    "q19_topk_ip" ->
+      """SELECT vec_id, CAST(round(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS score
+        |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "q20_sink_roundtrip" ->
+      "SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer ORDER BY id",
+    "q21_dedup_exact" ->
+      "SELECT min(doc_id) AS keeper_id, count(*) AS dup_count, md5(text) AS h FROM documents GROUP BY md5(text) ORDER BY keeper_id",
+    "q22_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $duckCleanTokens AS w FROM documents WHERE doc_id < 200),
+         |g0 AS (SELECT doc_id, list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs FROM t WHERE len(w) >= 3),
+         |g AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM g0),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM g GROUP BY 1),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
+         |SELECT da, db, CAST(round(CAST(inter AS DOUBLE)/(ca.c + cb.c - inter), 4) AS DECIMAL(10,4)) AS j
+         |FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(ca.c + cb.c - inter) >= 0.05
+         |ORDER BY da, db""".stripMargin,
+    "q23_cosine_pairs" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(10,4)) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.2
+        |ORDER BY va, vb""".stripMargin,
+    "q24_topk_cosine" ->
+      """SELECT vec_id, CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS score
+        |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    "q25_lang_id" -> duckLangCase,
+    "q26_quality" ->
+      s"""SELECT doc_id,
+         |CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         |CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS n_punct,
+         |CAST(round(
+         |  0.4 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+         |  + 0.3 * (1.0 - CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+         |  + 0.3 * least(CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0 THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$duckStops], tk))) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) ELSE 0.0 END * 5.0, 1.0)
+         |, 4) AS DECIMAL(10,4)) AS score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_fingerprint" ->
+      s"SELECT doc_id, md5(array_to_string($duckCleanTokens, ' ')) AS fp FROM documents ORDER BY doc_id",
+    "q29_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+        |count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q30_window_topn" ->
+      """SELECT event_id, event_type, value FROM (
+        |SELECT event_id, event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events
+        |) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q31_join_agg" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev,
+        |count(*) AS cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q38_multimodal" ->
+      """SELECT doc_id AS id, 'text' AS modality, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, md5(text) AS fp
+        |FROM documents ORDER BY id""".stripMargin
+  )
+}

@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
 
 /** Session factory with the engine's tuned defaults.
   *
@@ -26,11 +28,23 @@ object EngineSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.parquet carries TIMESTAMP(NANOS) which Spark 4 has no
+      // native type for; read as long and convert (Tables.table).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def create(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Ensure runtime confs needed by the table loaders are present on an
+    * externally-created session (the driver's Verify/Bench mains).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 }
@@ -41,7 +55,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Parquet scan; Catalyst pushes filters/pruning into the scan. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet scan; Catalyst pushes filters/pruning into the scan.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS,false), a type Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]); with `nanosAsLong` it lands as a long which we
+    * convert to microseconds by integer division (`div` — exact, no double
+    * round-trip) and expose as TIMESTAMP_NTZ, matching DuckDB's own ns→µs
+    * truncation so oracle comparisons agree.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    EngineSession.tune(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    else df
+  }
 }

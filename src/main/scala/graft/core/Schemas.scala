@@ -64,8 +64,16 @@ object Schemas {
     StructField("date", TimestampType),
     StructField("url", StringType),
     StructField("source", StringType),
-    StructField("embedding", ArrayType(FloatType, containsNull = false))
+    StructField("embedding", ArrayType(FloatType, containsNull = false),
+      nullable = true,
+      new MetadataBuilder().putLong("dim", dim.toLong).build())
   ))
+
+  /** Declared embedding dimension of a corpus schema (set by [[corpus]]). */
+  def embeddingDim(schema: StructType): Option[Long] = {
+    val f = schema.fields.find(_.name == "embedding")
+    f.collect { case fld if fld.metadata.contains("dim") => fld.metadata.getLong("dim") }
+  }
 
   /** Multimodal column convention: opaque binary payload + typed metadata. */
   val multimodal: StructType = StructType(Seq(

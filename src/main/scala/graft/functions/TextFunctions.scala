@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (north-star extensions over the reference's clean/normalize family,
+  * reference ai_powered_financial_analysis.py:340-345, py:412-422).
+  *
+  * Everything is built from `org.apache.spark.sql.functions._` higher-order
+  * and string functions so it stays inside whole-stage codegen: no UDFs, no
+  * driver round-trips — each function scales as a pure map over rows.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct lowercase alphanumeric tokens — the "vocabulary" of a doc. */
+  def vocab(c: Column): Column =
+    array_distinct(tokens(CleanFunctions.cleanText(c)))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter runs count 1 each, digits count 1 per
+    * digit, punctuation 1 per char — the shape (not the vocab) of byte-pair
+    * tokenizers. Regex is RE2/Java-compatible so a DuckDB oracle can mirror
+    * it verbatim.
+    */
+  val bpeishPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+  def bpeishCount(c: Column): Column = regexp_count(c, lit(bpeishPattern))
+
+  /** Characters removed by the punctuation scrub = punctuation count. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+
+  /** Word n-gram shingles over cleaned text (dedup building block).
+    * Empty array when the doc has fewer than n tokens; distinct set.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val w = tokens(CleanFunctions.cleanText(c))
+    val idx = sequence(lit(0), size(w) - lit(n))
+    val gram = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j + 1))): _*))
+    array_distinct(when(size(w) >= n, gram).otherwise(array()))
+  }
+
+  /** Deterministic document fingerprint: md5 of the two-pass-cleaned,
+    * whitespace-collapsed text. Identical content → identical fingerprint,
+    * robust to case/punctuation/spacing noise.
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", tokens(CleanFunctions.cleanText(c))))
+
+  /** Language-marker table for the heuristic language ID. Deliberately tiny
+    * and public-knowledge (function words); the mechanism (marker-hit argmax)
+    * is what the engine ships, the tables are configuration.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "os", "um")
+  )
+
+  /** Heuristic language ID: count distinct marker-word hits per language over
+    * the doc vocabulary, predict the first language (in table order) whose
+    * score ties the max; "und" when nothing matches. Deterministic and
+    * SQL-mirrorable (array_intersect + CASE chain).
+    */
+  def langId(c: Column, markers: Seq[(String, Seq[String])] = langMarkers): Column = {
+    val v = vocab(c)
+    val scores = markers.map { case (lang, ws) =>
+      lang -> size(array_intersect(v, array(ws.map(lit): _*)))
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), tail) =>
+      when(s === maxScore && s > 0, lit(lang)).otherwise(tail)
+    }
+  }
+
+  /** English stopword list for quality scoring (public knowledge). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Stopword hits (with multiplicity) over whitespace tokens. */
+  def stopwordCount(c: Column): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(tokens(lower(c)), t => array_contains(stops, t)))
+  }
+
+  /** Composite quality score in [0,1]: rewards moderate length, low
+    * punctuation density, presence of stopwords (prose-likeness). The exact
+    * blend is a heuristic; determinism and SQL-mirrorability are the contract.
+    * score = 0.4*min(tokens/100,1) + 0.3*(1-punct_ratio) + 0.3*min(stop_ratio*5,1)
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast(DoubleType)
+    val nChar = length(c).cast(DoubleType)
+    val punctRatio = when(nChar > 0, punctCount(c).cast(DoubleType) / nChar).otherwise(0.0)
+    val stopRatio = when(nTok > 0, stopwordCount(c).cast(DoubleType) / nTok).otherwise(0.0)
+    lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(stopRatio * 5.0, lit(1.0))
+  }
+
+  /** Sentence split for the extractive answerer (reference's RAG context is
+    * sentence-shaped, py:460). Keeps non-empty trimmed sentences.
+    */
+  def sentences(c: Column): Column =
+    filter(transform(split(c, "[.!?]+"), s => trim(s)), s => length(s) > 0)
+}

@@ -8,9 +8,8 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Built on higher-order functions (`zip_with` + `aggregate`), which Catalyst
   * codegens; accumulation is promoted to double so 64-384-dim float sums are
-  * stable across engines. A custom codegen `Expression` variant lives in
-  * `graft.expressions.VectorExpressions` for the hot path — these are the
-  * readable reference forms and the correctness oracle for it.
+  * stable across engines. These are the exact forms used by the top-k oracle
+  * queries; `graft.operators.Similarity` composes them into search APIs.
   */
 object VectorFunctions {
 

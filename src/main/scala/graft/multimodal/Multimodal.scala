@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (north-star extension; SURVEY.md §2.4).
+  *
+  * Convention: media payloads are opaque `binary` columns with typed
+  * metadata (`map<string,string>`), carried through the relational pipeline
+  * like any other column. Decode/feature-extraction runs batched inside
+  * `mapPartitions` — the Scala analog of a vectorized Pandas-UDF stage —
+  * so at scale it is a pure executor-side map with no shuffle.
+  *
+  * The actual media decode is STUBBED (no image/audio codecs in this
+  * container): `decodeStub` derives deterministic fake features from the
+  * payload bytes. The schema, partitioning, and batch shape around it are
+  * real; swapping in a codec touches only the marked function.
+  */
+object Multimodal {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("feature_hash", LongType)))
+
+  /** Wrap a text/binary source into the multimodal layout. */
+  def fromText(df: DataFrame, idCol: String, textCol: String, modality: String = "text"): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("id"),
+      lit(modality).as("modality"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      map(lit("origin"), lit(textCol)).as("meta"))
+
+  /** STUB decode — replace with a real codec when available. Deterministic
+    * fake: dimensions and a feature hash derived from payload bytes only.
+    */
+  private[multimodal] def decodeStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    if (payload == null || payload.isEmpty) return (0, 0, 0, 0L)
+    var h = 1125899906842597L // FNV-ish rolling hash over the bytes
+    payload.foreach(b => h = h * 31 + (b & 0xFF))
+    val w = 1 + math.abs((h % 512).toInt)
+    val ht = 1 + math.abs(((h >> 9) % 512).toInt)
+    (w, ht, 3, h)
+  }
+
+  /** Batched "decode + featurize" pass: one output row per input row, with
+    * the feature struct appended. `mapPartitions` keeps per-batch codec
+    * setup (a real decoder's buffers/handles) amortized across the
+    * partition, matching how a vectorized UDF would run.
+    */
+  def decodeFeatures(df: DataFrame): DataFrame = {
+    val outSchema = df.schema
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("channels", IntegerType).add("feature_hash", LongType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      // per-partition setup for a real codec would go here
+      rows.map { r =>
+        val (w, h, c, fh) = decodeStub(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(r.toSeq ++ Seq(w, h, c, fh))
+      }
+    }(enc)
+  }
+
+  /** Cheap descriptive stats that stay in pure column expressions (and are
+    * therefore oracle-checkable): byte size + content fingerprint.
+    */
+  def describe(df: DataFrame): DataFrame =
+    df.select(
+      col("id"),
+      col("modality"),
+      octet_length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("fp"))
+}

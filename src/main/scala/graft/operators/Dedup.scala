@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operator family (SURVEY.md §2.1 O19 generalized to the
+  * LLM-data-pipeline north star: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup).
+  *
+  * Scale design: every method here is shuffle-bounded by keys or buckets —
+  * there is no all-pairs comparison anywhere. Exact dedup is one hash
+  * shuffle on the key; MinHash/SimHash candidate generation joins only
+  * within LSH buckets (band signatures), so cost is Σ|bucket|² over small
+  * buckets, not |corpus|²; verification runs only on candidate pairs.
+  * At 100 TB the shuffle key (band hash) is uniform by construction, so no
+  * salting is needed; AQE handles residual bucket skew.
+  */
+object Dedup {
+
+  /** O19 deterministic form — keep exactly one row per key, chosen by an
+    * explicit tiebreak ordering (the reference's `dropDuplicates(["Ticker",
+    * "Name"])`, py:244, keeps an arbitrary row; tests and oracles need a
+    * pinned winner). One shuffle on `keys`.
+    */
+  def firstRowByKey(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact content dedup on a text column: group by md5(text), keep the
+    * smallest id. Returns (keeper_id, dup_count, h). Hash-groupBy = one
+    * shuffle on a 128-bit uniform key; partial aggregation (map-side
+    * combine) makes this linear at any scale.
+    */
+  def exactText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+      .select("keeper_id", "dup_count", "h")
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** (doc_id, shingle) pairs — distinct word n-grams over cleaned text. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** MinHash signatures: h independent hash functions simulated by salting
+    * xxhash64 with the function index; the signature component i is
+    * min over the doc's shingles of xxhash64(shingle, i). One shuffle
+    * (groupBy doc) with map-side partial min — linear in corpus size.
+    */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"mh$i"))
+    shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of equal width and
+    * hash each band; docs sharing any band hash become candidate pairs.
+    * The band self-join is the only join, and it is an equi-join on
+    * (band_idx, band_hash) — bucket-local, never all-pairs.
+    */
+  def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      xxhash64(cols :+ lit(b): _*)
+    }
+    val banded = sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash+LSH near-dup candidates with exact-Jaccard
+    * verification of candidates only (the standard two-phase design:
+    * cheap recall-oriented banding, then precise filtering on the
+    * candidate set — never on the full corpus).
+    */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n).cache()
+    val cands = minhashCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
+    val verified = jaccardOnPairs(cands, sh)
+    verified.filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (semi-joined so only
+    * candidate docs' shingles flow into the intersection join).
+    */
+  def jaccardOnPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = shingles.as("x")
+      .join(shingles.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .join(pairs, col("x.doc_id") === col("da") && col("y.doc_id") === col("db"), "leftsemi")
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("da") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("db") === col("cb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("inter").cast(DoubleType) /
+          (col("ca.c") + col("cb.c") - col("inter"))).as("jaccard"))
+  }
+
+  /** All-pairs n-gram Jaccard restricted to docs matching `docFilter` — the
+    * DuckDB-oracle-checkable form (shared-shingle equi-join, so cost is
+    * bounded by shingle collision counts, and the caller bounds the doc
+    * set). Production callers use `minhashNearDups`.
+    */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.as("ca"), col("da") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("db") === col("cb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("inter").cast(DoubleType) /
+          (col("ca.c") + col("cb.c") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens of cleaned text: each token's
+    * xxhash64 votes ±1 per bit position; the signature bit is 1 where the
+    * vote sum is positive. Pure column expressions (64 conditional sums in
+    * one aggregation) — codegen-friendly, one shuffle on doc_id.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(graft.functions.CleanFunctions.cleanText(col(textCol)))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))).as(s"b$i")
+    }
+    val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: candidates are generated by banding the 64-bit
+    * signature into 4 × 16-bit blocks (pigeonhole: any pair with hamming
+    * distance ≤ 3 shares at least one exact block), then verified by full
+    * hamming distance. Equi-join on (block_idx, block_value) — bucket-local.
+    */
+  def simhashNearDups(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocks = (0 until 4).map(i =>
+      shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(blocks: _*)).as(Seq("blk", "bv")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- Embedding cosine
+
+  /** Embedding-cosine near-dup pairs over a bounded id range — the
+    * oracle-checkable brute-force form. The scale path buckets candidates
+    * with LSH/IVF first (graft.operators.Ann) so the pairwise cosine only
+    * runs within buckets.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val a = df.select(col(idCol).as("va"), col(vecCol).as("ea"))
+    val b = df.select(col(idCol).as("vb"), col(vecCol).as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        graft.functions.VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

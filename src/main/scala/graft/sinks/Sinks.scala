@@ -1,0 +1,61 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Output sinks (SURVEY.md §2.1 O7-O9, O23).
+  *
+  * The reference writes partitioned JSON (reference
+  * ai_powered_financial_analysis.py:87), single-file JSON via `coalesce(1)`
+  * (py:161-165), and single-file CSV with a read-back count verification
+  * (py:296-311). `coalesce(1)` is an output-format requirement of those
+  * paths, not an optimization — the partitioned writers are the scale path
+  * (one file per partition, written in parallel); single-file mode is for
+  * small curated exports only and would serialize a 100-TB write through one
+  * task if misused, so it is a separate, explicitly-named API.
+  */
+object Sinks {
+
+  /** O7 — partitioned JSON write (py:87). Scale path. */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Partitioned parquet write — the engine's default persistence. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** O8 — single-file JSON export (py:161-165). Small results only. */
+  def writeSingleJson(df: DataFrame, path: String): Unit =
+    df.coalesce(1)
+      .write.mode("overwrite")
+      .format("json")
+      .option("compression", "none")
+      .save(path)
+
+  /** O9 — single-file CSV export with header (py:296-300). */
+  def writeSingleCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1)
+      .write.mode("overwrite")
+      .option("header", "true")
+      .csv(path)
+
+  /** O9 read-back verify (py:301-311): re-read the CSV with an explicit
+    * schema and return it; callers compare counts/hashes against the
+    * in-memory frame. Explicit schema keeps the round-trip type-exact
+    * (header inference would re-string everything).
+    */
+  def readBackCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Write + read-back + count check in one call — the `data_storing`
+    * contract (py:296-311) done as an assertion instead of a printout.
+    */
+  def writeCsvVerified(df: DataFrame, path: String): DataFrame = {
+    val n = df.count()
+    writeSingleCsv(df, path)
+    val back = readBackCsv(df.sparkSession, path, df.schema)
+    val m = back.count()
+    require(m == n, s"read-back count $m != written count $n at $path")
+    back
+  }
+}

@@ -1,0 +1,76 @@
+package graft.vector
+
+import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel, Normalizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+import graft.functions.TextFunctions
+
+/** Deterministic sentence-embedding replacement (SURVEY.md §2.1 O30).
+  *
+  * The reference embeds with SentenceTransformers `all-MiniLM-L6-v2`
+  * (384-dim, reference ai_powered_financial_analysis.py:354, py:369); model
+  * downloads are unavailable here, so the engine ships a deterministic
+  * TF-IDF featurizer — tokens → HashingTF(dim) → IDF → L2 normalize —
+  * behind the same interface, producing a first-class `array<float>` column
+  * (the reference kept vectors in a pandas/FAISS side-car, py:357-375).
+  * Semantically weaker than MiniLM, but dimension/norm/top-k mechanics are
+  * identical, and the interface swaps in a real model unchanged.
+  *
+  * Scale: HashingTF is stateless (murmur3, fixed seed); IDF is one
+  * aggregate over the corpus; transform is a pure map — no shuffle in the
+  * embed pass.
+  */
+final class Featurizer(val dim: Int = 384) extends Serializable {
+
+  @transient private var idfModel: IDFModel = _
+
+  private def tf(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df.withColumn("__toks", TextFunctions.tokens(
+      graft.functions.CleanFunctions.cleanText(col(textCol))))
+    new HashingTF().setInputCol("__toks").setOutputCol("__tf").setNumFeatures(dim)
+      .transform(toks)
+  }
+
+  /** Fit the IDF weights on a corpus. Must be called before transform. */
+  def fit(corpus: DataFrame, textCol: String): this.type = {
+    idfModel = new IDF().setInputCol("__tf").setOutputCol("__tfidf")
+      .fit(tf(corpus, textCol))
+    this
+  }
+
+  /** Embed `textCol` into `outCol: array<float>` (L2-normalized). */
+  def transform(df: DataFrame, textCol: String, outCol: String = "embedding"): DataFrame = {
+    require(idfModel != null, "Featurizer.fit must run before transform")
+    val scored = idfModel.transform(tf(df, textCol))
+    val normed = new Normalizer().setInputCol("__tfidf").setOutputCol("__n").setP(2.0)
+      .transform(scored)
+    normed
+      .withColumn(outCol, vector_to_array(col("__n"), "float32"))
+      .drop("__toks", "__tf", "__tfidf", "__n")
+  }
+
+  /** Embed a single query string (driver-side, for the query path —
+    * reference py:426's `model.encode(query)`).
+    */
+  def embedQuery(spark: SparkSession, query: String): Array[Float] = {
+    import spark.implicits._
+    val df = Seq(query).toDF("__q")
+    transform(df, "__q", "__e").select(col("__e").cast("array<float>"))
+      .head().getSeq[Float](0).toArray
+  }
+}
+
+/** Vector-index persistence (SURVEY.md §2.1 O34): the reference pickles a
+  * FAISS index + doc list (py:432-438); here the "index" IS a parquet table
+  * of (id, text, embedding) — readable by any executor, no driver state.
+  */
+object VectorStore {
+  def save(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local driver-mimic correctness gate: compare Verify's parquet dumps
+against the DuckDB oracle SQL, per query. Mirrors the driver's compare
+(sort columns by name, hash values in row order)."""
+import duckdb, glob, json, os, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+results = {}
+for name in sorted(os.listdir(OUT)):
+    d = os.path.join(OUT, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        results[name] = {"err": "no parquet output"}
+        continue
+    spark_df = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
+    if name not in oracle:
+        results[name] = {"rows": len(spark_df), "rows_only": True,
+                         "ok": len(spark_df) > 0}
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        results[name] = {"err": f"oracle failed: {e}"}
+        continue
+    s = spark_df[sorted(spark_df.columns)]
+    o = duck_df[sorted(duck_df.columns)]
+    entry = {"rows_spark": len(s), "rows_oracle": len(o),
+             "cols_spark": list(s.columns), "cols_oracle": list(o.columns),
+             "dtypes_spark": [str(t) for t in s.dtypes],
+             "dtypes_oracle": [str(t) for t in o.dtypes]}
+    entry["rows_match"] = len(s) == len(o)
+    entry["schema_match"] = list(s.columns) == list(o.columns)
+    if entry["rows_match"] and entry["schema_match"]:
+        sv = s.astype(str).values.tolist()
+        ov = o.astype(str).values.tolist()
+        entry["hash_match"] = sv == ov
+        if not entry["hash_match"]:
+            for i, (a, b) in enumerate(zip(sv, ov)):
+                if a != b:
+                    entry["first_diff"] = {"row": i, "spark": a, "oracle": b}
+                    break
+    entry["ok"] = entry.get("hash_match", False)
+    results[name] = entry
+
+npass = sum(1 for v in results.values() if v.get("ok"))
+print(json.dumps(results, indent=1, default=str))
+print(f"\n=== {npass}/{len(results)} ok ===", file=sys.stderr)
+for k, v in results.items():
+    flag = "OK " if v.get("ok") else ("ro " if v.get("rows_only") else "FAIL")
+    print(f"{flag} {k} {'' if v.get('ok') else json.dumps({kk: vv for kk, vv in v.items() if kk in ('err','rows_spark','rows_oracle','schema_match','first_diff','rows','cols_spark','cols_oracle','dtypes_spark','dtypes_oracle')}, default=str)[:400]}", file=sys.stderr)
