@@ -29,10 +29,12 @@ object CleanFunctions {
     regexp_replace(regexp_replace(lower(c), "<.*?>", ""), "[^a-z0-9\\s]", "")
 
   /** O16 intended semantics — comma-tolerant numeric parse (SURVEY §1.4(2)):
-    * `"559,365,151.11"` parses instead of casting to null.
+    * `"559,365,151.11"` parses instead of casting to null. `try_cast` keeps
+    * the reference's null-on-malformed behavior under Spark 4's default
+    * ANSI mode (a plain cast would throw on the first bad value).
     */
   def parseNumeric(c: Column, to: DataType = DoubleType): Column =
-    regexp_replace(c, ",", "").cast(to)
+    regexp_replace(c, ",", "").try_cast(to)
 
   /** O15 intended semantics — default AFTER the cast so cast-failures are
     * also defaulted (fixes SURVEY §1.4(3)).
@@ -42,10 +44,11 @@ object CleanFunctions {
 
   /** O17 — timestamp parse accepting both dialects present in the reference
     * data: `yyyy-MM-dd HH:mm:ss` (generator, reference py:120) and ISO-8601
-    * `...T...Z` (shipped reddit_posts.json). Plain cast handles both under
-    * UTC session TZ.
+    * `...T...Z` (shipped reddit_posts.json). The cast handles both under
+    * UTC session TZ; `try_cast` nulls malformed inputs instead of failing
+    * the job under ANSI mode.
     */
-  def parseTimestamp(c: Column): Column = c.cast(TimestampType)
+  def parseTimestamp(c: Column): Column = c.try_cast(TimestampType)
 
   /** O18 intended semantics — string record id (reference py:281-282 used `+`,
     * which is numeric addition in Spark and yields null; SURVEY §1.4(1)).

@@ -61,7 +61,9 @@ object Multimodal {
       // per-partition setup for a real codec would go here
       rows.map { r =>
         val (w, h, c, fh) = decodeStub(r.getAs[Array[Byte]](payloadIdx))
-        Row.fromSeq(r.toSeq ++ Seq(w, h, c, fh))
+        // Seq[Any] — a plain Seq(w, h, c, fh) would widen the Ints to Long
+        // (weak conformance) and break the Int fields in the encoder
+        Row.fromSeq(r.toSeq ++ Seq[Any](w, h, c, fh))
       }
     }(enc)
   }

@@ -55,9 +55,20 @@ object RuleNer {
     val pct = pctRe.findAllMatchIn(text).map(m =>
       Entity(docId, m.matched, "PERCENT", m.start, m.end)).toSeq
     val gazSpans = gaz.map(e => (e.begin, e.end))
-    val caps = capRunRe.findAllMatchIn(text).collect {
-      case m if !gazSpans.exists(s => m.start < s._2 && s._1 < m.end) && m.start > 0 =>
-        Entity(docId, m.matched, "MISC", m.start, m.end)
+    // Sentence-initial capitalization is sentence case, not an entity: when a
+    // capitalized run starts a sentence, drop its first word and keep the rest
+    // ("The Federal Reserve met" → "Federal Reserve").
+    def sentenceInitial(pos: Int): Boolean =
+      pos == 0 || text.take(pos).reverse.dropWhile(_.isWhitespace).headOption.exists("([.!?".contains(_))
+    val caps = capRunRe.findAllMatchIn(text).flatMap { m =>
+      val (start, matched) =
+        if (sentenceInitial(m.start)) {
+          val rest = m.matched.dropWhile(!_.isWhitespace).dropWhile(_.isWhitespace)
+          (m.end - rest.length, rest)
+        } else (m.start, m.matched)
+      if (matched.nonEmpty && !gazSpans.exists(s => start < s._2 && s._1 < start + matched.length))
+        Some(Entity(docId, matched, "MISC", start, start + matched.length))
+      else None
     }.toSeq
     (gaz ++ money ++ pct ++ caps).sortBy(e => (e.begin, e.end, e.entity_type))
   }

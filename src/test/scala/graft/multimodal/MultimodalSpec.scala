@@ -1,0 +1,36 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val mm = {
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    Multimodal.fromText(df, "doc_id", "text")
+  }
+
+  test("fromText produces the multimodal layout (binary payload + meta)") {
+    val schema = mm.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "map")
+    val r = mm.filter("id = 1").head()
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == "hello world")
+  }
+
+  test("decodeFeatures appends deterministic stub features via mapPartitions") {
+    val a = Multimodal.decodeFeatures(mm).collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Int]("width"), r.getAs[Long]("feature_hash"))).toSet
+    val b = Multimodal.decodeFeatures(mm).collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Int]("width"), r.getAs[Long]("feature_hash"))).toSet
+    assert(a == b)
+    assert(a.find(_._1 == 2L).get._2 == 0) // empty payload → zero features
+    assert(a.find(_._1 == 1L).get._2 > 0)
+  }
+
+  test("describe emits oracle-checkable byte stats") {
+    val d = Multimodal.describe(mm).collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Int]("n_bytes"))).toMap
+    assert(d(1L) == 11 && d(2L) == 0)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ANN correctness: the exact path (Similarity.topK) is the oracle; recall
+  * at k=10 must be ≥ 0.9 on seeded clustered data (SURVEY §2.2 verification
+  * plan for O33).
+  */
+class AnnSpec extends SparkSpec {
+
+  // clustered vectors: 8 centers, 40 points each, mild noise
+  private lazy val corpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 4 - 2))
+    (0L until 320L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(v => v + rnd.nextFloat() * 0.2f - 0.1f).toSeq)
+    }.toDF("vec_id", "embedding").cache()
+  }
+
+  private val query = {
+    val rnd = new scala.util.Random(77)
+    Array.fill(16)(rnd.nextFloat() * 4 - 2)
+  }
+
+  private def recall(approx: Seq[Long], exact: Seq[Long]): Double =
+    approx.toSet.intersect(exact.toSet).size.toDouble / exact.size
+
+  test("IVF search recall ≥ 0.9 vs exact cosine top-10") {
+    val exact = Similarity.topK(corpus, "vec_id", "embedding", query, 10, Similarity.Cosine)
+      .collect().map(_.getLong(0)).toSeq
+    val idx = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val approx = Ann.ivfSearch(idx, query, 10, nprobe = 4, Similarity.Cosine)
+      .collect().map(_.getLong(0)).toSeq
+    assert(recall(approx, exact) >= 0.9, s"approx=$approx exact=$exact")
+  }
+
+  test("IVF with nprobe = nlist equals exact search") {
+    val exact = Similarity.topK(corpus, "vec_id", "embedding", query, 10, Similarity.Cosine)
+      .collect().map(_.getLong(0)).toSeq
+    val idx = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val full = Ann.ivfSearch(idx, query, 10, nprobe = 8, Similarity.Cosine)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+  }
+
+  test("LSH top-k recall ≥ 0.9 vs exact L2 top-10") {
+    val exact = Similarity.topK(corpus, "vec_id", "embedding", query, 10, Similarity.L2)
+      .collect().map(_.getLong(0)).toSeq
+    val approx = Ann.lshTopK(corpus, "vec_id", "embedding", query, 10,
+      bucketLength = 4.0, numHashTables = 8, seed = 42L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(recall(approx, exact) >= 0.9, s"approx=$approx exact=$exact")
+  }
+}

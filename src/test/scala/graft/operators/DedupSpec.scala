@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("firstRowByKey keeps exactly the tiebreak-first row per key") {
+    import spark.implicits._
+    val df = Seq((1, "a", 30), (1, "a", 10), (1, "a", 20), (2, "b", 5))
+      .toDF("k1", "k2", "v")
+    val out = Dedup.firstRowByKey(df, Seq("k1", "k2"), Seq(col("v")))
+      .orderBy("k1").collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(2))).toSeq == Seq((1, 10), (2, 5)))
+  }
+
+  test("exactText groups identical content and keeps min id") {
+    val out = Dedup.exactText(
+      docs((10L, "same text"), (3L, "same text"), (7L, "other")),
+      "doc_id", "text").orderBy("keeper_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("ngramJaccard computes the exact jaccard for a known pair") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> inter 1, union 3
+    val out = Dedup.ngramJaccard(
+      docs((1L, "a b c d"), (2L, "a b c e")), "doc_id", "text",
+      n = 3, minJaccard = 0.0).collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getDouble(2) - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("minhash candidates include all high-jaccard pairs (LSH recall on near-identical docs)") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word40", "changed")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val out = Dedup.minhashNearDups(df, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, minJaccard = 0.5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(out.head.getDouble(2) > 0.8)
+  }
+
+  test("minhash verified jaccard equals brute-force jaccard on candidates") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = docs((1L, base), (2L, base + " extra"), (3L, "tok1 tok2 tok3 tok4 tok5"))
+    val brute = Dedup.ngramJaccard(df, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mh = Dedup.minhashNearDups(df, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mh == brute)
+  }
+
+  test("simhash: near-identical docs have small hamming distance, unrelated large") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val df = docs((1L, base), (2L, base + " tail"), (3L, (1 to 60).map(i => s"z$i").mkString(" ")))
+    val sig = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+    assert(ham(sig(1L), sig(2L)) <= 6)
+  }
+
+  test("simhashNearDups finds the near pair via 16-bit block banding") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val df = docs((1L, base), (2L, base.replace("w80", "x")), (3L, (1 to 80).map(i => s"q$i").mkString(" ")))
+    val pairs = Dedup.simhashNearDups(Dedup.simhash(df, "doc_id", "text"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("cosinePairs finds similar embeddings only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)), (3L, Seq(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.cosinePairs(df, "vec_id", "embedding", minCos = 0.9).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+}

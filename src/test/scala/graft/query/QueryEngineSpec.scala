@@ -1,0 +1,52 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.vector.Featurizer
+
+class QueryEngineSpec extends SparkSpec {
+
+  private lazy val (engine, fz) = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Spark joins merge large tables quickly. Shuffle cost dominates."),
+      (2L, "The quick brown fox jumps over the lazy dog."),
+      (3L, "Broadcast joins avoid shuffles for small tables. Spark plans them automatically."),
+      (4L, "Completely unrelated cooking recipe with butter and flour."))
+      .toDF("doc_id", "text")
+    val f = new Featurizer(dim = 64).fit(docs, "text")
+    val corpus = f.transform(docs, "text").cache()
+    (new QueryEngine(corpus, f), f)
+  }
+
+  test("topK retrieves join-related docs first") {
+    val top = engine.topK("spark joins tables", k = 2).collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 3L))
+  }
+
+  test("embed memo returns the identical cached array (O35)") {
+    val a = engine.embed("some query")
+    val b = engine.embed("some query")
+    assert(a eq b) // same instance = cache hit
+  }
+
+  test("answer extracts overlapping sentences and is deterministic (O36)") {
+    val a1 = engine.answer("spark joins tables", k = 3, maxSentences = 2)
+    val a2 = engine.answer("spark joins tables", k = 3, maxSentences = 2)
+    assert(a1 == a2)
+    assert(a1.toLowerCase.contains("join"))
+  }
+
+  test("answer falls back gracefully with no overlap") {
+    val a = engine.answer("zzzz qqqq xyzzy", k = 2)
+    assert(a == "No relevant context found.")
+  }
+
+  test("evaluate heuristics (O37): accuracy/clarity/grounding in [0,1]") {
+    val m = engine.evaluate("spark joins", "Spark plans broadcast joins automatically",
+      Seq("Broadcast joins avoid shuffles. Spark plans them automatically."))
+    assert(m.keySet == Set("accuracy", "clarity", "grounding"))
+    m.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(m("accuracy") == 1.0) // both query terms appear in the answer
+    assert(m("grounding") > 0.5)
+  }
+}
