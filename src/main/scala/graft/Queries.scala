@@ -309,7 +309,16 @@ object Queries {
     "q38_multimodal" -> ((s, dir) =>
       Multimodal.describe(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // lexicon sentiment scoring (fills the reference's claimed-but-absent
+    // sentiment capability, SURVEY §1.4(5))
+    "q39_sentiment" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        dec(graft.text.Sentiment.score(col("text"))).as("sentiment"),
+        graft.text.Sentiment.label(col("text")).as("sentiment_label"))
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------------
@@ -442,6 +451,19 @@ object Queries {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q38_multimodal" ->
       """SELECT doc_id AS id, 'text' AS modality, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, md5(text) AS fp
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+    "q39_sentiment" -> {
+      val pos = graft.text.Sentiment.positive.map(w => s"'$w'").mkString(",")
+      val neg = graft.text.Sentiment.negative.map(w => s"'$w'").mkString(",")
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n,
+         |  len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$pos], tk))) AS p,
+         |  len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$neg], tk))) AS q
+         |FROM documents),
+         |s AS (SELECT doc_id, greatest(-1.0, least(1.0, CASE WHEN n > 0 THEN CAST(p - q AS DOUBLE) / n ELSE 0.0 END)) AS sc FROM t)
+         |SELECT doc_id, CAST(round(sc, 4) AS DECIMAL(10,4)) AS sentiment,
+         |  CASE WHEN sc > 0.05 THEN 'positive' WHEN sc < -0.05 THEN 'negative' ELSE 'neutral' END AS sentiment_label
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
   )
 }

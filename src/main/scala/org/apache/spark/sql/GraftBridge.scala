@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression conversion
+  * (org.apache.spark.sql.classic.ExpressionUtils). Spark 4 wraps Columns in
+  * ColumnNodes, and the only supported way to lift a custom Catalyst
+  * `Expression` into the Column API is this internal helper — the standard
+  * pattern for Catalyst extension libraries (a file in the
+  * `org.apache.spark.sql` package to satisfy the `private[sql]` scope).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
