@@ -278,7 +278,7 @@ object Queries {
     // IVF approximate top-k (rows-only; recall vs exact tested in ScalaTest)
     "q35_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idx = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, seed = 42L)
+      val idx = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, seed = 42L, maxIter = 8)
       Ann.ivfSearch(idx, queryVec(s, dir), k = 10, nprobe = 4, Similarity.Cosine)
         .select(col("vec_id"), dec(col("score")).as("score"))
     }),

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.CleanFunctions
+
+/** Structured Streaming surface (engine extension; the reference's
+  * "real-time" ingestion is batch re-runs of the scrape path — SURVEY §2.3 —
+  * but a 100-TB training-data pipeline ingests continuously, so the engine
+  * exposes its column functions over streams too).
+  *
+  * Everything composes the same CleanFunctions/TextFunctions columns — a
+  * batch-tested operator lifts to streaming unchanged. Watermarks bound
+  * state; windowed aggregations and mapGroupsWithState cover the stateful
+  * patterns (late-data-tolerant counts, per-key running state).
+  */
+object StreamingOps {
+
+  /** File-source stream over a directory of parquet drops (the streaming
+    * analog of Tables.table; schema must be supplied — streams can't infer).
+    */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** The clean stage as a stream transform: same columns as the batch path
+    * (O12-O14 semantics lifted to streaming).
+    */
+  def cleanedEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_type", CleanFunctions.normalizeKey(col("event_type")))
+      .withColumn("props_clean", CleanFunctions.scrub(col("props")))
+
+  /** Watermarked tumbling-window counts per event type. State is bounded by
+    * the watermark: rows later than `watermark` past the max seen ts are
+    * dropped and their windows finalized — at scale this is what keeps the
+    * aggregation state from growing without bound.
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      windowLen: String = "10 minutes",
+      watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  final case class UserRunning(user_id: Long, events: Long, total_value: Double)
+
+  /** Per-user running aggregates via mapGroupsWithState — the custom-state
+    * pattern (KeyValueGroupedDataset) for logic windowed aggs can't express.
+    * State per key is O(1); partitioning is by group key, so it scales
+    * horizontally with the key space.
+    */
+  def runningPerUser(events: Dataset[(Long, Double)]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserRunning] {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          UserRunning(user, n, v)
+      }
+  }
+}

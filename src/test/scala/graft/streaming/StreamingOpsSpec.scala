@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts aggregate per 10-minute window with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.windowedEventCounts(events)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((ts(1), "click"), (ts(2), "click"), (ts(11), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 10:10:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("cleanedEvents applies batch column semantics on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("ts", "event_type", "props")
+    val q = StreamingOps.cleanedEvents(df)
+      .writeStream.format("memory").queryName("cleaned")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(0), "  CLICK ", """{"k": 1}"""))
+      q.processAllAvailable()
+      val r = spark.table("cleaned").head()
+      assert(r.getAs[String]("event_type") == "click")
+      assert(r.getAs[String]("props_clean") == "k 1")
+    } finally q.stop()
+  }
+
+  test("runningPerUser keeps per-key state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamingOps.runningPerUser(in.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      in.addData((1L, 2.0))
+      q.processAllAvailable()
+      val latest = spark.table("running").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(latest(1L) == ((3L, 17.0)))
+      assert(latest(2L) == ((1L, 1.0)))
+    } finally q.stop()
+  }
+}
