@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-management utilities for the 100-TB design brief.
+  *
+  * AQE's skew-join splitting (on in EngineSession) handles most runtime
+  * skew; these are the explicit tools for the cases AQE can't fix:
+  * aggregation skew (one hot key overwhelming a single reducer) and
+  * repeated joins on the same key (bucketing to pre-pay the shuffle once).
+  */
+object Shuffle {
+
+  /** Two-phase salted aggregation for skewed group keys: phase 1 aggregates
+    * on (key, salt) — spreading a hot key over `salts` reducers — phase 2
+    * combines the partials per key. Supports the decomposable aggregates
+    * (count / sum); results are identical to a direct groupBy.
+    */
+  def saltedCountSum(
+      df: DataFrame, keys: Seq[String], sumCol: String, salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(col(sumCol)).as("__sum"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("cnt"), sum(col("__sum")).as(s"sum_$sumCol"))
+  }
+
+  /** Salt one side of a join against a hot-key dimension: replicate the
+    * small side `salts` times and salt the big side, turning one hot
+    * reducer into `salts` balanced ones. `bigSide` gains `__salt` from a
+    * deterministic spread; `smallSide` is exploded over all salt values.
+    * Join both on `keys :+ "__salt"`. AQE skew-join makes this rarely
+    * necessary; kept for plan-stable pipelines that disable AQE.
+    */
+  def saltForJoin(
+      bigSide: DataFrame, smallSide: DataFrame,
+      salts: Int): (DataFrame, DataFrame) = {
+    val big = bigSide.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val small = smallSide.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    (big, small)
+  }
+
+  /** Write a table bucketed (and sorted) by the join key: co-located,
+    * co-sorted scans let subsequent equi-joins on `bucketCol` skip both the
+    * shuffle and the sort — the right trade when a fact table is joined on
+    * the same key by many downstream queries.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** True if the executed plan of `df` contains a shuffle exchange. */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

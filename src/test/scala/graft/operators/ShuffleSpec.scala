@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ShuffleSpec extends SparkSpec {
+
+  test("saltedCountSum equals the direct groupBy on skewed data") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail
+    val df = ((1 to 10000).map(_ => ("hot", 1.0)) ++ (1 to 100).map(i => (s"k$i", 2.0)))
+      .toDF("k", "v").repartition(8)
+    val direct = df.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Shuffle.saltedCountSum(df, Seq("k"), "v", salts = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("saltForJoin preserves join results") {
+    import spark.implicits._
+    val big = ((1 to 5000).map(_ => (1, "x")) ++ (1 to 50).map(i => (i + 1, "y")))
+      .toDF("id", "payload").repartition(8)
+    val dim = (1 to 60).map(i => (i, s"name$i")).toDF("id", "name")
+    val plain = big.join(dim, "id").count()
+    val (bigS, dimS) = Shuffle.saltForJoin(big, dim, salts = 8)
+    val saltedCount = bigS.join(dimS, Seq("id", "__salt")).count()
+    assert(saltedCount == plain)
+  }
+
+  test("bucketed tables join without a shuffle on the bucket key") {
+    import spark.implicits._
+    val facts = (1L to 1000L).map(i => (i % 50, s"f$i")).toDF("k", "f")
+    val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "d")
+    for (t <- Seq("graft_test_facts", "graft_test_dims")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft_test_warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Shuffle.writeBucketed(facts, "graft_test_facts", "k", 4)
+    Shuffle.writeBucketed(dims, "graft_test_dims", "k", 4)
+    val joined = spark.table("graft_test_facts")
+      .join(spark.table("graft_test_dims"), "k")
+    // disable broadcast so the co-located path is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(!Shuffle.hasShuffle(joined), joined.queryExecution.executedPlan.toString)
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
