@@ -318,7 +318,19 @@ object Queries {
         col("doc_id"),
         dec(graft.text.Sentiment.score(col("text"))).as("sentiment"),
         graft.text.Sentiment.label(col("text")).as("sentiment_label"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // SQL surface over the registered custom expressions (GraftFunctions):
+    // same kernels as q24 reached through spark.sql text
+    "q40_sql_surface" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb")
+      val qArr = queryVec(s, dir)
+        .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, CAST(round(vec_cosine(embedding, $qArr), 4) AS DECIMAL(10,4)) AS score
+           |FROM graft_emb WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 15""".stripMargin)
+    })
   )
 
   // ------------------------------------------------------------------
@@ -464,6 +476,9 @@ object Queries {
          |SELECT doc_id, CAST(round(sc, 4) AS DECIMAL(10,4)) AS sentiment,
          |  CASE WHEN sc > 0.05 THEN 'positive' WHEN sc < -0.05 THEN 'negative' ELSE 'neutral' END AS sentiment_label
          |FROM s ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q40_sql_surface" ->
+      """SELECT vec_id, CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS score
+        |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 15""".stripMargin
   )
 }
