@@ -278,13 +278,16 @@ object Queries {
     // IVF approximate top-k (rows-only; recall vs exact tested in ScalaTest)
     "q35_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idx = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, seed = 42L, maxIter = 8)
+      val idx = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, seed = 42L,
+        maxIter = 8, fitSample = 0.25)
       Ann.ivfSearch(idx, queryVec(s, dir), k = 10, nprobe = 4, Similarity.Cosine)
         .select(col("vec_id"), dec(col("score")).as("score"))
     }),
 
     // deterministic featurizer + retrieval (rows-only: IDF isn't in DuckDB)
     "q36_embed_topk" -> ((s, dir) => {
+      // no cache: a cached `documents` plan would substitute into every
+      // other registered query's scan on the shared session
       val docs = t(s, dir, "documents")
       val fz = new Featurizer(dim = 64).fit(docs, "text")
       val corpus = fz.transform(docs, "text")

@@ -35,15 +35,21 @@ object Ann {
   /** Build the IVF index: fit a seeded KMeans coarse quantizer and assign
     * every vector to its centroid. Deterministic for a fixed seed.
     * Fit cost is bounded by `maxIter`; assignment is one map pass.
+    * `fitSample` < 1.0 trains the quantizer on a seeded sample — the
+    * standard IVF practice at corpus scale (centroid quality needs a
+    * representative sample, not every vector), cutting build cost while
+    * the full corpus is still assigned and searchable.
     */
   def ivfBuild(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 100, seed: Long = 42L, maxIter: Int = 20): IvfIndex = {
+      nlist: Int = 100, seed: Long = 42L, maxIter: Int = 20,
+      fitSample: Double = 1.0): IvfIndex = {
     val withVec = corpus.withColumn("__v", array_to_vector(col(vecCol).cast(ArrayType(DoubleType))))
+    val fitSet = if (fitSample < 1.0) withVec.sample(fitSample, seed) else withVec
     val km = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("cluster")
-    val model = km.fit(withVec)
+    val model = km.fit(fitSet)
     val assigned = model.transform(withVec).drop("__v")
     IvfIndex(assigned, model.clusterCenters.map(_.toArray), idCol, vecCol)
   }

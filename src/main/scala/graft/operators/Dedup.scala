@@ -98,15 +98,20 @@ object Dedup {
     verified.filter(col("jaccard") >= minJaccard)
   }
 
-  /** Exact n-gram Jaccard for given candidate pairs (semi-joined so only
-    * candidate docs' shingles flow into the intersection join).
+  /** Exact n-gram Jaccard for given candidate pairs, driven FROM the pairs:
+    * each pair pulls in only its two docs' shingles (pair → shingles →
+    * matching shingles), so the intersection join is bounded by
+    * |pairs| × shingles-per-doc — never the all-pairs shared-shingle
+    * explosion. This is what makes LSH banding actually pay off at scale:
+    * a naive shingles⋈shingles-then-filter would recompute the full
+    * intersection matrix and discard most of it.
     */
   def jaccardOnPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = shingles.as("x")
-      .join(shingles.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .join(pairs, col("x.doc_id") === col("da") && col("y.doc_id") === col("db"), "leftsemi")
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    val inter = pairs
+      .join(shingles.as("sa"), col("da") === col("sa.doc_id"))
+      .join(shingles.as("sb"), col("db") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(counts.as("ca"), col("da") === col("ca.doc_id"))
