@@ -333,6 +333,33 @@ object Queries {
       s.sql(
         s"""SELECT vec_id, CAST(round(vec_cosine(embedding, $qArr), 4) AS DECIMAL(10,4)) AS score
            |FROM graft_emb WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 15""".stripMargin)
+    }),
+
+    // backward as-of join: latest signup at-or-before each event, per user
+    "q41_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts")).distinct()
+      graft.operators.TemporalJoins.asofJoin(
+          ev.select("event_id", "user_id", "ts"), signups,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts", rightVals = Seq())
+        .select(col("event_id"), col("user_id"), col("asof_ts").as("signup_ts"))
+        .orderBy("event_id")
+    }),
+
+    // bucketed range join: events of users 0-4 inside 5-minute windows
+    // opened by events of users 5-7 (chunked equi-join, no nested loop)
+    "q42_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val points = ev.filter(col("user_id") < 5).select(col("event_id"), col("ts"))
+      val intervals = ev.filter(col("user_id") >= 5 && col("user_id") < 8)
+        .select(col("event_id").as("itv_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("end_ts"))
+      graft.operators.TemporalJoins.rangeJoin(
+          points, "ts", intervals, "start_ts", "end_ts",
+          bucketMicros = 10L * 60 * 1000 * 1000)
+        .select(col("event_id"), col("itv_id"))
+        .orderBy("event_id", "itv_id")
     })
   )
 
@@ -482,6 +509,17 @@ object Queries {
     },
     "q40_sql_surface" ->
       """SELECT vec_id, CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS score
-        |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 15""".stripMargin
+        |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 15""".stripMargin,
+    "q41_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.ts AS signup_ts
+        |FROM events l ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+    "q42_range_join" ->
+      """SELECT l.event_id, r.event_id AS itv_id
+        |FROM (SELECT event_id, ts FROM events WHERE user_id < 5) l
+        |JOIN (SELECT event_id, ts AS start_ts, ts + INTERVAL 5 MINUTE AS end_ts FROM events WHERE user_id >= 5 AND user_id < 8) r
+        |ON l.ts >= r.start_ts AND l.ts <= r.end_ts
+        |ORDER BY l.event_id, itv_id""".stripMargin
   )
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively (the "custom operator"
+  * category of the design brief): backward as-of join and bucketed range
+  * join. Both are composed from built-in operators (SURVEY §7.3 preference
+  * (a)) in shapes that stay shuffle-bounded at scale — no nested-loop
+  * fallback, no all-pairs.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for every left row, attach the latest right row
+    * with `right.ts <= left.ts` within the same key (LEFT semantics: nulls
+    * when no prior right row exists). Ties on ts prefer the right row
+    * (DuckDB/Pandas ASOF `>=` semantics).
+    *
+    * Implementation: union both sides tagged, one window per key ordered by
+    * (ts, right-first), carry the last non-null right payload forward.
+    * Exactly ONE shuffle (the window partitioning) regardless of data size —
+    * the naive formulation (per-left-row subquery or range self-join) is
+    * quadratic in hot keys. Right rows must be unique per (keys, ts):
+    * enforced here by keeping the first by tiebreak ordering.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightVals: Seq[String]): DataFrame = {
+    val rightUniq = Dedup.firstRowByKey(
+      right.select((keys :+ rightTs) ++ rightVals map col: _*),
+      keys :+ rightTs, rightVals.map(col))
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__r", lit(0))
+      .withColumn("__lrow", struct(leftCols.map(col): _*))
+      .withColumn("__rrow", lit(null).cast(
+        rightUniq.select(struct((rightTs +: rightVals).map(col): _*)).schema.head.dataType))
+      .select((keys.map(col) ++ Seq(col("__ts"), col("__r"), col("__lrow"), col("__rrow"))): _*)
+    val r = rightUniq
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__r", lit(1))
+      .withColumn("__lrow", lit(null).cast(
+        left.select(struct(leftCols.map(col): _*)).schema.head.dataType))
+      .withColumn("__rrow", struct((rightTs +: rightVals).map(col): _*))
+      .select((keys.map(col) ++ Seq(col("__ts"), col("__r"), col("__lrow"), col("__rrow"))): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__r") === 0)
+
+    val leftOut = leftCols.map(c => col(s"__lrow.$c").as(c))
+    val rightOut = (rightTs +: rightVals).map(c => col(s"__match.$c").as(s"asof_$c"))
+    carried.select(leftOut ++ rightOut: _*)
+  }
+
+  /** Range join: pairs (left, right) with `left.point` inside
+    * `[right.start, right.end]`. A plain BETWEEN join falls back to a
+    * nested-loop in Spark; bucketing time into `bucket`-sized chunks and
+    * exploding each interval over the chunks it spans turns it into an
+    * equi-join on the chunk id, with the BETWEEN as a residual filter.
+    * Shuffle cost is (rows × interval-span/bucket), tunable via `bucket`.
+    */
+  def rangeJoin(
+      left: DataFrame, pointCol: String,
+      right: DataFrame, startCol: String, endCol: String,
+      bucketMicros: Long): DataFrame = {
+    val lb = left.withColumn("__chunk",
+      floor(unix_micros(col(pointCol).cast("timestamp")) / bucketMicros))
+    val rb = right.withColumn("__chunk", explode(sequence(
+      floor(unix_micros(col(startCol).cast("timestamp")) / bucketMicros),
+      floor(unix_micros(col(endCol).cast("timestamp")) / bucketMicros))))
+    lb.join(rb,
+      lb("__chunk") === rb("__chunk")
+        && col(pointCol) >= col(startCol)
+        && col(pointCol) <= col(endCol))
+      .drop("__chunk")
+  }
+}

@@ -10,7 +10,8 @@ import graft.SparkSpec
 class QueriesSpec extends SparkSpec {
 
   // threshold-dependent queries may legitimately return 0 rows at tiny SF
-  private val mayBeEmpty = Set("q22_ngram_jaccard", "q23_cosine_pairs", "q33_minhash_pairs")
+  private val mayBeEmpty = Set("q22_ngram_jaccard", "q23_cosine_pairs",
+    "q33_minhash_pairs", "q42_range_join")
 
   Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001" + (if (mayBeEmpty(name)) "" else " with rows")) {

@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class TemporalJoinsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left row per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 11:00:00")),
+      (3L, "u1", ts("2024-01-01 09:00:00")),  // before any right → null
+      (4L, "u2", ts("2024-01-01 10:30:00")))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 100.0),
+      ("u1", ts("2024-01-01 10:30:00"), 200.0),
+      ("u2", ts("2024-01-01 10:30:00"), 300.0))  // exact tie → matches (>=)
+      .toDF("k", "rt", "v")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("id").collect()
+    val got = out.map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 100.0), (2L, 200.0), (3L, null), (4L, 300.0)))
+  }
+
+  test("asofJoin matches a brute-force computation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val leftRows = (1L to 300L).map(i =>
+      (i, s"k${rnd.nextInt(5)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+    val rightRows = (1 to 60).map(i =>
+      (s"k${rnd.nextInt(5)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toDouble))
+      // unique (key, ts): keep max v like firstRowByKey? use distinct-by via groupBy min
+      .groupBy(r => (r._1, r._2)).map(_._2.minBy(_._3)).toSeq
+    val out = TemporalJoins.asofJoin(
+      leftRows.toDF("id", "k", "t"), rightRows.toDF("k", "rt", "v"),
+      Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    leftRows.foreach { case (id, k, t) =>
+      val expect = rightRows.filter(r => r._1 == k && !r._2.after(t))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(out(id) == expect, s"row $id")
+    }
+  }
+
+  test("rangeJoin equals the naive between-join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val points = (1L to 200L).map(i =>
+      (i, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d")))
+      .toDF("pid", "pt")
+    val intervals = (1L to 40L).map { i =>
+      val h = rnd.nextInt(24); val m = rnd.nextInt(50)
+      (i, ts(f"2024-01-01 $h%02d:$m%02d:00"), ts(f"2024-01-01 $h%02d:${m + 9}%02d:59"))
+    }.toDF("iid", "s", "e")
+    val naive = points.join(intervals, $"pt" >= $"s" && $"pt" <= $"e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = TemporalJoins.rangeJoin(points, "pt", intervals, "s", "e",
+      bucketMicros = 7L * 60 * 1000 * 1000) // bucket smaller than span: multi-chunk explode
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("rangeJoin plan is a hash join on the chunk, not a nested loop") {
+    import spark.implicits._
+    val points = (1L to 50L).map(i => (i, ts("2024-01-01 10:00:00"))).toDF("pid", "pt")
+    val intervals = (1L to 5L).map(i =>
+      (i, ts("2024-01-01 09:59:00"), ts("2024-01-01 10:01:00"))).toDF("iid", "s", "e")
+    val plan = TemporalJoins.rangeJoin(points, "pt", intervals, "s", "e", 60L * 1000 * 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+}
