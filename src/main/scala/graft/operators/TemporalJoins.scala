@@ -28,9 +28,13 @@ object TemporalJoins {
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
       rightVals: Seq[String]): DataFrame = {
+    // tiebreak for duplicate (keys, ts) right rows; with no payload columns
+    // duplicates are identical, any ordering works (but the window must
+    // still have an ORDER BY to analyze)
+    val tiebreak = if (rightVals.isEmpty) Seq(col(rightTs)) else rightVals.map(col)
     val rightUniq = Dedup.firstRowByKey(
       right.select((keys :+ rightTs) ++ rightVals map col: _*),
-      keys :+ rightTs, rightVals.map(col))
+      keys :+ rightTs, tiebreak)
 
     val leftCols = left.columns.toSeq
     val l = left

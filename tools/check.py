@@ -14,6 +14,11 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 results = {}
+# a query that crashed in Verify leaves no output dir — that must count as
+# a failure, not silently shrink the denominator
+for name in oracle:
+    if not os.path.isdir(os.path.join(OUT, name)):
+        results[name] = {"err": "query produced no output (failed in Verify)"}
 for name in sorted(os.listdir(OUT)):
     d = os.path.join(OUT, name)
     if not os.path.isdir(d):
