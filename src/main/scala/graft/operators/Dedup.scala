@@ -45,10 +45,12 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** (doc_id, shingle) pairs — distinct word n-grams over cleaned text. */
+  /** (doc_id, shingle) pairs — distinct word n-grams over cleaned text.
+    * TextFunctions.shingles already dedups within a document, so no
+    * cross-row distinct (and no shuffle) is needed here.
+    */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("doc_id"), explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
-      .distinct()
 
   /** MinHash signatures: h independent hash functions simulated by salting
     * xxhash64 with the function index; the signature component i is
@@ -86,7 +88,10 @@ object Dedup {
   /** End-to-end MinHash+LSH near-dup candidates with exact-Jaccard
     * verification of candidates only (the standard two-phase design:
     * cheap recall-oriented banding, then precise filtering on the
-    * candidate set — never on the full corpus).
+    * candidate set — never on the full corpus). The shingle explode feeds
+    * the signature aggregation directly (min is duplicate-insensitive, so
+    * no full-corpus distinct shuffle); per-doc shingle counts for the
+    * Jaccard denominator are computed for candidate docs only.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
@@ -98,6 +103,14 @@ object Dedup {
     verified.filter(col("jaccard") >= minJaccard)
   }
 
+  /** Restrict (doc_id, sh) rows to docs appearing in `pairs`. */
+  private def shinglesOfCandidates(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val candDocs = pairs
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct()
+    shingles.join(candDocs, Seq("doc_id"), "leftsemi")
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs, driven FROM the pairs:
     * each pair pulls in only its two docs' shingles (pair → shingles →
     * matching shingles), so the intersection join is bounded by
@@ -107,10 +120,11 @@ object Dedup {
     * intersection matrix and discard most of it.
     */
   def jaccardOnPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
-    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val candSh = shinglesOfCandidates(pairs, shingles)
+    val counts = candSh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = pairs
-      .join(shingles.as("sa"), col("da") === col("sa.doc_id"))
-      .join(shingles.as("sb"), col("db") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .join(candSh.as("sa"), col("da") === col("sa.doc_id"))
+      .join(candSh.as("sb"), col("db") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
     inter

@@ -24,6 +24,16 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `partitionCols`. Readers filtering on those columns scan only the
+    * matching directories (partition pruning) — the storage-layout lever
+    * that turns a 100-TB scan into a per-partition one. Choose low-to-mid
+    * cardinality columns (date, source, language), never high-cardinality
+    * keys (one directory per key kills the file system).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** O8 — single-file JSON export (py:161-165). Small results only. */
   def writeSingleJson(df: DataFrame, path: String): Unit =
     df.coalesce(1)

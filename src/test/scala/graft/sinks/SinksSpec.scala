@@ -29,4 +29,18 @@ class SinksSpec extends SparkSpec {
     val back = spark.read.parquet(path)
     assert(back.count() == 3)
   }
+
+  test("writePartitioned lays out hive-style dirs and filters prune partitions") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "es"), (4L, "d", "de"))
+      .toDF("id", "txt", "lang")
+    val path = "/tmp/graft_test_sink_partitioned"
+    Sinks.writePartitioned(docs, path, Seq("lang"))
+    assert(new java.io.File(s"$path/lang=en").isDirectory)
+    val filtered = spark.read.parquet(path).filter($"lang" === "en")
+    assert(filtered.count() == 2)
+    val scan = filtered.queryExecution.executedPlan.toString
+    // partition pruning: the lang predicate is a PartitionFilter on the scan
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"), scan)
+  }
 }
