@@ -360,7 +360,16 @@ object Queries {
           bucketMicros = 10L * 60 * 1000 * 1000)
         .select(col("event_id"), col("itv_id"))
         .orderBy("event_id", "itv_id")
-    })
+    }),
+
+    // full curation pass: language filter + quality floor + token bounds +
+    // fingerprint dedup — the composed training-data pipeline
+    "q43_curation" -> ((s, dir) =>
+      graft.pipeline.Curation.curate(t(s, dir, "documents"), "doc_id", "text",
+          graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          dec(col("quality")).as("quality"), col("fp"))
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------------
@@ -371,7 +380,8 @@ object Queries {
   private val duckCleanTokens =
     """string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '<.*?>', '', 'g'), '[^a-z0-9\s]', '', 'g')), '\s+')"""
 
-  private val duckLangCase: String = {
+  /** lang-score SELECT fragments + the argmax CASE (mirrors TF.langId). */
+  private val (duckLangScoreDefs, duckLangCaseExpr): (String, String) = {
     val scores = TF.langMarkers.map { case (lang, ws) =>
       lang -> s"len(list_intersect(dw, [${ws.map(w => s"'$w'").mkString(",")}]))"
     }
@@ -381,12 +391,21 @@ object Queries {
     val cases = TF.langMarkers.map { case (lang, _) =>
       s"WHEN s_$lang = $mx AND s_$lang > 0 THEN '$lang'"
     }.mkString(" ")
-    s"""WITH t AS (SELECT doc_id, lang, list_distinct($duckCleanTokens) AS dw FROM documents),
-       |s AS (SELECT doc_id, lang, $defs FROM t)
-       |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id""".stripMargin
+    (defs, s"CASE $cases ELSE 'und' END")
   }
 
+  private val duckLangCase: String =
+    s"""WITH t AS (SELECT doc_id, lang, list_distinct($duckCleanTokens) AS dw FROM documents),
+       |s AS (SELECT doc_id, lang, $duckLangScoreDefs FROM t)
+       |SELECT doc_id, lang, $duckLangCaseExpr AS lang_pred FROM s ORDER BY doc_id""".stripMargin
+
   private val duckStops = TF.stopwords.map(w => s"'$w'").mkString(",")
+
+  /** raw (unrounded) quality score — mirrors TF.qualityScore exactly. */
+  private val duckQualityRaw: String =
+    s"""0.4 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+       | + 0.3 * (1.0 - CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+       | + 0.3 * least(CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0 THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$duckStops], tk))) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) ELSE 0.0 END * 5.0, 1.0)""".stripMargin.replace("\n", "")
 
   val oracles: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -462,11 +481,7 @@ object Queries {
       s"""SELECT doc_id,
          |CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
          |CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS n_punct,
-         |CAST(round(
-         |  0.4 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
-         |  + 0.3 * (1.0 - CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
-         |  + 0.3 * least(CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0 THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$duckStops], tk))) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) ELSE 0.0 END * 5.0, 1.0)
-         |, 4) AS DECIMAL(10,4)) AS score
+         |CAST(round($duckQualityRaw, 4) AS DECIMAL(10,4)) AS score
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q27_token_count" ->
       """SELECT doc_id,
@@ -520,6 +535,19 @@ object Queries {
         |FROM (SELECT event_id, ts FROM events WHERE user_id < 5) l
         |JOIN (SELECT event_id, ts AS start_ts, ts + INTERVAL 5 MINUTE AS end_ts FROM events WHERE user_id >= 5 AND user_id < 8) r
         |ON l.ts >= r.start_ts AND l.ts <= r.end_ts
-        |ORDER BY l.event_id, itv_id""".stripMargin
+        |ORDER BY l.event_id, itv_id""".stripMargin,
+    "q43_curation" ->
+      s"""WITH t AS (SELECT doc_id, text, list_distinct($duckCleanTokens) AS dw FROM documents),
+         |s AS (SELECT doc_id, text, dw, $duckLangScoreDefs FROM t),
+         |a AS (SELECT doc_id, text,
+         |  $duckLangCaseExpr AS lang_pred,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         |  $duckQualityRaw AS quality_raw,
+         |  md5(array_to_string($duckCleanTokens, ' ')) AS fp
+         |FROM s),
+         |f AS (SELECT * FROM a WHERE lang_pred IN ('en') AND quality_raw >= 0.5 AND n_tokens BETWEEN 5 AND 1048576),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+         |SELECT doc_id, lang_pred, n_tokens, CAST(round(quality_raw, 4) AS DECIMAL(10,4)) AS quality, fp
+         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -68,6 +68,28 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize — a real implementation decodes, scales, re-encodes; the
+    * stub records the requested dimensions in metadata and truncates the
+    * payload deterministically (so downstream sizing logic is exercisable).
+    */
+  def resizeStub(df: DataFrame, width: Int, height: Int): DataFrame =
+    df.withColumn("meta", map_concat(col("meta"),
+        map(lit("resize"), lit(s"${width}x$height"))))
+      .withColumn("payload",
+        expr(s"substring(payload, 1, greatest(1, int(octet_length(payload) / 2)))"))
+
+  /** STUB frame sampling for video-modality rows: emits `n` frame rows per
+    * payload, each a deterministic slice with a frame index in metadata —
+    * the row-explosion shape (1 video → n frames) that a real sampler has.
+    */
+  def frameSampleStub(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("meta", map_concat(col("meta"),
+        map(lit("frame"), col("frame_idx").cast(StringType))))
+      .withColumn("payload", expr(
+        s"substring(payload, 1 + frame_idx * greatest(1, int(octet_length(payload) / $n)), " +
+          s"greatest(1, int(octet_length(payload) / $n)))"))
+
   /** Cheap descriptive stats that stay in pure column expressions (and are
     * therefore oracle-checkable): byte size + content fingerprint.
     */

@@ -205,14 +205,47 @@ object Dedup {
   // ------------------------------------------------------- Embedding cosine
 
   /** Embedding-cosine near-dup pairs over a bounded id range — the
-    * oracle-checkable brute-force form. The scale path buckets candidates
-    * with LSH/IVF first (graft.operators.Ann) so the pairwise cosine only
-    * runs within buckets.
+    * oracle-checkable brute-force form. The scale path is
+    * [[cosineNearDupsLsh]], which buckets by hyperplane signs first.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
     val a = df.select(col(idCol).as("va"), col(vecCol).as("ea"))
     val b = df.select(col(idCol).as("vb"), col(vecCol).as("eb"))
     a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        graft.functions.VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Embedding-cosine near-dup at scale: random-hyperplane LSH. Each of
+    * `tables` signature tables hashes a vector to `bits` sign bits of
+    * seeded random projections; vectors sharing a signature in ANY table
+    * become candidates (equi-join within buckets — never all-pairs), then
+    * exact cosine verifies. High-cosine pairs collide with probability
+    * (1 - θ/π)^bits per table; more tables raise recall, more bits cut
+    * candidate volume.
+    */
+  def cosineNearDupsLsh(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      minCos: Double, bits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // tables × bits seeded hyperplanes, inlined as literals
+    val planes = Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val sigCols = planes.zipWithIndex.map { case (tbl, ti) =>
+      val bitsExpr = tbl.map { plane =>
+        val planeCol = array(plane.map(v => lit(v.toFloat)): _*)
+        when(graft.functions.VectorFunctions.dot(col(vecCol), planeCol) >= 0.0, "1").otherwise("0")
+      }
+      concat((lit(s"$ti:") +: bitsExpr): _*)
+    }
+    val sigs = df.select(col(idCol).as("doc_id"), col(vecCol).as("__v"),
+      explode(array(sigCols: _*)).as("sig"))
+    val cands = sigs.as("a")
+      .join(sigs.as("b"), col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"),
+        col("a.__v").as("ea"), col("b.__v").as("eb"))
+      .dropDuplicates("va", "vb")
+    cands
       .select(col("va"), col("vb"),
         graft.functions.VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= minCos)

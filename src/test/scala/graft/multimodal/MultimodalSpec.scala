@@ -28,6 +28,21 @@ class MultimodalSpec extends SparkSpec {
     assert(a.find(_._1 == 1L).get._2 > 0)
   }
 
+  test("resizeStub halves payload and records target dims in metadata") {
+    val out = Multimodal.resizeStub(mm, 64, 64).filter("id = 1").head()
+    assert(out.getAs[Map[String, String]]("meta")("resize") == "64x64")
+    assert(out.getAs[Array[Byte]]("payload").length == 5) // 11 bytes -> 5
+  }
+
+  test("frameSampleStub explodes n frame rows per payload with indexed slices") {
+    val frames = Multimodal.frameSampleStub(mm.filter("id = 1"), 3).collect()
+    assert(frames.length == 3)
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
+    assert(frames.forall(_.getAs[Map[String, String]]("meta").contains("frame")))
+    val slices = frames.map(r => new String(r.getAs[Array[Byte]]("payload"), "UTF-8"))
+    assert(slices.mkString("").startsWith("hello wor")) // contiguous 3-byte slices
+  }
+
   test("describe emits oracle-checkable byte stats") {
     val d = Multimodal.describe(mm).collect().map(r =>
       (r.getAs[Long]("id"), r.getAs[Int]("n_bytes"))).toMap
