@@ -49,6 +49,27 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup: watermark-bounded `dropDuplicates` on the key
+    * columns — the streaming face of the batch dedup family. State holds
+    * only keys younger than the watermark, so memory is bounded by the
+    * key-arrival rate × watermark horizon, not the stream length.
+    */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Session windows: activity grouped by gaps — events within `gap` of
+    * each other merge into one session per key (the sessionization the
+    * reference's "real-time" story implies but never implements).
+    */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "10 minutes", watermark: String = "5 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n"))
+
   final case class UserRunning(user_id: Long, events: Long, total_value: Double)
 
   /** Per-user running aggregates via mapGroupsWithState — the custom-state

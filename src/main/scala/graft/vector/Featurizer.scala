@@ -52,14 +52,36 @@ final class Featurizer(val dim: Int = 384) extends Serializable {
       .drop("__toks", "__tf", "__tfidf", "__n")
   }
 
-  /** Embed a single query string (driver-side, for the query path —
-    * reference py:426's `model.encode(query)`).
+  /** Embed a single query string ON THE DRIVER — no Spark job. Replicates
+    * the exact corpus path (same clean/tokenize regexes, HashingTF.indexOf
+    * for the murmur3 bucket, the fitted IDF weights, L2 norm, float32
+    * narrowing), so query vectors are bit-identical to `transform`'s while
+    * per-query latency drops from a scheduled job to microseconds — the
+    * query path of a retrieval engine must not pay job-dispatch overhead
+    * (the reference's `model.encode(query)` is likewise in-process,
+    * reference ai_powered_financial_analysis.py:426).
     */
   def embedQuery(spark: SparkSession, query: String): Array[Float] = {
-    import spark.implicits._
-    val df = Seq(query).toDF("__q")
-    transform(df, "__q", "__e").select(col("__e").cast("array<float>"))
-      .head().getSeq[Float](0).toArray
+    require(idfModel != null, "Featurizer.fit must run before embedQuery")
+    // mirror CleanFunctions.cleanText + TextFunctions.tokens
+    val cleaned = query.toLowerCase
+      .replaceAll("<.*?>", "")
+      .replaceAll("[^a-z0-9\\s]", "")
+      .trim
+    // NO empty-filter: Spark's split("\\s+") of an empty string yields [""]
+    // and HashingTF hashes it — mirror that exactly for bit-parity
+    val toks = cleaned.split("\\s+")
+    val htf = new HashingTF().setNumFeatures(dim)
+    val counts = new Array[Double](dim)
+    toks.foreach(t => counts(htf.indexOf(t)) += 1.0)
+    val idf = idfModel.idf.toArray
+    var i = 0
+    var norm = 0.0
+    while (i < dim) { counts(i) *= idf(i); norm += counts(i) * counts(i); i += 1 }
+    val n = math.sqrt(norm)
+    val out = new Array[Float](dim)
+    if (n > 0) { i = 0; while (i < dim) { out(i) = (counts(i) / n).toFloat; i += 1 } }
+    out
   }
 }
 

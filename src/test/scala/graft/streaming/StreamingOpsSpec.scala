@@ -47,6 +47,46 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "id", "v")
+    val q = StreamingOps.dedupStream(df, Seq("id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), 1L, "a"), (ts(1), 1L, "a-dup"), (ts(2), 2L, "b"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionCounts merges events within the gap into one session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "user")
+    val q = StreamingOps.sessionCounts(df, "ts", "user", gap = "5 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1: 10:01,10:03 (one session), 10:30 (new session); u2: 10:02
+      in.addData((ts(1), "u1"), (ts(3), "u1"), (ts(30), "u1"), (ts(2), "u2"))
+      q.processAllAvailable()
+      // append mode emits a session only once the watermark passes its end:
+      // push a far-later event to close everything from the first batch
+      in.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "u3"))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getString(2), r.getLong(3)))
+      assert(rows.count(_._1 == "u1") == 2)       // two closed sessions for u1
+      assert(rows.filter(_._1 == "u1").map(_._2).sorted.toSeq == Seq(1L, 2L))
+      assert(rows.filter(_._1 == "u2").map(_._2).toSeq == Seq(1L))
+      assert(!rows.exists(_._1 == "u3"))          // flush session still open
+    } finally q.stop()
+  }
+
   test("runningPerUser keeps per-key state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
