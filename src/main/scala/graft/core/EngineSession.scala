@@ -17,13 +17,20 @@ object EngineSession {
   def builder(
       master: String = "local[32]",
       appName: String = "graft-engine",
-      shufflePartitions: Int = 32
-  ): SparkSession.Builder =
-    SparkSession
+      shufflePartitions: Int = 32,
+      kryo: Boolean = false
+  ): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .master(master)
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // the reference configures Kryo + a 1000M buffer (reference
+    // ai_powered_financial_analysis.py:41-42); optional here — Spark 4
+    // Encoders make it mostly moot, but the surface is preserved
+    if (kryo) b
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryoserializer.buffer.max", "1000m")
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -32,6 +39,7 @@ object EngineSession {
       // native type for; read as long and convert (Tables.table).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   def create(): SparkSession = {
     val spark = builder().getOrCreate()
