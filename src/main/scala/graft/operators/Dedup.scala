@@ -238,16 +238,20 @@ object Dedup {
       }
       concat((lit(s"$ti:") +: bitsExpr): _*)
     }
-    val sigs = df.select(col(idCol).as("doc_id"), col(vecCol).as("__v"),
-      explode(array(sigCols: _*)).as("sig"))
+    // signatures only — the vectors are NOT carried through the ×tables
+    // explode (that would amplify the corpus `tables`-fold through the
+    // shuffle); candidates join them back by id for verification
+    val sigs = df.select(col(idCol).as("doc_id"), explode(array(sigCols: _*)).as("sig"))
     val cands = sigs.as("a")
       .join(sigs.as("b"), col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"),
-        col("a.__v").as("ea"), col("b.__v").as("eb"))
-      .dropDuplicates("va", "vb")
+      .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
     cands
+      .join(vecs.as("x"), col("va") === col("x.doc_id"))
+      .join(vecs.as("y"), col("vb") === col("y.doc_id"))
       .select(col("va"), col("vb"),
-        graft.functions.VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
+        graft.functions.VectorFunctions.cosine(col("x.__v"), col("y.__v")).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }
