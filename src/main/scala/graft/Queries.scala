@@ -369,7 +369,25 @@ object Queries {
           graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
           dec(col("quality")).as("quality"), col("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // bounded-heap grouped top-k aggregate (map-side partial heaps) —
+    // same semantics as q30's window form, radically cheaper shuffle
+    "q44_grouped_topk" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(graft.expressions.TopKAggregate
+          .topKByScore(col("value"), col("event_id"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("rank", "e")))
+        .select(col("e.id").as("event_id"), col("event_type"), col("e.score").as("value"))
+        .orderBy(col("event_type"), col("rank"))),
+
+    // near-dup pairs → duplicate clusters (iterative min-label propagation)
+    "q45_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", n = 3, minJaccard = 0.05)
+      graft.operators.Clusters.connectedComponents(pairs).orderBy("doc_id")
+    })
   )
 
   // ------------------------------------------------------------------
@@ -548,6 +566,22 @@ object Queries {
          |f AS (SELECT * FROM a WHERE lang_pred IN ('en') AND quality_raw >= 0.5 AND n_tokens BETWEEN 5 AND 1048576),
          |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
          |SELECT doc_id, lang_pred, n_tokens, CAST(round(quality_raw, 4) AS DECIMAL(10,4)) AS quality, fp
-         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin
+         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q44_grouped_topk" ->
+      """SELECT event_id, event_type, value FROM (
+        |SELECT event_id, event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events
+        |) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q45_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $duckCleanTokens AS w FROM documents WHERE doc_id < 200),
+         |g0 AS (SELECT doc_id, list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shs FROM t WHERE len(w) >= 3),
+         |g AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM g0),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM g GROUP BY 1),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+         |pairs AS (SELECT da, db FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
+         |  WHERE CAST(inter AS DOUBLE)/(ca.c + cb.c - inter) >= 0.05),
+         |e AS (SELECT da AS s, db AS d FROM pairs UNION SELECT db, da FROM pairs),
+         |reach(s, d) AS (SELECT s, d FROM e UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+         |self AS (SELECT s, s AS d FROM e UNION SELECT s, d FROM reach)
+         |SELECT s AS doc_id, min(d) AS cluster_id FROM self GROUP BY s ORDER BY doc_id""".stripMargin
   )
 }
