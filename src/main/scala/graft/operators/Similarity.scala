@@ -77,4 +77,26 @@ object Similarity {
       .filter(col("rank") <= k)
       .drop("rank")
   }
+
+  /** Batched top-k via the bounded-heap aggregate: only k (score, id)
+    * pairs per query per map partition cross the shuffle — use this form
+    * when the corpus is large relative to queries × k (the window form
+    * shuffles every scored pair). Maximizing metrics only (the aggregate
+    * keeps highest scores; for L2, search on negated distance upstream).
+    */
+  def topKBatchAgg(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, metric: Metric = InnerProduct): DataFrame = {
+    require(metric.descending, "topKBatchAgg keeps maxima; negate the score for distances")
+    corpus.crossJoin(broadcast(queries))
+      .select(col(qidCol),
+        metric.expr(col(vecCol), col(qvecCol)).as("score"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col(qidCol))
+      .agg(graft.expressions.TopKAggregate
+        .topKByScore(col("score"), col("__id"), k).as("top"))
+      .select(col(qidCol), explode(col("top")).as("e"))
+      .select(col(qidCol), col("e.id").as(idCol), col("e.score").as("score"))
+  }
 }

@@ -83,6 +83,24 @@ final class Featurizer(val dim: Int = 384) extends Serializable {
     if (n > 0) { i = 0; while (i < dim) { out(i) = (counts(i) / n).toFloat; i += 1 } }
     out
   }
+
+  /** Persist the fitted state (the IDF weights — HashingTF is stateless).
+    * A query service loads this and embeds without refitting the corpus.
+    */
+  def save(path: String): Unit = {
+    require(idfModel != null, "Featurizer.fit must run before save")
+    idfModel.write.overwrite().save(path)
+  }
+}
+
+object Featurizer {
+  /** Restore a fitted featurizer; the dimension is the IDF vector's size. */
+  def load(spark: SparkSession, path: String): Featurizer = {
+    val model = IDFModel.load(path)
+    val fz = new Featurizer(model.idf.size)
+    fz.idfModel = model
+    fz
+  }
 }
 
 /** Vector-index persistence (SURVEY.md §2.1 O34): the reference pickles a

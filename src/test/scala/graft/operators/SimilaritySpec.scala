@@ -58,6 +58,20 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
+  test("topKBatchAgg (bounded-heap form) matches the window form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8)
+    val q2 = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val queries = Seq((0, query.toSeq), (1, q2.toSeq)).toDF("qid", "qvec")
+    val win = Similarity.topKBatch(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", 5, Similarity.Cosine)
+      .select("qid", "vec_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val agg = Similarity.topKBatchAgg(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", 5, Similarity.Cosine)
+      .select("qid", "vec_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(agg == win)
+  }
+
   test("topKBatch ranks per query and matches single-query topK") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

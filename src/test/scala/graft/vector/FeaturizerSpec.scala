@@ -55,6 +55,20 @@ class FeaturizerSpec extends SparkSpec {
     assert(ranked.last == 4L || ranked.last == 2L)
   }
 
+  test("save/load restores a fitted featurizer with identical embeddings") {
+    val fz = new Featurizer(dim = 32).fit(docs, "text")
+    fz.save("/tmp/graft_test_featurizer")
+    val back = Featurizer.load(spark, "/tmp/graft_test_featurizer")
+    assert(back.dim == 32)
+    val q = "spark tables fast"
+    assert(back.embedQuery(spark, q).toSeq == fz.embedQuery(spark, q).toSeq)
+    val a = fz.transform(docs, "text").select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = back.transform(docs, "text").select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+  }
+
   test("VectorStore round-trips the corpus") {
     val fz = new Featurizer(dim = 16).fit(docs, "text")
     val corpus = fz.transform(docs, "text")
