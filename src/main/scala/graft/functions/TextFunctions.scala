@@ -54,6 +54,19 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", tokens(CleanFunctions.cleanText(c))))
 
+  /** 64-bit rolling fingerprint: hash chained over the cleaned token
+    * stream (`acc ← xxhash64(acc, token)`). Order-sensitive (unlike a
+    * token-set hash) and incremental — the shape used for shift-tolerant
+    * chunk fingerprinting. Hash-chaining instead of polynomial arithmetic
+    * keeps it ANSI-safe (wrapping long multiply throws under Spark 4's
+    * default ANSI mode). Pure column expression.
+    */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(
+      tokens(CleanFunctions.cleanText(c)),
+      lit(0L),
+      (acc, t) => xxhash64(acc, t))
+
   /** Language-marker table for the heuristic language ID. Deliberately tiny
     * and public-knowledge (function words); the mechanism (marker-hit argmax)
     * is what the engine ships, the tables are configuration.

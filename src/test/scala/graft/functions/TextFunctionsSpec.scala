@@ -40,6 +40,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a != one(fingerprint(lit("goodbye world"))))
   }
 
+  test("rollingFingerprint is order-sensitive and noise-invariant") {
+    val a = one(rollingFingerprint(lit("Alpha, beta gamma!")))
+    val b = one(rollingFingerprint(lit("alpha beta   gamma")))
+    val swapped = one(rollingFingerprint(lit("beta alpha gamma")))
+    assert(a == b)        // case/punct/spacing noise collapses
+    assert(a != swapped)  // token order matters (unlike a set hash)
+  }
+
   test("langId picks the language with most marker hits") {
     assert(one(langId(lit("the cat and the dog is in a house"))) == "en")
     assert(one(langId(lit("el perro y la casa de los gatos"))) == "es")
