@@ -72,7 +72,9 @@ object Tables {
     * truncation so oracle comparisons agree.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    EngineSession.tune(spark)
+    // only the conf the scan itself needs — a table loader must not mutate
+    // session-wide semantics like the time zone as a side effect
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))

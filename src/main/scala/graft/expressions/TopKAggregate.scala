@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
   * runs map-side partial aggregation, so only k rows per group per
   * partition cross the shuffle. For top-3-of-millions-per-group the
   * shuffle shrinks by orders of magnitude.
+  *
+  * Null handling: rows with a null score or id are skipped (standard
+  * aggregate semantics) — a window row_number would rank null scores last
+  * instead, so the two forms differ only when a group has fewer than k
+  * non-null rows. NaN scores sort greatest, matching SQL DESC order.
   */
 case class TopKByScore(
     score: Expression,
@@ -84,9 +89,14 @@ final class TopKBuffer(val k: Int) {
   private var ids = new Array[Long](math.min(k, 16))
   private var n = 0
 
-  // heap-order predicate: a is "worse or equal" than b → a nearer the root
-  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  // heap-order predicate: a is "worse" than b → a nearer the root.
+  // Double.compare gives Spark's SQL total order for doubles (NaN sorts
+  // greatest), so NaN scores rank like the row_number window form instead
+  // of jamming the heap root and blocking eviction.
+  private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   private def swap(a: Int, b: Int): Unit = {
     val ts = scores(a); scores(a) = scores(b); scores(b) = ts
@@ -131,10 +141,13 @@ final class TopKBuffer(val k: Int) {
     while (i < other.n) { add(other.scores(i), other.ids(i)); i += 1 }
   }
 
-  /** best-first: score desc, tie id asc */
+  /** best-first: score desc (NaN greatest, like SQL DESC), tie id asc */
   def sortedDesc: Array[(Double, Long)] = {
     val out = Array.tabulate(n)(i => (scores(i), ids(i)))
-    out.sortBy { case (s, i) => (-s, i) }
+    out.sortWith { case ((sa, ia), (sb, ib)) =>
+      val c = java.lang.Double.compare(sa, sb)
+      c > 0 || (c == 0 && ia < ib)
+    }
   }
 
   def toBytes: Array[Byte] = {

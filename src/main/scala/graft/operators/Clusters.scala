@@ -19,7 +19,7 @@ object Clusters {
   /** (doc_id, cluster_id) for every node appearing in `pairs` (da, db);
     * cluster_id = smallest doc_id in the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
       .distinct()
@@ -48,6 +48,11 @@ object Clusters {
       iter += 1
     }
     edges.unpersist()
+    // silently-wrong labels are worse than a loud stop: a component wider
+    // than maxIter hops must fail, not emit a partial propagation
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "a component's diameter exceeds maxIter; raise it for deep chains")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -98,9 +98,14 @@ object Dedup {
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n).cache()
-    val cands = minhashCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
-    val verified = jaccardOnPairs(cands, sh)
-    verified.filter(col("jaccard") >= minJaccard)
+    try {
+      val cands = minhashCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
+      val out = jaccardOnPairs(cands, sh).filter(col("jaccard") >= minJaccard)
+      // eagerly materialize the (small) verified-pair result on executors
+      // and cut its lineage, so the corpus-sized shingle cache can be
+      // released instead of staying pinned for the session lifetime
+      out.localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   /** Restrict (doc_id, sh) rows to docs appearing in `pairs`. */
@@ -238,10 +243,17 @@ object Dedup {
       }
       concat((lit(s"$ti:") +: bitsExpr): _*)
     }
+    // dimension guard: a dim/vector mismatch nulls every projection, which
+    // would collapse all signatures to one constant and degenerate the
+    // candidate join to all-pairs — fail the row instead
+    val sigChecked = sigCols.map(sig =>
+      when(size(col(vecCol)) === dim, sig)
+        .otherwise(raise_error(concat(lit(s"cosineNearDupsLsh: expected $dim-dim vector, got "),
+          size(col(vecCol)).cast("string"))).cast("string")))
     // signatures only — the vectors are NOT carried through the ×tables
     // explode (that would amplify the corpus `tables`-fold through the
     // shuffle); candidates join them back by id for verification
-    val sigs = df.select(col(idCol).as("doc_id"), explode(array(sigCols: _*)).as("sig"))
+    val sigs = df.select(col(idCol).as("doc_id"), explode(array(sigChecked: _*)).as("sig"))
     val cands = sigs.as("a")
       .join(sigs.as("b"), col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))

@@ -57,7 +57,10 @@ object Shuffle {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
-  /** True if the executed plan of `df` contains a shuffle exchange. */
+  /** True if the executed plan of `df` contains any shuffle exchange
+    * (hash, range, or single-partition — matching only hashpartitioning
+    * would let a sort-based regression slip past the audit).
+    */
   def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    df.queryExecution.executedPlan.toString.contains("Exchange")
 }

@@ -37,7 +37,11 @@ object SecEtl {
       .withColumn("Weight (%)", numericWithDefault(col("Weight (%)"), 0.0, FloatType))
       .withColumn("Quantity", parseNumeric(col("Quantity"), IntegerType))
       .withColumn("Price", parseNumeric(col("Price"), FloatType))
-    Dedup.firstRowByKey(df, Seq("Ticker", "Name"), Seq(col("Ticker"), col("Name")))
+    // tiebreak on the VALUE columns (keys are constant within a window
+    // partition and would leave the winner shuffle-order-dependent): the
+    // surviving row for a revised duplicate holding is pinned
+    val valueCols = df.columns.filterNot(Seq("Ticker", "Name").contains).map(col).toSeq
+    Dedup.firstRowByKey(df, Seq("Ticker", "Name"), valueCols)
   }
 
   /** O11/O18 — projection + rename + real record id (py:267-287). */

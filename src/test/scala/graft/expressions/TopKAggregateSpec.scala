@@ -41,6 +41,20 @@ class TopKAggregateSpec extends SparkSpec {
     assert(back.sortedDesc.toSeq == Seq((9.0, 1L), (5.0, 1L), (5.0, 2L)))
   }
 
+  test("NaN scores rank greatest, matching the window DESC order") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 1L), ("a", Double.NaN, 2L), ("a", 5.0, 3L), ("a", 2.0, 4L))
+      .toDF("g", "s", "id")
+    val agg = df.groupBy("g")
+      .agg(TopKAggregate.topKByScore(col("s"), col("id"), 2).as("top"))
+      .select(explode(col("top")).as("e")).select(col("e.id"))
+      .collect().map(_.getLong(0)).toSeq
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id").asc)
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .orderBy("rn").select("id").collect().map(_.getLong(0)).toSeq
+    assert(agg == win) // NaN first in both
+  }
+
   test("groups smaller than k return all their rows") {
     import spark.implicits._
     val small = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("g", "s", "id")

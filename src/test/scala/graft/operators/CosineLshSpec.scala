@@ -20,6 +20,16 @@ class CosineLshSpec extends SparkSpec {
     (dups.toSeq ++ noise).toDF("vec_id", "embedding").cache()
   }
 
+  test("a dim mismatch fails loudly instead of degenerating to all-pairs") {
+    val e = intercept[Exception] {
+      Dedup.cosineNearDupsLsh(vecs, "vec_id", "embedding", dim = 64,
+        minCos = 0.9, bits = 4, tables = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("expected 64-dim")), e.getMessage)
+  }
+
   test("LSH pairs recover >= 90% of brute-force pairs at cos >= 0.9") {
     val brute = Dedup.cosinePairs(vecs, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
