@@ -387,7 +387,27 @@ object Queries {
         t(s, dir, "documents").filter(col("doc_id") < 200),
         "doc_id", "text", n = 3, minJaccard = 0.05)
       graft.operators.Clusters.connectedComponents(pairs).orderBy("doc_id")
-    })
+    }),
+
+    // batched top-k through the bounded-heap aggregate: 3 query vectors
+    // against the corpus in one scan
+    "q46_batch_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.topKBatchAgg(
+          emb.filter(col("vec_id") >= 3), "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, Similarity.Cosine)
+        .select(col("qid"), col("vec_id"), dec(col("score")).as("score"))
+        .orderBy(col("qid"), col("score").desc, col("vec_id"))
+    }),
+
+    // exact interpolated percentiles per group (ordered-statistics agg)
+    "q47_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        dec(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        dec(expr("percentile(l_extendedprice, 0.95)")).as("p95"))
+        .orderBy("l_returnflag"))
   )
 
   // ------------------------------------------------------------------
@@ -582,6 +602,18 @@ object Queries {
          |e AS (SELECT da AS s, db AS d FROM pairs UNION SELECT db, da FROM pairs),
          |reach(s, d) AS (SELECT s, d FROM e UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
          |self AS (SELECT s, s AS d FROM e UNION SELECT s, d FROM reach)
-         |SELECT s AS doc_id, min(d) AS cluster_id FROM self GROUP BY s ORDER BY doc_id""".stripMargin
+         |SELECT s AS doc_id, min(d) AS cluster_id FROM self GROUP BY s ORDER BY doc_id""".stripMargin,
+    "q46_batch_topk" ->
+      """SELECT qid, vec_id, score FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS DECIMAL(10,4)) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings e ON q.vec_id < 3 AND e.vec_id >= 3
+        |) WHERE rn <= 5 ORDER BY qid, score DESC, vec_id""".stripMargin,
+    "q47_percentile" ->
+      """SELECT l_returnflag,
+        |CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(10,4)) AS p50,
+        |CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DECIMAL(10,4)) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -28,10 +28,20 @@ object GraftFunctions {
     f(args(0), args(1))
   }
 
+  private def topkBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, s"topk_by_score(score, id, k): got ${args.length} arguments")
+    val k = args(2) match {
+      case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+      case _ => throw new IllegalArgumentException("topk_by_score: k must be a literal")
+    }
+    TopKByScore(args(0), args(1), k)
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> binary(DotProduct) _,
     "vec_l2sq" -> binary(L2SquaredDistance) _,
-    "vec_cosine" -> binary(CosineSimilarity) _)
+    "vec_cosine" -> binary(CosineSimilarity) _,
+    "topk_by_score" -> (topkBuilder _))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -26,9 +26,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("2 arguments") || e.getMessage.toLowerCase.contains("arguments"))
   }
 
+  test("topk_by_score works as a SQL aggregate") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(("a", 1.0, 1L), ("a", 9.0, 2L), ("a", 5.0, 3L), ("b", 2.0, 4L))
+      .toDF("g", "s", "id").createOrReplaceTempView("graft_topk_t")
+    val rows = spark.sql(
+      "SELECT g, topk_by_score(s, id, 2) AS top FROM graft_topk_t GROUP BY g ORDER BY g")
+      .collect()
+    val aTop = rows(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))
+    assert(aTop == Seq(2L, 3L))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(4L))
+  }
+
   test("extensions hook registers the same builders (applies cleanly)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared with register()
-    assert(GraftFunctions.all.map(_._1) == Seq("vec_dot", "vec_l2sq", "vec_cosine"))
+    assert(GraftFunctions.all.map(_._1) ==
+      Seq("vec_dot", "vec_l2sq", "vec_cosine", "topk_by_score"))
   }
 }
