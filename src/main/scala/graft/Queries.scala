@@ -407,7 +407,28 @@ object Queries {
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
         dec(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
         dec(expr("percentile(l_extendedprice, 0.95)")).as("p95"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // hierarchical aggregation (ROLLUP): subtotals + grand total in one pass
+    "q48_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // temporal bucketing + component extraction
+    "q49_date_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day", "hr")),
+
+    // JSON field extraction from the props payload
+    "q50_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy("event_id"))
   )
 
   // ------------------------------------------------------------------
@@ -614,6 +635,18 @@ object Queries {
       """SELECT l_returnflag,
         |CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(10,4)) AS p50,
         |CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DECIMAL(10,4)) AS p95
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q48_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q49_date_agg" ->
+      """SELECT date_trunc('day', ts) AS day, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, hr""".stripMargin,
+    "q50_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
