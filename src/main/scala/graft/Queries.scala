@@ -428,7 +428,20 @@ object Queries {
       t(s, dir, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // product-quantized ANN: compressed codes + ADC shortlist + exact
+    // rerank (rows-only; recall vs exact tested in ProductQuantizerSpec)
+    "q51_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pq = graft.vector.ProductQuantizer.train(
+        emb, "embedding", dim = 64, m = 8, ksub = 16,
+        seed = 42L, maxIter = 5, fitSample = 0.5)
+      val encoded = pq.encode(emb.filter(col("vec_id") =!= 0), "embedding")
+      pq.search(encoded, "vec_id", "embedding", "pq_code",
+          queryVec(s, dir), k = 10, shortlist = 100)
+        .select(col("vec_id"), dec(col("score")).as("score"))
+    })
   )
 
   // ------------------------------------------------------------------
