@@ -436,7 +436,7 @@ object Queries {
       val emb = t(s, dir, "embeddings")
       val pq = graft.vector.ProductQuantizer.train(
         emb, "embedding", dim = 64, m = 8, ksub = 16,
-        seed = 42L, maxIter = 5, fitSample = 0.5)
+        seed = 42L, maxIter = 4, fitSample = 0.2)
       val encoded = pq.encode(emb.filter(col("vec_id") =!= 0), "embedding")
       pq.search(encoded, "vec_id", "embedding", "pq_code",
           queryVec(s, dir), k = 10, shortlist = 100)
