@@ -49,6 +49,38 @@ final case class JsonSource(path: String, schema: Option[StructType] = None)
   }
 }
 
+/** Columnar ORC scan — Spark's other native columnar format; same
+  * pushdown/pruning behavior as parquet.
+  */
+final case class OrcSource(path: String, schema: Option[StructType] = None)
+    extends Source {
+  def load(spark: SparkSession): DataFrame = schema match {
+    case Some(s) => spark.read.schema(s).orc(path)
+    case None    => spark.read.orc(path)
+  }
+}
+
+/** One-string-per-line text scan (raw corpus drops). */
+final case class TextSource(path: String, wholeFile: Boolean = false)
+    extends Source {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+}
+
+/** Whole-file binary scan — the ingest path for media payloads: each file
+  * becomes (path, modificationTime, length, content), feeding
+  * graft.multimodal.Multimodal's layout. `pathGlobFilter` bounds the file
+  * set; at scale prefer many medium files over millions of tiny ones (one
+  * task per file).
+  */
+final case class BinaryFileSource(path: String, globFilter: Option[String] = None)
+    extends Source {
+  def load(spark: SparkSession): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    globFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+}
+
 object Sources {
 
   /** O3+O4+O5 — driver-list source with an executor-side per-element fetch

@@ -34,6 +34,18 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       map(lit("origin"), lit(textCol)).as("meta"))
 
+  /** Wrap a binaryFile scan (ingest.BinaryFileSource) into the multimodal
+    * layout: content-addressed ids, the source path and size in metadata.
+    */
+  def fromBinaryFiles(files: DataFrame, modality: String): DataFrame =
+    files.select(
+      xxhash64(col("content")).as("id"),
+      lit(modality).as("modality"),
+      col("content").as("payload"),
+      map(
+        lit("path"), col("path"),
+        lit("bytes"), col("length").cast(StringType)).as("meta"))
+
   /** STUB decode — replace with a real codec when available. Deterministic
     * fake: dimensions and a feature hash derived from payload bytes only.
     */

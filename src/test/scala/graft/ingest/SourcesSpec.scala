@@ -29,6 +29,41 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("OrcSource round-trips Spark's native ORC format") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_orc_src"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").orc(dir)
+    val df = OrcSource(dir).load(spark)
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("TextSource reads one row per line") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_text_src"
+    Seq("line one", "line two", "line three").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    assert(TextSource(dir).load(spark).count() == 3)
+  }
+
+  test("BinaryFileSource feeds the multimodal layout") {
+    val dir = new java.io.File("/tmp/graft_test_bin_src")
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "a.img").toPath, "payload-a".getBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "b.img").toPath, "payload-bb".getBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "skip.txt").toPath, "nope".getBytes)
+    val files = BinaryFileSource(dir.getAbsolutePath, Some("*.img")).load(spark)
+    assert(files.count() == 2)
+    val mm = graft.multimodal.Multimodal.fromBinaryFiles(files, "image")
+    val metas = mm.collect().map(_.getAs[Map[String, String]]("meta"))
+    assert(metas.map(_("bytes")).sorted.toSeq == Seq("10", "9"))
+    assert(mm.schema("payload").dataType.typeName == "binary")
+    // content-addressed ids are stable across re-reads
+    val again = graft.multimodal.Multimodal.fromBinaryFiles(
+      BinaryFileSource(dir.getAbsolutePath, Some("*.img")).load(spark), "image")
+    assert(mm.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("CsvSource honors quote/escape options (O1)") {
     val path = getClass.getResource("/sec_fixture.csv").getPath
     val df = CsvSource(path, Some(graft.core.Schemas.secRaw)).load(spark)
