@@ -60,8 +60,10 @@ final class QueryEngine(
   }
 
   /** O36 replacement — extractive answer: rank sentences of the top-k docs
-    * by distinct query-term overlap (ties: doc rank, sentence position) and
-    * concatenate the best `maxSentences`. Context per doc is clipped to
+    * by distinct query-term overlap (ties: doc rank, sentence position),
+    * then greedily select `maxSentences` with a redundancy penalty (MMR
+    * style: a candidate that mostly repeats already-selected sentences is
+    * skipped in favor of new information). Context per doc is clipped to
     * 1000 chars like the reference (py:459).
     */
   def answer(query: String, k: Int = 7, maxSentences: Int = 3): String = {
@@ -78,9 +80,22 @@ final class QueryEngine(
           qTerms)))
       .filter(col("overlap") > 0)
       .orderBy(col("overlap").desc, col("score").desc, col(idCol).asc, col("pos").asc)
-      .limit(maxSentences)
-    val sents = ranked.select("sentence").collect().map(_.getString(0))
-    if (sents.isEmpty) "No relevant context found." else sents.mkString(". ") + "."
+      .limit(maxSentences * 4) // shortlist for the diversity pass
+    val cands = ranked.select("sentence").collect().map(_.getString(0))
+    def terms(s: String): Set[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9\\s]", "").split("\\s+").filter(_.nonEmpty).toSet
+    val picked = cands.foldLeft(Vector.empty[String]) { (acc, s) =>
+      if (acc.size >= maxSentences) acc
+      else {
+        val st = terms(s)
+        val redundant = st.nonEmpty && acc.exists { p =>
+          val pt = terms(p)
+          st.intersect(pt).size.toDouble / st.size > 0.8
+        }
+        if (redundant) acc else acc :+ s
+      }
+    }
+    if (picked.isEmpty) "No relevant context found." else picked.mkString(". ") + "."
   }
 
   /** O37 — the reference's response-evaluation heuristics (py:579-594):

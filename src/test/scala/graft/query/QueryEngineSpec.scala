@@ -36,6 +36,20 @@ class QueryEngineSpec extends SparkSpec {
     assert(a1.toLowerCase.contains("join"))
   }
 
+  test("answer skips redundant near-duplicate sentences (MMR pass)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Spark joins merge tables quickly. Spark joins merge tables quickly!"),
+      (2L, "Spark joins merge tables quickly. Broadcast avoids the shuffle for joins."))
+      .toDF("doc_id", "text")
+    val f = new Featurizer(dim = 64).fit(docs, "text")
+    val eng = new QueryEngine(f.transform(docs, "text"), f)
+    val ans = eng.answer("spark joins tables shuffle", k = 2, maxSentences = 2)
+    // the duplicated sentence must appear once; the second slot goes to new info
+    assert(ans.toLowerCase.split("spark joins merge tables quickly").length <= 2, ans)
+    assert(ans.toLowerCase.contains("broadcast"), ans)
+  }
+
   test("answer falls back gracefully with no overlap") {
     val a = engine.answer("zzzz qqqq xyzzy", k = 2)
     assert(a == "No relevant context found.")
