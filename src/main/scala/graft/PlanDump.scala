@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `explain("formatted")` for the headline queries — the artifact of
+  * the "audit every plan" discipline (tools/dump_plans.sh → PLANS.md).
+  */
+object PlanDump {
+  val headline: Seq[String] = Seq(
+    "q15_truncate", "q18_topk_l2", "q22_ngram_jaccard", "q29_agg_pushdown",
+    "q30_window_topn", "q31_join_agg", "q41_asof_join", "q42_range_join",
+    "q44_grouped_topk", "q46_batch_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    headline.foreach { name =>
+      println(s"\n## $name\n")
+      println("```")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // formatted explain, trimmed to the operator tree section
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(txt.linesIterator.takeWhile(l => !l.startsWith("===")).mkString("\n").take(4000))
+      println("```")
+    }
+    spark.stop()
+  }
+}

@@ -57,8 +57,10 @@ object Sinks {
   def readBackCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
-  /** Write + read-back + count check in one call — the `data_storing`
-    * contract (py:296-311) done as an assertion instead of a printout.
+  /** Write + read-back + count-and-content check in one call — the
+    * `data_storing` contract (py:296-311) done as an assertion instead of
+    * a printout. Content equality is a symmetric except (order-free set
+    * compare), catching quoting/typing corruption a bare count would miss.
     */
   def writeCsvVerified(df: DataFrame, path: String): DataFrame = {
     val n = df.count()
@@ -66,6 +68,10 @@ object Sinks {
     val back = readBackCsv(df.sparkSession, path, df.schema)
     val m = back.count()
     require(m == n, s"read-back count $m != written count $n at $path")
+    val missing = df.exceptAll(back).count()
+    val extra = back.exceptAll(df).count()
+    require(missing == 0 && extra == 0,
+      s"read-back content mismatch at $path: $missing missing / $extra extra rows")
     back
   }
 }
