@@ -21,16 +21,27 @@ import graft.vector.Featurizer
   * Column names are aliased identically on both sides — the driver compare
   * sorts columns by name before hashing. Every query ends in a total ORDER
   * BY so row order is stable. Floats that cross an arithmetic boundary are
-  * rounded and cast to DECIMAL on both sides; untouched doubles are carried
-  * raw (same source bits).
+  * rounded through an exact DECIMAL and then cast to DOUBLE on both sides
+  * (never emitted as DecimalType — the driver reads the Spark dump with
+  * pyarrow and the oracle with DuckDB fetchdf, which render decimals
+  * differently); untouched doubles are carried raw (same source bits).
   */
 object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Deterministic float rounding whose FINAL type is DOUBLE: round through
+    * an exact decimal (engine-portable half-up at fixed scale), then cast to
+    * double. Both Spark and DuckDB convert decimal→double as the correctly
+    * rounded nearest double of the same rational, so the output bits are
+    * identical — and the driver reads a plain float64 on both sides (pyarrow
+    * for the Spark dump, fetchdf for the oracle). Emitting DecimalType here
+    * broke the driver hash on 17 queries in round 2 (pyarrow renders
+    * Decimal('2547.40'), DuckDB fetch renders 2547.4).
+    */
   private def dec(c: Column, p: Int = 10, s: Int = 4): Column =
-    round(c, s).cast(DecimalType(p, s))
+    round(c, s).cast(DecimalType(p, s)).cast(DoubleType)
 
   /** Query vector: embedding of vec_id=0 (the fixed probe row). */
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
@@ -50,7 +61,7 @@ object Queries {
     "q02_rename_cast" -> ((s, dir) =>
       t(s, dir, "customer").select(
         col("c_custkey").as("id"),
-        col("c_acctbal").cast(DecimalType(18, 2)).as("bal")).orderBy("id")),
+        col("c_acctbal").cast(DecimalType(18, 2)).cast(DoubleType).as("bal")).orderBy("id")),
 
     // O12 lower+trim
     "q03_normalize" -> ((s, dir) =>
@@ -77,7 +88,8 @@ object Queries {
       val withComma = concat(substring(str, 1, 1), lit(","), substring(str, 2, 100))
       t(s, dir, "part").select(
         col("p_partkey"),
-        CF.parseNumeric(withComma, DecimalType(18, 2)).as("price")).orderBy("p_partkey")
+        CF.parseNumeric(withComma, DecimalType(18, 2)).cast(DoubleType).as("price"))
+        .orderBy("p_partkey")
     }),
 
     // O17 timestamp string round-trip
@@ -170,7 +182,7 @@ object Queries {
     "q20_sink_roundtrip" -> ((s, dir) => {
       val df = t(s, dir, "customer").select(
         col("c_custkey").as("id"),
-        col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+        col("c_acctbal").cast(DecimalType(18, 2)).cast(DoubleType).as("bal"))
       val path = "/tmp/graft_q20_csv"
       graft.sinks.Sinks.writeSingleCsv(df, path)
       graft.sinks.Sinks.readBackCsv(s, path, df.schema).orderBy("id")
@@ -232,8 +244,8 @@ object Queries {
     // grouped aggregation with partial (map-side) combine — TPC-H Q1 shape
     "q29_agg_pushdown" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_base"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base"),
         count(lit(1)).as("cnt")).orderBy("l_returnflag", "l_linestatus")),
 
     // windowed top-N per group
@@ -252,7 +264,7 @@ object Queries {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name").agg(
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("rev"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("rev"),
           count(lit(1)).as("cnt")).orderBy("n_name")),
 
     // rule/gazetteer NER (rows-only: char offsets aren't DuckDB-mirrorable)
@@ -331,7 +343,7 @@ object Queries {
       val qArr = queryVec(s, dir)
         .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
-        s"""SELECT vec_id, CAST(round(vec_cosine(embedding, $qArr), 4) AS DECIMAL(10,4)) AS score
+        s"""SELECT vec_id, CAST(CAST(round(vec_cosine(embedding, $qArr), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
            |FROM graft_emb WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 15""".stripMargin)
     }),
 
@@ -412,7 +424,7 @@ object Queries {
     // hierarchical aggregation (ROLLUP): subtotals + grand total in one pass
     "q48_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
         count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
@@ -483,7 +495,7 @@ object Queries {
     "q01_scan_project" ->
       "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey",
     "q02_rename_cast" ->
-      "SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer ORDER BY id",
+      "SELECT c_custkey AS id, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer ORDER BY id",
     "q03_normalize" ->
       "SELECT p_partkey, lower(trim(p_name)) AS p_name_norm FROM part ORDER BY p_partkey",
     "q04_scrub" ->
@@ -491,7 +503,7 @@ object Queries {
     "q05_null_default" ->
       "SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'O'), 'none') AS status_filled FROM orders ORDER BY o_orderkey",
     "q06_comma_parse" ->
-      """SELECT p_partkey, CAST(replace(substring(s,1,1) || ',' || substring(s,2,100), ',', '') AS DECIMAL(18,2)) AS price
+      """SELECT p_partkey, CAST(CAST(replace(substring(s,1,1) || ',' || substring(s,2,100), ',', '') AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM (SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS s FROM part)
         |ORDER BY p_partkey""".stripMargin,
     "q07_ts_roundtrip" ->
@@ -520,13 +532,13 @@ object Queries {
     "q17_clean_text" ->
       """SELECT doc_id, regexp_replace(regexp_replace(lower(text), '<.*?>', '', 'g'), '[^a-z0-9\s]', '', 'g') AS txt FROM documents ORDER BY doc_id""",
     "q18_topk_l2" ->
-      """SELECT vec_id, CAST(round(list_distance(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS d
+      """SELECT vec_id, CAST(CAST(round(list_distance(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS DOUBLE) AS d
         |FROM embeddings WHERE vec_id <> 0 ORDER BY d, vec_id LIMIT 10""".stripMargin,
     "q19_topk_ip" ->
-      """SELECT vec_id, CAST(round(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS score
+      """SELECT vec_id, CAST(CAST(round(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "q20_sink_roundtrip" ->
-      "SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer ORDER BY id",
+      "SELECT c_custkey AS id, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer ORDER BY id",
     "q21_dedup_exact" ->
       "SELECT min(doc_id) AS keeper_id, count(*) AS dup_count, md5(text) AS h FROM documents GROUP BY md5(text) ORDER BY keeper_id",
     "q22_ngram_jaccard" ->
@@ -535,25 +547,25 @@ object Queries {
          |g AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM g0),
          |cnt AS (SELECT doc_id, count(*) AS c FROM g GROUP BY 1),
          |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
-         |SELECT da, db, CAST(round(CAST(inter AS DOUBLE)/(ca.c + cb.c - inter), 4) AS DECIMAL(10,4)) AS j
+         |SELECT da, db, CAST(CAST(round(CAST(inter AS DOUBLE)/(ca.c + cb.c - inter), 4) AS DECIMAL(10,4)) AS DOUBLE) AS j
          |FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(ca.c + cb.c - inter) >= 0.05
          |ORDER BY da, db""".stripMargin,
     "q23_cosine_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300)
-        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(10,4)) AS cos
+        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(10,4)) AS DOUBLE) AS cos
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.2
         |ORDER BY va, vb""".stripMargin,
     "q24_topk_cosine" ->
-      """SELECT vec_id, CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS score
+      """SELECT vec_id, CAST(CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "q25_lang_id" -> duckLangCase,
     "q26_quality" ->
       s"""SELECT doc_id,
          |CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
          |CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS n_punct,
-         |CAST(round($duckQualityRaw, 4) AS DECIMAL(10,4)) AS score
+         |CAST(CAST(round($duckQualityRaw, 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q27_token_count" ->
       """SELECT doc_id,
@@ -564,8 +576,8 @@ object Queries {
       s"SELECT doc_id, md5(array_to_string($duckCleanTokens, ' ')) AS fp FROM documents ORDER BY doc_id",
     "q29_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
         |count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q30_window_topn" ->
@@ -574,7 +586,7 @@ object Queries {
         |) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
     "q31_join_agg" ->
       """SELECT n_name,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
         |count(*) AS cnt
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -590,12 +602,12 @@ object Queries {
          |  len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$neg], tk))) AS q
          |FROM documents),
          |s AS (SELECT doc_id, greatest(-1.0, least(1.0, CASE WHEN n > 0 THEN CAST(p - q AS DOUBLE) / n ELSE 0.0 END)) AS sc FROM t)
-         |SELECT doc_id, CAST(round(sc, 4) AS DECIMAL(10,4)) AS sentiment,
+         |SELECT doc_id, CAST(CAST(round(sc, 4) AS DECIMAL(10,4)) AS DOUBLE) AS sentiment,
          |  CASE WHEN sc > 0.05 THEN 'positive' WHEN sc < -0.05 THEN 'negative' ELSE 'neutral' END AS sentiment_label
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "q40_sql_surface" ->
-      """SELECT vec_id, CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS score
+      """SELECT vec_id, CAST(CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 15""".stripMargin,
     "q41_asof_join" ->
       """SELECT l.event_id, l.user_id, r.ts AS signup_ts
@@ -619,7 +631,7 @@ object Queries {
          |FROM s),
          |f AS (SELECT * FROM a WHERE lang_pred IN ('en') AND quality_raw >= 0.5 AND n_tokens BETWEEN 5 AND 1048576),
          |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
-         |SELECT doc_id, lang_pred, n_tokens, CAST(round(quality_raw, 4) AS DECIMAL(10,4)) AS quality, fp
+         |SELECT doc_id, lang_pred, n_tokens, CAST(CAST(round(quality_raw, 4) AS DECIMAL(10,4)) AS DOUBLE) AS quality, fp
          |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q44_grouped_topk" ->
       """SELECT event_id, event_type, value FROM (
@@ -640,18 +652,18 @@ object Queries {
     "q46_batch_topk" ->
       """SELECT qid, vec_id, score FROM (
         |  SELECT q.vec_id AS qid, e.vec_id,
-        |    CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS DECIMAL(10,4)) AS score,
+        |    CAST(CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score,
         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
         |  FROM embeddings q JOIN embeddings e ON q.vec_id < 3 AND e.vec_id >= 3
         |) WHERE rn <= 5 ORDER BY qid, score DESC, vec_id""".stripMargin,
     "q47_percentile" ->
       """SELECT l_returnflag,
-        |CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(10,4)) AS p50,
-        |CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DECIMAL(10,4)) AS p95
+        |CAST(CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(10,4)) AS DOUBLE) AS p50,
+        |CAST(CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DECIMAL(10,4)) AS DOUBLE) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q48_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,

@@ -34,8 +34,15 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 
   /** scalar kernel over equal-length arrays with no null elements */
   protected def kernel(a: ArrayData, b: ArrayData, n: Int): Double
-  /** java source for the loop body accumulating into `s` with index `i` */
-  protected def javaLoopBody(a: String, b: String): String
+  /** java source for the loop body accumulating into `s` with index `i`.
+    * All local names are caller-supplied `ctx.freshName`s — fixed names like
+    * a literal `i` collide with enclosing generated code (Java forbids
+    * shadowing an outer local), Janino throws, and Spark silently falls back
+    * to interpreted projection: the exact failure mode this class exists to
+    * avoid.
+    */
+  protected def javaLoopBody(ctx: CodegenContext, a: String, b: String,
+      i: String, s: String): String
   /** java source finishing `s` into the result (identity by default) */
   protected def javaFinish(s: String): String = s
 
@@ -57,23 +64,27 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val body = nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val anyNull = ctx.freshName("anyNull")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
       s"""
-         |int n$a = $a.numElements();
-         |if (n$a != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  boolean anyNull$a = false;
-         |  for (int i = 0; i < n$a; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull$a = true; break; }
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  }
-         |  if (anyNull$a) {
+         |  if ($anyNull) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    double s = 0.0;
-         |    for (int i = 0; i < n$a; i++) {
-         |      ${javaLoopBody(a, b)}
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      ${javaLoopBody(ctx, a, b, i, s)}
          |    }
-         |    ${ev.value} = ${javaFinish("s")};
+         |    ${ev.value} = ${javaFinish(s)};
          |  }
          |}
        """.stripMargin
@@ -92,8 +103,9 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
   }
-  protected def javaLoopBody(a: String, b: String): String =
-    s"s += (double) $a.getFloat(i) * (double) $b.getFloat(i);"
+  protected def javaLoopBody(ctx: CodegenContext, a: String, b: String,
+      i: String, s: String): String =
+    s"$s += (double) $a.getFloat($i) * (double) $b.getFloat($i);"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -109,8 +121,11 @@ case class L2SquaredDistance(left: Expression, right: Expression) extends Vector
     }
     s
   }
-  protected def javaLoopBody(a: String, b: String): String =
-    s"""double d = (double) $a.getFloat(i) - (double) $b.getFloat(i); s += d * d;"""
+  protected def javaLoopBody(ctx: CodegenContext, a: String, b: String,
+      i: String, s: String): String = {
+    val d = ctx.freshName("d")
+    s"""double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i); $s += $d * $d;"""
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -139,27 +154,36 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  protected def javaLoopBody(a: String, b: String): String = ""
+  protected def javaLoopBody(ctx: CodegenContext, a: String, b: String,
+      i: String, s: String): String = ""
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
-         |int n$a = $a.numElements();
-         |if (n$a != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  boolean bad$a = false;
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < n$a; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { bad$a = true; break; }
-         |    double x = (double) $a.getFloat(i);
-         |    double y = (double) $b.getFloat(i);
-         |    dot += x * y; na += x * x; nb += y * y;
+         |  boolean $bad = false;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if (bad$a || na == 0.0 || nb == 0.0) {
+         |  if ($bad || $na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |  }
          |}
        """.stripMargin

@@ -1,8 +1,19 @@
 #!/usr/bin/env python3
 """Local driver-mimic correctness gate: compare Verify's parquet dumps
-against the DuckDB oracle SQL, per query. Mirrors the driver's compare
-(sort columns by name, hash values in row order)."""
-import duckdb, glob, json, os, sys
+against the DuckDB oracle SQL, per query.
+
+Faithfulness matters more than convenience here: the driver reads the
+SPARK dump with pyarrow (which preserves DECIMAL as decimal.Decimal,
+TIMESTAMP_NTZ as datetime64, etc.) and the ORACLE result via DuckDB's
+fetchdf (which coerces DECIMAL to float64). Round 2's version of this
+script read BOTH sides through DuckDB, which coerced both to float64 and
+masked a 17-query decimal-representation failure class. So: pyarrow for
+the Spark side, fetchdf for the oracle side, stringified compare — the
+gate must fail exactly when the driver fails."""
+import decimal, glob, json, os, sys
+
+import duckdb
+import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify_out"
@@ -23,11 +34,12 @@ for name in sorted(os.listdir(OUT)):
     d = os.path.join(OUT, name)
     if not os.path.isdir(d):
         continue
-    files = glob.glob(f"{d}/*.parquet")
+    files = sorted(glob.glob(f"{d}/*.parquet"))
     if not files:
         results[name] = {"err": "no parquet output"}
         continue
-    spark_df = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
+    # driver path: Spark dump through pyarrow, decimals/timestamps preserved
+    spark_df = pq.read_table(files[0]).to_pandas()
     if name not in oracle:
         results[name] = {"rows": len(spark_df), "rows_only": True,
                          "ok": len(spark_df) > 0}
@@ -57,9 +69,16 @@ for name in sorted(os.listdir(OUT)):
     entry["ok"] = entry.get("hash_match", False)
     results[name] = entry
 
-npass = sum(1 for v in results.values() if v.get("ok"))
+oracled = {k: v for k, v in results.items() if not v.get("rows_only")}
+ro = {k: v for k, v in results.items() if v.get("rows_only")}
+npass = sum(1 for v in oracled.values() if v.get("ok"))
+nro = sum(1 for v in ro.values() if v.get("ok"))
 print(json.dumps(results, indent=1, default=str))
-print(f"\n=== {npass}/{len(results)} ok ===", file=sys.stderr)
+print(f"\n=== oracled {npass}/{len(oracled)} ok; rows-only {nro}/{len(ro)} nonempty ===",
+      file=sys.stderr)
 for k, v in results.items():
     flag = "OK " if v.get("ok") else ("ro " if v.get("rows_only") else "FAIL")
+    if v.get("rows_only"):
+        flag = "ro+" if v.get("ok") else "ro0"
     print(f"{flag} {k} {'' if v.get('ok') else json.dumps({kk: vv for kk, vv in v.items() if kk in ('err','rows_spark','rows_oracle','schema_match','first_diff','rows','cols_spark','cols_oracle','dtypes_spark','dtypes_oracle')}, default=str)[:400]}", file=sys.stderr)
+sys.exit(0 if npass == len(oracled) else 1)
