@@ -43,6 +43,16 @@ object Queries {
   private def dec(c: Column, p: Int = 10, s: Int = 4): Column =
     round(c, s).cast(DecimalType(p, s)).cast(DoubleType)
 
+  /** SEC fixture CSV (FIXTURES.md §A1) — resolved against the repo root so
+    * both the Spark side and the DuckDB oracle read the same file.
+    */
+  private[graft] val secFixturePath: String = {
+    val candidates = Seq(
+      "/root/repo/src/test/resources/sec_fixture.csv",
+      new java.io.File("src/test/resources/sec_fixture.csv").getAbsolutePath)
+    candidates.find(p => new java.io.File(p).exists()).getOrElse(candidates.head)
+  }
+
   /** Query vector: embedding of vec_id=0 (the fixed probe row). */
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
@@ -287,13 +297,25 @@ object Queries {
       Dedup.simhash(t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // IVF approximate top-k (rows-only; recall vs exact tested in ScalaTest)
+    // IVF approximate top-k as a HARD recall gate: ANN top-10 must overlap
+    // the exact top-10 in ≥9 ids (recall ≥ 0.9). The boolean is oracled —
+    // DuckDB asserts `true` — so a recall regression fails the driver hash,
+    // not just a ScalaTest spec. Exact side reuses the same topK oracle
+    // path that q24 hash-verifies against DuckDB.
     "q35_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val idx = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, seed = 42L,
-        maxIter = 8, fitSample = 0.25)
-      Ann.ivfSearch(idx, queryVec(s, dir), k = 10, nprobe = 4, Similarity.Cosine)
-        .select(col("vec_id"), dec(col("score")).as("score"))
+      // L2 metric matches the coarse quantizer's geometry (centroids are
+      // ranked by L2 — probing for cosine through an L2 quantizer leaks
+      // recall on unnormalized vectors)
+      val idx = Ann.ivfBuild(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        nlist = 16, seed = 42L, maxIter = 16, fitSample = 0.5)
+      val qv = queryVec(s, dir)
+      val ann = Ann.ivfSearch(idx, qv, k = 10, nprobe = 4, Similarity.L2)
+      val exact = Similarity.topK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", qv, 10, Similarity.L2)
+      val overlap = ann.select("vec_id").intersect(exact.select("vec_id")).count()
+      Seq(("ivf", 10, overlap >= 9)).toDF("method", "k", "recall_ok")
     }),
 
     // deterministic featurizer + retrieval (rows-only: IDF isn't in DuckDB)
@@ -442,17 +464,117 @@ object Queries {
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
         .orderBy("event_id")),
 
-    // product-quantized ANN: compressed codes + ADC shortlist + exact
-    // rerank (rows-only; recall vs exact tested in ProductQuantizerSpec)
+    // the reference's flagship SEC ETL end-to-end (ingest → clean →
+    // metadata → single-file CSV store with read-back verify), graded
+    // against a DuckDB read_csv oracle applying the same intended
+    // semantics to the same fixture
+    "q52_sec_etl" -> ((s, _) =>
+      graft.pipeline.SecEtl.run(s, secFixturePath, "/tmp/graft_q52_sec")
+        .orderBy("record_id")),
+
+    // hyperplane-LSH cosine near-dup — the 100-TB scale path over q23's
+    // bounded brute force — made oracle-checkable by planting deterministic
+    // duplicates: scaled copies (×2) of vec_id<50 keep cosine exactly 1 and
+    // identical hyperplane sign signatures, so LSH finds every planted pair
+    // with probability 1, and only planted pairs clear the 0.9 floor (max
+    // natural pairwise cosine in the table is ~0.51). DuckDB mirrors the
+    // same construction brute-force, so values hash-match end to end.
+    "q53_cosine_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // offset past the real id range so planted ids never collide at any SF
+      val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0d)).cast(FloatType)).as("embedding"))
+      val pool = emb.select("vec_id", "embedding").union(planted)
+      Dedup.cosineNearDupsLsh(pool, "vec_id", "embedding", dim = 64, minCos = 0.9)
+        .select(col("va"), col("vb"), dec(col("cos")).as("cos"))
+        .orderBy("va", "vb")
+    }),
+
+    // library-LSH approximate top-k (BucketedRandomProjectionLSH) as a
+    // recall gate against exact L2 top-k, same contract as q35/q51
+    "q54_lsh_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val qv = queryVec(s, dir)
+      val ann = Ann.lshTopK(corpus, "vec_id", "embedding", qv, k = 10,
+        bucketLength = 2.0, numHashTables = 4, seed = 42L)
+      val exact = Similarity.topK(corpus, "vec_id", "embedding", qv, 10, Similarity.L2)
+      val overlap = ann.select("vec_id").intersect(exact.select("vec_id")).count()
+      Seq(("lsh", 10, overlap >= 9)).toDF("method", "k", "recall_ok")
+    }),
+
+    // batched top-k, window form (one shuffle of all scored pairs on
+    // query_id) — same semantics as q46's bounded-heap aggregate form;
+    // registered so both physical strategies carry a CORRECTNESS row
+    "q55_batch_topk_window" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.topKBatch(
+          emb.filter(col("vec_id") >= 3), "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, Similarity.Cosine)
+        .select(col("qid"), col("vec_id"), dec(col("score")).as("score"))
+        .orderBy(col("qid"), col("score").desc, col("vec_id"))
+    }),
+
+    // composed corpus assembly (union → fill → assemble → withDocId) as ONE
+    // graded pipeline: two differently-shaped "sources" derived from events
+    // and customer union by name, text is assembled from the field-priority
+    // list, and content-addressed doc ids are minted. DuckDB verifies every
+    // assembled row; the xxhash64 ids aren't DuckDB-expressible, so their
+    // content-addressing contract (distinct ids == distinct texts) is
+    // asserted into the oracled `ids_ok` boolean.
+    "q57_corpus_assembly" -> ((s, dir) => {
+      val a = t(s, dir, "events")
+        .select(col("event_type").as("title"), col("props").as("content"))
+      val b = t(s, dir, "customer")
+        .select(col("c_name").as("title"), col("c_mktsegment").as("summary"))
+      val corpus = graft.pipeline.CorpusAssembly.withDocId(
+        graft.pipeline.CorpusAssembly.assemble(
+          graft.pipeline.CorpusAssembly.union(Seq(a, b))))
+      val nIds = corpus.select("doc_id").distinct().count()
+      val nTexts = corpus.select("text").distinct().count()
+      corpus
+        .select(col("title"), col("content"), col("summary"), col("text"),
+          lit(nIds == nTexts).as("ids_ok"))
+        .orderBy("text", "title")
+    }),
+
+    // SimHash near-dup pairs at scale (pigeonhole 16-bit block banding +
+    // hamming verify) — rows-only: the 64-bit-vote signature isn't
+    // DuckDB-expressible; DedupSpec covers the semantics
+    "q56_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(
+          Dedup.simhash(t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text"),
+          maxHamming = 3)
+        .orderBy("da", "db")),
+
+    // product-quantized ANN as a HARD recall gate, exercising the real
+    // compressed-index layout: codes are persisted as their own compact
+    // table and the ADC shortlist scans (id, code) ONLY — the raw vectors
+    // are fetched for the shortlist ids via broadcast join (at 100 TB the
+    // code table is 16-32× smaller than the float corpus; carrying the
+    // vectors through the ADC scan forfeits that entire win).
     "q51_ann_pq" -> ((s, dir) => {
+      import s.implicits._
       val emb = t(s, dir, "embeddings")
       val pq = graft.vector.ProductQuantizer.train(
         emb, "embedding", dim = 64, m = 8, ksub = 16,
         seed = 42L, maxIter = 4, fitSample = 0.2)
-      val encoded = pq.encode(emb.filter(col("vec_id") =!= 0), "embedding")
-      pq.search(encoded, "vec_id", "embedding", "pq_code",
-          queryVec(s, dir), k = 10, shortlist = 100)
-        .select(col("vec_id"), dec(col("score")).as("score"))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val codesPath = "/tmp/graft_q51_codes"
+      pq.encode(corpus, "embedding").select("vec_id", "pq_code")
+        .write.mode("overwrite").parquet(codesPath)
+      val qv = queryVec(s, dir)
+      val ann = pq.search(s.read.parquet(codesPath),
+        corpus.select("vec_id", "embedding"),
+        "vec_id", "embedding", "pq_code", qv, k = 10, shortlist = 100)
+      val exact = Similarity.topK(corpus, "vec_id", "embedding", qv, 10, Similarity.L2)
+      val overlap = ann.select("vec_id").intersect(exact.select("vec_id")).count()
+      Seq(("pq", 10, overlap >= 9)).toDF("method", "k", "recall_ok")
     })
   )
 
@@ -590,6 +712,54 @@ object Queries {
         |count(*) AS cnt
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // ANN recall gates: the Spark side computes |ANN top-10 ∩ exact top-10|
+    // and emits the ≥9 assertion as a boolean; the oracle pins it true, so
+    // a recall regression breaks the driver hash
+    "q35_ann_ivf" ->
+      "SELECT 'ivf' AS method, CAST(10 AS INTEGER) AS k, true AS recall_ok",
+    "q51_ann_pq" ->
+      "SELECT 'pq' AS method, CAST(10 AS INTEGER) AS k, true AS recall_ok",
+    "q52_sec_etl" ->
+      s"""WITH raw AS (SELECT * FROM read_csv('$secFixturePath', header=true, all_varchar=true)),
+         |c AS (SELECT DISTINCT
+         |  lower(trim(Ticker)) AS ticker,
+         |  lower(trim(Name)) AS company_name,
+         |  coalesce(lower(trim(Sector)), 'unknown') AS sector,
+         |  coalesce(TRY_CAST(replace("Market Value", ',', '') AS REAL), CAST(0.0 AS REAL)) AS market_value,
+         |  coalesce(TRY_CAST(replace("Weight (%)", ',', '') AS REAL), CAST(0.0 AS REAL)) AS weight_percent,
+         |  TRY_CAST(replace(Price, ',', '') AS REAL) AS share_price,
+         |  TRY_CAST(replace(Quantity, ',', '') AS INTEGER) AS shares_quantity,
+         |  Location AS country,
+         |  Exchange AS stock_exchange,
+         |  "Accrual Date" AS accrual_date,
+         |  concat_ws('_', lower(trim(Ticker)), lower(trim(Name))) AS record_id
+         |FROM raw)
+         |SELECT * FROM c ORDER BY record_id""".stripMargin,
+    "q57_corpus_assembly" ->
+      """WITH a AS (SELECT event_type AS title, props AS content, NULL AS summary FROM events),
+        |b AS (SELECT c_name AS title, NULL AS content, c_mktsegment AS summary FROM customer),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |t AS (SELECT title, content, summary,
+        |  trim(concat_ws(' ', coalesce(title,''), coalesce(content,''), coalesce(summary,''))) AS text FROM u)
+        |SELECT title, content, summary, text, true AS ids_ok
+        |FROM t WHERE length(text) > 0 ORDER BY text, title""".stripMargin,
+    "q53_cosine_lsh" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |planted AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, list_transform(e, x -> x * 2) AS e FROM base WHERE vec_id < 50),
+        |v AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(10,4)) AS DOUBLE) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+        |ORDER BY va, vb""".stripMargin,
+    "q54_lsh_topk" ->
+      "SELECT 'lsh' AS method, CAST(10 AS INTEGER) AS k, true AS recall_ok",
+    "q55_batch_topk_window" ->
+      """SELECT qid, vec_id, score FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    CAST(CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings e ON q.vec_id < 3 AND e.vec_id >= 3
+        |) WHERE rn <= 5 ORDER BY qid, score DESC, vec_id""".stripMargin,
     "q38_multimodal" ->
       """SELECT doc_id AS id, 'text' AS modality, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, md5(text) AS fp
         |FROM documents ORDER BY id""".stripMargin,

@@ -52,7 +52,11 @@ object TextFunctions {
     * robust to case/punctuation/spacing noise.
     */
   def fingerprint(c: Column): Column =
-    md5(concat_ws(" ", tokens(CleanFunctions.cleanText(c))))
+    fingerprintFromTokens(tokens(CleanFunctions.cleanText(c)))
+
+  /** Fingerprint over precomputed clean tokens. */
+  def fingerprintFromTokens(cleanTokens: Column): Column =
+    md5(concat_ws(" ", cleanTokens))
 
   /** 64-bit rolling fingerprint: hash chained over the cleaned token
     * stream (`acc ← xxhash64(acc, token)`). Order-sensitive (unlike a
@@ -79,6 +83,24 @@ object TextFunctions {
     "pt" -> Seq("o", "a", "de", "que", "e", "os", "um")
   )
 
+  /** Per-language marker-hit score over a precomputed vocabulary column. */
+  def langScore(vocabCol: Column, markerWords: Seq[String]): Column =
+    size(array_intersect(vocabCol, array(markerWords.map(lit): _*)))
+
+  /** Argmax CASE chain over precomputed per-language score columns: first
+    * language (in table order) whose score ties the max and is positive;
+    * "und" otherwise. Callers that evaluate many signals per row should
+    * materialize the scores as named columns first (see Curation.annotate) —
+    * passing raw score expressions here duplicates each score subtree
+    * ~2×#langs times in the CASE chain.
+    */
+  def langArgmax(scores: Seq[(String, Column)]): Column = {
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), tail) =>
+      when(s === maxScore && s > 0, lit(lang)).otherwise(tail)
+    }
+  }
+
   /** Heuristic language ID: count distinct marker-word hits per language over
     * the doc vocabulary, predict the first language (in table order) whose
     * score ties the max; "und" when nothing matches. Deterministic and
@@ -86,13 +108,7 @@ object TextFunctions {
     */
   def langId(c: Column, markers: Seq[(String, Seq[String])] = langMarkers): Column = {
     val v = vocab(c)
-    val scores = markers.map { case (lang, ws) =>
-      lang -> size(array_intersect(v, array(ws.map(lit): _*)))
-    }
-    val maxScore = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((lang, s), tail) =>
-      when(s === maxScore && s > 0, lit(lang)).otherwise(tail)
-    }
+    langArgmax(markers.map { case (lang, ws) => lang -> langScore(v, ws) })
   }
 
   /** English stopword list for quality scoring (public knowledge). */
@@ -100,10 +116,30 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "this", "for", "on", "with", "as", "at", "by", "be")
 
-  /** Stopword hits (with multiplicity) over whitespace tokens. */
-  def stopwordCount(c: Column): Column = {
+  /** Stopword hits (with multiplicity) over precomputed lowercase tokens. */
+  def stopwordCountFromTokens(lcTokens: Column): Column = {
     val stops = array(stopwords.map(lit): _*)
-    size(filter(tokens(lower(c)), t => array_contains(stops, t)))
+    size(filter(lcTokens, t => array_contains(stops, t)))
+  }
+
+  /** Stopword hits (with multiplicity) over whitespace tokens. */
+  def stopwordCount(c: Column): Column =
+    stopwordCountFromTokens(tokens(lower(c)))
+
+  /** Quality blend from precomputed counts (see qualityScore for the
+    * formula). nTokCol/punctCol/stopCol/nCharCol may be attribute references
+    * to once-materialized columns, keeping the heavy tokenization out of the
+    * per-signal expression trees.
+    */
+  def qualityScoreFromParts(nTokCol: Column, punctCol: Column,
+      stopCol: Column, nCharCol: Column): Column = {
+    val nTok = nTokCol.cast(DoubleType)
+    val nChar = nCharCol.cast(DoubleType)
+    val punctRatio = when(nChar > 0, punctCol.cast(DoubleType) / nChar).otherwise(0.0)
+    val stopRatio = when(nTok > 0, stopCol.cast(DoubleType) / nTok).otherwise(0.0)
+    lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(stopRatio * 5.0, lit(1.0))
   }
 
   /** Composite quality score in [0,1]: rewards moderate length, low
@@ -111,15 +147,8 @@ object TextFunctions {
     * blend is a heuristic; determinism and SQL-mirrorability are the contract.
     * score = 0.4*min(tokens/100,1) + 0.3*(1-punct_ratio) + 0.3*min(stop_ratio*5,1)
     */
-  def qualityScore(c: Column): Column = {
-    val nTok = tokenCount(c).cast(DoubleType)
-    val nChar = length(c).cast(DoubleType)
-    val punctRatio = when(nChar > 0, punctCount(c).cast(DoubleType) / nChar).otherwise(0.0)
-    val stopRatio = when(nTok > 0, stopwordCount(c).cast(DoubleType) / nTok).otherwise(0.0)
-    lit(0.4) * least(nTok / 100.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - punctRatio) +
-      lit(0.3) * least(stopRatio * 5.0, lit(1.0))
-  }
+  def qualityScore(c: Column): Column =
+    qualityScoreFromParts(tokenCount(c), punctCount(c), stopwordCount(c), length(c))
 
   /** Sentence split for the extractive answerer (reference's RAG context is
     * sentence-shaped, py:460). Keeps non-empty trimmed sentences.

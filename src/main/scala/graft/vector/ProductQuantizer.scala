@@ -70,24 +70,43 @@ final class ProductQuantizer private (
     }.reduce(_ + _)
   }
 
-  /** Top-k by ADC shortlist + exact rerank: scan the codes (compressed),
-    * keep `shortlist` candidates by approximate distance, then compute
-    * exact L2 for those rows only. Recall lost to quantization is
+  /** Top-k by ADC shortlist + exact rerank, with the code table and the
+    * vector table as SEPARATE inputs — the whole point of PQ at 100 TB is
+    * that the full-corpus scan touches only the m-byte codes (16-32×
+    * smaller than the floats); the raw vectors are fetched for the
+    * `shortlist` surviving ids only, via a broadcast semi-join of the tiny
+    * shortlist against the vector table. Recall lost to quantization is
     * recovered as long as the true top-k lands in the shortlist.
+    *
+    * `codes` needs (idCol, codeCol); `vectors` needs (idCol, vecCol).
     */
   def search(
-      encoded: DataFrame, idCol: String, vecCol: String, codeCol: String,
-      query: Array[Float], k: Int, shortlist: Int = 100): DataFrame = {
-    val approx = encoded
-      .select(col(idCol), col(vecCol), adcExpr(col(codeCol), query).as("adc"))
+      codes: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String, codeCol: String,
+      query: Array[Float], k: Int, shortlist: Int): DataFrame = {
+    val approx = codes
+      .select(col(idCol), adcExpr(col(codeCol), query).as("adc"))
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(shortlist)
-    approx
+    vectors
+      .join(broadcast(approx.select(idCol)), Seq(idCol))
       .select(col(idCol),
         VectorFunctions.l2(col(vecCol), Similarity.vecLit(query)).as("score"))
       .orderBy(col("score").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Convenience form over a single encoded frame: the ADC shortlist branch
+    * still projects (id, code) only — column pruning keeps the vectors out
+    * of the compressed scan — and the rerank branch fetches vectors for the
+    * shortlist ids.
+    */
+  def search(
+      encoded: DataFrame, idCol: String, vecCol: String, codeCol: String,
+      query: Array[Float], k: Int, shortlist: Int = 100): DataFrame =
+    search(encoded.select(col(idCol), col(codeCol)),
+      encoded.select(col(idCol), col(vecCol)),
+      idCol, vecCol, codeCol, query, k, shortlist)
 }
 
 object ProductQuantizer {
