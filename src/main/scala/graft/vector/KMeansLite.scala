@@ -1,0 +1,141 @@
+package graft.vector
+
+/** Driver-side seeded k-means (k-means++ init + Lloyd) over a bounded
+  * in-memory sample.
+  *
+  * Quantizer training (IVF coarse centroids, PQ sub-codebooks) needs a
+  * REPRESENTATIVE sample, not the full corpus — FAISS trains on ~256·k
+  * points regardless of index size, and the same holds at 100 TB: the
+  * distributed work is the *assignment/encode* pass (a pure column map),
+  * never the training. A distributed iterative fit (spark.ml KMeans) pays
+  * a full job-dispatch round per Lloyd iteration, which dominated the
+  * round-3 bench (q35 17.6 s, q51 11.3 s — almost all scheduler overhead
+  * at local[32]); training the same centroids on a collected sample is
+  * milliseconds of driver CPU and zero Spark jobs.
+  *
+  * Deterministic for a fixed seed: seeded k-means++ seeding, first-index
+  * tie-breaks in assignment, deterministic empty-cluster reseeding (the
+  * points farthest from their assigned centroid, index-tie-broken).
+  */
+object KMeansLite {
+
+  /** Train `k` centroids on `points` (n × d). Returns k × d centers.
+    * n may be smaller than k (duplicate centers are then possible — callers
+    * get exactly `k` rows either way so downstream layout is stable).
+    */
+  def fit(points: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "KMeansLite.fit: empty sample")
+    require(k >= 1, s"KMeansLite.fit: k=$k")
+    val n = points.length
+    val d = points(0).length
+    val rnd = new scala.util.Random(seed)
+
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+
+    // ---- k-means++ seeding
+    val centers = Array.ofDim[Double](k, d)
+    Array.copy(points(rnd.nextInt(n)), 0, centers(0), 0, d)
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        val dd = l2sq(points(i), centers(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        total += minD(i)
+        i += 1
+      }
+      val pick =
+        if (total <= 0.0) rnd.nextInt(n) // fewer distinct points than k
+        else {
+          val target = rnd.nextDouble() * total
+          var acc = 0.0; var j = 0
+          while (j < n - 1 && acc + minD(j) < target) { acc += minD(j); j += 1 }
+          j
+        }
+      Array.copy(points(pick), 0, centers(c), 0, d)
+      c += 1
+    }
+
+    // ---- Lloyd iterations
+    val assign = Array.fill(n)(-1)
+    val sums = Array.ofDim[Double](k, d)
+    val counts = new Array[Int](k)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = l2sq(points(i), centers(0))
+        var j = 1
+        while (j < k) {
+          val dd = l2sq(points(i), centers(j))
+          if (dd < bestD) { bestD = dd; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      if (changed) {
+        var j = 0
+        while (j < k) {
+          java.util.Arrays.fill(sums(j), 0.0); counts(j) = 0
+          j += 1
+        }
+        i = 0
+        while (i < n) {
+          val a = assign(i)
+          counts(a) += 1
+          var t = 0
+          while (t < d) { sums(a)(t) += points(i)(t); t += 1 }
+          i += 1
+        }
+        // deterministic empty-cluster reseed: farthest points from their
+        // own centroid, largest distance first, index tie-broken
+        val empty = (0 until k).filter(counts(_) == 0)
+        if (empty.nonEmpty) {
+          val farthest = (0 until n)
+            .map(i => (l2sq(points(i), centers(assign(i))), i))
+            .sortBy { case (dist, i) => (-dist, i) }
+            .iterator
+          empty.foreach { j =>
+            if (farthest.hasNext) {
+              val (_, i) = farthest.next()
+              Array.copy(points(i), 0, centers(j), 0, d)
+              counts(j) = -1 // mark reseeded; keep mean update out
+            }
+          }
+        }
+        j = 0
+        while (j < k) {
+          if (counts(j) > 0) {
+            var t = 0
+            while (t < d) { centers(j)(t) = sums(j)(t) / counts(j); t += 1 }
+          }
+          j += 1
+        }
+      }
+      iter += 1
+    }
+    centers
+  }
+
+  /** Collect a bounded, seeded training sample of an `array<float>` column
+    * as driver-side double vectors. `fraction` trims the scan volume;
+    * `maxPoints` hard-caps driver memory no matter the corpus size.
+    */
+  def sampleVectors(
+      df: org.apache.spark.sql.DataFrame, vecCol: String,
+      fraction: Double, maxPoints: Int, seed: Long): Array[Array[Double]] = {
+    val base = if (fraction < 1.0) df.sample(fraction, seed) else df
+    base.select(vecCol).limit(maxPoints).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+  }
+}

@@ -1,7 +1,5 @@
 package graft.vector
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -36,15 +34,15 @@ final class ProductQuantizer private (
   private def subvec(vec: Column, j: Int): Column =
     slice(vec, j * dsub + 1, dsub)
 
-  /** array<int> of m codebook indices (0-based) for each vector. */
-  def encodeExpr(vec: Column): Column = {
-    val codes = (0 until m).map { j =>
-      val cb = typedlit(codebooks(j).map(_.toSeq).toSeq)
-      val dists = transform(cb, c => VectorFunctions.l2Sq(subvec(vec, j), c))
-      (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
-    }
-    array(codes: _*)
-  }
+  /** array<int> of m codebook indices (0-based) for each vector — one
+    * codegen'd kernel (graft.expressions.PqEncode) with the codebook bank
+    * as a reference object. The previous `transform`-over-`typedlit` form
+    * was a CodegenFallback higher-order function: an interpreted lambda
+    * per (subspace × codeword) per row, exactly wrong for the distributed
+    * encode pass that touches every corpus vector.
+    */
+  def encodeExpr(vec: Column): Column =
+    graft.expressions.QuantizerExpressions.pqEncode(vec, codebooks)
 
   def encode(df: DataFrame, vecCol: String, codeCol: String = "pq_code"): DataFrame =
     df.withColumn(codeCol, encodeExpr(col(vecCol)))
@@ -61,14 +59,10 @@ final class ProductQuantizer private (
     }
 
   /** Approximate squared-L2 distance of an encoded row to `query`:
-    * m literal-table lookups, zero per-row float math.
+    * m table lookups in one codegen'd kernel, zero per-row float math.
     */
-  def adcExpr(codeCol: Column, query: Array[Float]): Column = {
-    val tables = lut(query)
-    (0 until m).map { j =>
-      element_at(typedlit(tables(j).toSeq), element_at(codeCol, j + 1) + 1)
-    }.reduce(_ + _)
-  }
+  def adcExpr(codeCol: Column, query: Array[Float]): Column =
+    graft.expressions.QuantizerExpressions.pqAdc(codeCol, lut(query))
 
   /** Top-k by ADC shortlist + exact rerank, with the code table and the
     * vector table as SEPARATE inputs — the whole point of PQ at 100 TB is
@@ -111,27 +105,25 @@ final class ProductQuantizer private (
 
 object ProductQuantizer {
 
-  /** Train per-subspace codebooks with seeded KMeans (on a sample when
-    * `fitSample` < 1 — same rationale as the IVF coarse quantizer).
+  /** Train per-subspace codebooks with seeded driver-side Lloyd over ONE
+    * bounded collected sample (same rationale as the IVF coarse quantizer:
+    * codebook quality needs a representative sample, never the corpus, and
+    * m sequential distributed KMeans fits paid ~m·maxIter job dispatches —
+    * the dominant cost of the round-3 q51 bench). All m subspaces train
+    * from slices of the same sample; zero Spark jobs beyond the collect.
     */
   def train(
       corpus: DataFrame, vecCol: String, dim: Int,
       m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-      maxIter: Int = 10, fitSample: Double = 1.0): ProductQuantizer = {
+      maxIter: Int = 25, fitSample: Double = 1.0,
+      maxFitPoints: Int = 1 << 16): ProductQuantizer = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val base = if (fitSample < 1.0) corpus.sample(fitSample, seed) else corpus
-    val cached = base.select(col(vecCol).as("__v")).cache()
-    try {
-      val codebooks = Array.tabulate(m) { j =>
-        val sub = cached.select(
-          array_to_vector(slice(col("__v"), j * dsub + 1, dsub).cast(ArrayType(DoubleType)))
-            .as("__s"))
-        val model = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
-          .setFeaturesCol("__s").fit(sub)
-        model.clusterCenters.map(_.toArray.map(_.toFloat))
-      }
-      new ProductQuantizer(dim, m, ksub, codebooks)
-    } finally cached.unpersist()
+    val sample = KMeansLite.sampleVectors(corpus, vecCol, fitSample, maxFitPoints, seed)
+    val codebooks = Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      KMeansLite.fit(pts, ksub, maxIter, seed + j).map(_.map(_.toFloat))
+    }
+    new ProductQuantizer(dim, m, ksub, codebooks)
   }
 }

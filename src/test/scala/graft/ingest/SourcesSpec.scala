@@ -67,7 +67,7 @@ class SourcesSpec extends SparkSpec {
   test("CsvSource honors quote/escape options (O1)") {
     val path = getClass.getResource("/sec_fixture.csv").getPath
     val df = CsvSource(path, Some(graft.core.Schemas.secRaw)).load(spark)
-    assert(df.count() == 7)
+    assert(df.count() == 8)
     // quoted comma-grouped value survives as one field
     val mv = df.select("Market Value").collect().map(_.getString(0))
     assert(mv.contains("559,365,151.11"))

@@ -19,8 +19,17 @@ class SecEtlSpec extends SparkSpec {
   }
 
   test("duplicate (Ticker, Name) holdings collapse to one row") {
-    assert(meta.count() == 6) // 7 data rows, one exact dup pair
+    assert(meta.count() == 6) // 8 data rows: one exact dup pair, one revised dup pair
     assert(meta.filter(col("ticker") === "aapl").count() == 1)
+  }
+
+  test("revised duplicate resolves by the value-column tiebreak, not arbitrarily") {
+    // MSFT appears twice with different values; the ascending tiebreak on
+    // Market Value (510,003,250 < 512,118,700) pins the revised row
+    val msft = meta.filter(col("ticker") === "msft").collect()
+    assert(msft.length == 1)
+    assert(math.abs(msft.head.getAs[Float]("market_value") - 5.1000325e8f) < 1e3)
+    assert(math.abs(msft.head.getAs[Float]("share_price") - 455.00f) < 1e-2)
   }
 
   test("comma-grouped market value parses instead of nulling (SURVEY §1.4(2))") {

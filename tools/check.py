@@ -13,6 +13,7 @@ gate must fail exactly when the driver fails."""
 import decimal, glob, json, os, sys
 
 import duckdb
+import pandas as pd
 import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -38,8 +39,12 @@ for name in sorted(os.listdir(OUT)):
     if not files:
         results[name] = {"err": "no parquet output"}
         continue
-    # driver path: Spark dump through pyarrow, decimals/timestamps preserved
-    spark_df = pq.read_table(files[0]).to_pandas()
+    # driver path: Spark dump through pyarrow, decimals/timestamps preserved.
+    # Read EVERY part file (sorted name order = Spark's global sort order for
+    # our ORDER BY'd queries) — reading only part 0 of a multi-part dump would
+    # silently truncate and misreport rows_match.
+    spark_df = pd.concat(
+        [pq.read_table(f).to_pandas() for f in files], ignore_index=True)
     if name not in oracle:
         results[name] = {"rows": len(spark_df), "rows_only": True,
                          "ok": len(spark_df) > 0}
