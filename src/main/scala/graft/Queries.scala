@@ -53,6 +53,25 @@ object Queries {
     candidates.find(p => new java.io.File(p).exists()).getOrElse(candidates.head)
   }
 
+  /** BMP fixture dir (tools/make_bmp_fixtures.py) — resolved against the
+    * repo root so Spark's binaryFile scan and DuckDB's read_blob see the
+    * same files.
+    */
+  private[graft] val imgFixtureDir: String = {
+    val candidates = Seq(
+      "/root/repo/src/test/resources/img",
+      new java.io.File("src/test/resources/img").getAbsolutePath)
+    candidates.find(p => new java.io.File(p).isDirectory).getOrElse(candidates.head)
+  }
+
+  /** DuckDB: numeric value of byte `i` (1-indexed) of the hex string `hx`. */
+  private def duckByte(i: String): String =
+    s"((strpos('0123456789ABCDEF', substring(hx, 2*($i)-1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hx, 2*($i), 1))-1)"
+
+  /** DuckDB: little-endian u32 at 0-based byte offset `off` of `hx`. */
+  private def duckU32(off: Int): String =
+    (0 to 3).map(k => s"${duckByte((off + k + 1).toString)}*${1L << (8 * k)}").mkString("(", " + ", ")")
+
   /** Query vector: embedding of vec_id=0 (the fixed probe row). */
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
@@ -285,12 +304,35 @@ object Queries {
           "doc_id", "text")
         .orderBy("doc_id", "begin", "end", "entity_type")),
 
-    // MinHash+LSH near-dup (rows-only: salted-hash minima aren't in DuckDB)
-    "q33_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashNearDups(t(s, dir, "documents").filter(col("doc_id") < 500),
-          "doc_id", "text", n = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
-        .select(col("da"), col("db"), dec(col("jaccard")).as("j"))
-        .orderBy("da", "db")),
+    // MinHash+LSH near-dup as a HARD gate (the salted-hash minima aren't
+    // DuckDB-expressible, but the gate booleans are): over the bounded doc
+    // set the engine runs BOTH the LSH path and the brute shared-shingle
+    // path from ONE cached shingle explode, then checks
+    //   precision: every LSH pair is a true >= 0.5-Jaccard pair
+    //   recall:    LSH finds >= 80% of the true pairs (banding theory at
+    //              b=8/r=4 gives ~0.96 collision at j=0.5, ~1 above)
+    // Pair sets are bounded (near-dup pairs over 500 docs) — driver-side
+    // set compare, no extra shuffle. The oracle pins the booleans true.
+    "q33_minhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      // 500 docs: the smallest bound whose true-pair set is nonempty at
+      // every SF (28/25/1 pairs at sf0.001/0.01/0.1 — all with jaccard
+      // ≥ 0.9, where b=8/r=4 band collision probability is ~0.9998, so the
+      // 0.8 recall floor has real margin); it also bounds the BRUTE truth
+      // side's shared-shingle join, the quadratic cost the LSH path exists
+      // to avoid
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val sh = Dedup.shingleSet(docs, "doc_id", "text", n = 3).cache()
+      try {
+        val lsh = Dedup.minhashNearDupsOnShingles(sh, numHashes = 32, bands = 8, minJaccard = 0.5)
+          .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val brute = Dedup.ngramJaccardOnShingles(sh, minJaccard = 0.5)
+          .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = if (brute.isEmpty) 1.0 else lsh.intersect(brute).size.toDouble / brute.size
+        Seq(("minhash", lsh.subsetOf(brute), recall >= 0.8, brute.nonEmpty))
+          .toDF("method", "precision_ok", "recall_ok", "truth_nonempty")
+      } finally sh.unpersist()
+    }),
 
     // SimHash signatures (rows-only)
     "q34_simhash" -> ((s, dir) =>
@@ -340,16 +382,28 @@ object Queries {
       Seq(("ivf", 10, overlap >= 9)).toDF("method", "k", "recall_ok")
     }),
 
-    // deterministic featurizer + retrieval (rows-only: IDF isn't in DuckDB)
+    // deterministic featurizer + retrieval as a HARD gate (hashed TF-IDF
+    // isn't DuckDB-expressible, but its central invariant is driver-
+    // checkable): the DISTRIBUTED embed path (clean→tokens→HashingTF→IDF→
+    // L2-norm over the corpus) must be bit-identical to the DRIVER-side
+    // query-embed path on the same string — that parity is what makes
+    // query-vs-corpus scores meaningful at all — plus the top-k must
+    // return exactly k results. The oracle pins both.
     "q36_embed_topk" -> ((s, dir) => {
+      import s.implicits._
       // no cache: a cached `documents` plan would substitute into every
       // other registered query's scan on the shared session
       val docs = t(s, dir, "documents")
       val fz = new Featurizer(dim = 64).fit(docs, "text")
       val corpus = fz.transform(docs, "text")
       val qv = fz.embedQuery(s, "spark join merge sort table")
-      Similarity.topK(corpus, "doc_id", "embedding", qv, 10, Similarity.Cosine)
-        .select(col("doc_id"), dec(col("score")).as("score"))
+      val top = Similarity.topK(corpus, "doc_id", "embedding", qv, 10, Similarity.Cosine)
+      val n = top.select("doc_id").collect().length
+      val probeText = docs.filter(col("doc_id") === 1).select("text").head().getString(0)
+      val sparkVec = corpus.filter(col("doc_id") === 1)
+        .select("embedding").head().getSeq[Float](0)
+      val parityOk = sparkVec == fz.embedQuery(s, probeText).toSeq
+      Seq(("tfidf", 10, n, parityOk)).toDF("method", "k", "n_results", "parity_ok")
     }),
 
     // extractive answer over the retrieval path (rows-only)
@@ -583,14 +637,79 @@ object Queries {
         .orderBy("text", "title", "content", "summary")
     }),
 
-    // SimHash near-dup pairs at scale (pigeonhole 16-bit block banding +
-    // hamming verify) — rows-only: the 64-bit-vote signature isn't
-    // DuckDB-expressible; DedupSpec covers the semantics
-    "q56_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDups(
-          Dedup.simhash(t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text"),
-          maxHamming = 3)
-        .orderBy("da", "db")),
+    // REAL image decode end-to-end: binaryFile scan → multimodal layout →
+    // BmpCodec (header dims + padding-aware pixel checksum) inside
+    // mapPartitions. The oracle is fully independent: DuckDB read_blob on
+    // the same files, re-deriving width/height/bpp from the little-endian
+    // header bytes and re-summing the pixel region hex-digit by hex-digit.
+    // A stride, offset, or channel bug shows up as a checksum mismatch.
+    "q58_image_decode" -> ((s, _) => {
+      val files = graft.ingest.BinaryFileSource(imgFixtureDir, Some("*.bmp")).load(s)
+      val mm = Multimodal.fromBinaryFiles(files, "image")
+      Multimodal.decodeFeatures(mm)
+        .select(
+          regexp_extract(element_at(col("meta"), "path"), "([^/]+)$", 1).as("name"),
+          col("width"), col("height"), col("channels"),
+          col("feature_hash").as("pixel_sum"))
+        .orderBy("name")
+    }),
+
+    // SimHash near-dup pairs as a HARD gate: with maxHamming=3 and 4×16-bit
+    // block banding, the pigeonhole principle GUARANTEES candidates ⊇ true
+    // pairs (≤3 differing bits touch ≤3 blocks, so ≥1 block matches
+    // exactly) — the banded path must therefore equal the brute-force
+    // all-pairs hamming scan EXACTLY, not probabilistically. The engine
+    // runs both over the bounded doc set from one cached signature table
+    // and the oracle pins the equality boolean. The 64-bit-vote signature
+    // itself isn't DuckDB-expressible; DedupSpec covers its semantics.
+    "q56_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sig = Dedup.simhash(
+        t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text").cache()
+      try {
+        val banded = Dedup.simhashNearDups(sig, maxHamming = 3)
+          .select(col("da"), col("db"), col("hamming").cast(LongType)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val a = sig.select(col("doc_id").as("da"), col("simhash").as("sa"))
+        val b = sig.select(col("doc_id").as("db"), col("simhash").as("sb"))
+        val brute = a.join(b, col("da") < col("db"))
+          .select(col("da"), col("db"),
+            Dedup.hamming(col("sa"), col("sb")).cast(LongType).as("hamming"))
+          .filter(col("hamming") <= 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        Seq(("simhash", banded == brute, brute.nonEmpty))
+          .toDF("method", "exact_ok", "truth_nonempty")
+      } finally sig.unpersist()
+    }),
+
+    // skew-safe two-phase salted aggregation, graded against the plain
+    // one-shuffle groupBy semantics in DuckDB: the decomposable sums run
+    // on exact DECIMAL (addition order across salt partials then doesn't
+    // matter), final projection casts to DOUBLE per the driver contract
+    "q59_salted_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("v", col("value").cast(DecimalType(18, 2)))
+      graft.operators.Shuffle.saltedCountSum(ev, Seq("event_type"), "v", salts = 16)
+        .select(col("event_type"), col("cnt"),
+          col("sum_v").cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // HLL distinct-count sketch as a HARD error gate: approx_count_distinct
+    // (HyperLogLog++, deterministic for fixed data) must land within 5% of
+    // the exact per-group cardinality; the exact side is DuckDB-verified,
+    // the bound is pinned true. At 100 TB the sketch is the only affordable
+    // distinct count — the gate keeps its error contract graded.
+    "q60_hll_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        countDistinct(col("l_orderkey")).as("exact_n"),
+        // rsd 0.01 → the 5% gate has 5σ of margin (default 0.05 rsd sat
+        // right on the gate and failed one group)
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_n"))
+        .select(col("l_returnflag"), col("exact_n"),
+          (abs(col("approx_n") - col("exact_n")).cast(DoubleType) /
+            col("exact_n").cast(DoubleType) <= 0.05).as("approx_ok"))
+        .orderBy("l_returnflag")),
 
     // product-quantized ANN as a HARD recall gate, exercising the real
     // compressed-index layout: codes are persisted as their own compact
@@ -774,6 +893,31 @@ object Queries {
     // a recall regression breaks the driver hash
     "q35_ann_ivf" ->
       "SELECT 'ivf' AS method, CAST(10 AS INTEGER) AS k, true AS recall_ok",
+    "q33_minhash_pairs" ->
+      "SELECT 'minhash' AS method, true AS precision_ok, true AS recall_ok, true AS truth_nonempty",
+    "q36_embed_topk" ->
+      "SELECT 'tfidf' AS method, CAST(10 AS INTEGER) AS k, CAST(10 AS INTEGER) AS n_results, true AS parity_ok",
+    "q56_simhash_pairs" ->
+      "SELECT 'simhash' AS method, true AS exact_ok, true AS truth_nonempty",
+    "q59_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q60_hll_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_n, true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // independent BMP re-decode: header fields from little-endian bytes,
+    // pixel checksum re-summed from the hex dump (fixtures are width-8 →
+    // stride 24, no row padding, and end exactly at the pixel region, so
+    // [pix_offset, size) IS the pixel byte range)
+    "q58_image_decode" ->
+      s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS name, hex(content) AS hx, size FROM read_blob('$imgFixtureDir/*.bmp'))
+         |SELECT name,
+         |  CAST(${duckU32(18)} AS INTEGER) AS width,
+         |  CAST(${duckU32(22)} AS INTEGER) AS height,
+         |  CAST((${duckByte("29")} + ${duckByte("30")}*256) // 8 AS INTEGER) AS channels,
+         |  CAST(list_sum(list_transform(range(${duckU32(10)} + 1, CAST(size AS INTEGER) + 1), i -> ${duckByte("i")})) AS BIGINT) AS pixel_sum
+         |FROM b ORDER BY name""".stripMargin,
     "q51_ann_pq" ->
       "SELECT 'pq' AS method, CAST(10 AS INTEGER) AS k, true AS recall_ok",
     // Mirrors SecEtl.clean's per-(Ticker, Name) dedup with the SAME

@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   * `mapPartitions` — the Scala analog of a vectorized Pandas-UDF stage —
   * so at scale it is a pure executor-side map with no shuffle.
   *
-  * The actual media decode is STUBBED (no image/audio codecs in this
-  * container): `decodeStub` derives deterministic fake features from the
-  * payload bytes. The schema, partitioning, and batch shape around it are
-  * real; swapping in a codec touches only the marked function.
+  * Decode: BMP payloads go through a REAL pure-Scala codec (BmpCodec,
+  * header parse + padding-aware pixel checksum, oracle-verified byte-by-
+  * byte in q58); other formats fall back to `decodeStub` (no image/audio
+  * codec libraries in this container), which derives deterministic fake
+  * features from the payload bytes. The schema, partitioning, and batch
+  * shape are the same either way; a new codec touches only `decodeAny`.
   */
 object Multimodal {
 
@@ -46,6 +48,18 @@ object Multimodal {
         lit("path"), col("path"),
         lit("bytes"), col("length").cast(StringType)).as("meta"))
 
+  /** Decode dispatch: REAL decode for BMP payloads (BmpCodec — header
+    * dims + padding-aware pixel checksum), deterministic stub for formats
+    * whose codecs aren't in this container. Feature tuple is
+    * (width, height, channels, feature_hash); for BMP the hash is the
+    * pixel-byte sum the q58 oracle recomputes independently.
+    */
+  private[multimodal] def decodeAny(payload: Array[Byte]): (Int, Int, Int, Long) =
+    if (BmpCodec.isBmp(payload)) {
+      val img = BmpCodec.decode(payload)
+      (img.width, img.height, img.channels, img.pixelSum)
+    } else decodeStub(payload)
+
   /** STUB decode — replace with a real codec when available. Deterministic
     * fake: dimensions and a feature hash derived from payload bytes only.
     */
@@ -72,7 +86,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       // per-partition setup for a real codec would go here
       rows.map { r =>
-        val (w, h, c, fh) = decodeStub(r.getAs[Array[Byte]](payloadIdx))
+        val (w, h, c, fh) = decodeAny(r.getAs[Array[Byte]](payloadIdx))
         // Seq[Any] — a plain Seq(w, h, c, fh) would widen the Ints to Long
         // (weak conformance) and break the Int fields in the encoder
         Row.fromSeq(r.toSeq ++ Seq[Any](w, h, c, fh))

@@ -99,13 +99,21 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n).cache()
     try {
-      val cands = minhashCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
-      val out = jaccardOnPairs(cands, sh).filter(col("jaccard") >= minJaccard)
+      val out = minhashNearDupsOnShingles(sh, numHashes, bands, minJaccard)
       // eagerly materialize the (small) verified-pair result on executors
       // and cut its lineage, so the corpus-sized shingle cache can be
       // released instead of staying pinned for the session lifetime
       out.localCheckpoint(true)
     } finally sh.unpersist()
+  }
+
+  /** LSH candidate generation + verification over a prebuilt (cached)
+    * shingle set — for callers managing the cache lifetime themselves.
+    */
+  def minhashNearDupsOnShingles(
+      sh: DataFrame, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
+    val cands = minhashCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
+    jaccardOnPairs(cands, sh).filter(col("jaccard") >= minJaccard)
   }
 
   /** Restrict (doc_id, sh) rows to docs appearing in `pairs`. */
@@ -147,8 +155,13 @@ object Dedup {
     */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, n)
+      n: Int = 3, minJaccard: Double = 0.05): DataFrame =
+    ngramJaccardOnShingles(shingleSet(df, idCol, textCol, n), minJaccard)
+
+  /** Same, over a prebuilt (doc_id, sh) set — callers that also run the
+    * MinHash path can share one (cached) shingle explode between both.
+    */
+  def ngramJaccardOnShingles(sh: DataFrame, minJaccard: Double): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     sh.as("x")
       .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))

@@ -16,10 +16,18 @@ object Shuffle {
     * on (key, salt) — spreading a hot key over `salts` reducers — phase 2
     * combines the partials per key. Supports the decomposable aggregates
     * (count / sum); results are identical to a direct groupBy.
+    *
+    * The salt is CONTENT-derived (xxhash64 over the full row), not
+    * placement-derived (`spark_partition_id + monotonically_increasing_id`
+    * changes under retries/repartition — harmless for decomposable
+    * aggregates but nondeterministic for anything order-sensitive built on
+    * the same pattern). Duplicate rows share a salt; real skewed data has
+    * enough value variation to spread.
     */
   def saltedCountSum(
       df: DataFrame, keys: Seq[String], sumCol: String, salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__cnt"), sum(col(sumCol)).as("__sum"))
