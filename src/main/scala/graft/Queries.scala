@@ -296,13 +296,33 @@ object Queries {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("rev"),
           count(lit(1)).as("cnt")).orderBy("n_name")),
 
-    // rule/gazetteer NER (rows-only: char offsets aren't DuckDB-mirrorable)
-    "q32_ner" -> ((s, dir) =>
-      RuleNer.annotate(
-          t(s, dir, "documents").filter(col("doc_id") < 50)
-            .select(col("doc_id"), initcap(col("text")).as("text")),
-          "doc_id", "text")
-        .orderBy("doc_id", "begin", "end", "entity_type")),
+    // rule/gazetteer NER as a HARD gate. The synthetic doc texts are
+    // lowercase spark-vocab soup with no natural entities, so the query
+    // plants a varying entity-bearing tail per doc (org + money + percent
+    // + location + conditional person) that DuckDB reconstructs from the
+    // same parquet and INDEPENDENTLY re-extracts — token-gazetteer counts
+    // via regexp token explode, money/percent via the same regexes under
+    // RE2. The engine additionally proves every emitted span is offset-
+    // correct (substring(text, begin, end) == entity — covers MISC too),
+    // pinned as a boolean. Full span semantics stay golden-tested in
+    // RuleNerSpec.
+    "q32_ner" -> ((s, dir) => {
+      val tail = concat(
+        lit(" Apple reported $"), pmod(col("doc_id"), lit(97)).cast(StringType), lit("."),
+        pmod(col("doc_id"), lit(89)).cast(StringType), lit(" million, up "),
+        pmod(col("doc_id"), lit(41)).cast(StringType), lit(".5% in America"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" says Musk")).otherwise(lit("")))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), concat(col("text"), tail).as("text"))
+      val ents = RuleNer.annotate(docs, "doc_id", "text")
+      val spansBad = ents.join(docs, "doc_id")
+        .filter(expr("substring(text, begin + 1, end - begin)") =!= col("entity"))
+        .count()
+      ents.filter(col("entity_type") =!= "MISC")
+        .groupBy("entity_type").agg(count(lit(1)).as("n"))
+        .withColumn("spans_ok", lit(spansBad == 0))
+        .orderBy("entity_type")
+    }),
 
     // MinHash+LSH near-dup as a HARD gate (the salted-hash minima aren't
     // DuckDB-expressible, but the gate booleans are): over the bounded doc
@@ -406,7 +426,12 @@ object Queries {
       Seq(("tfidf", 10, n, parityOk)).toDF("method", "k", "n_results", "parity_ok")
     }),
 
-    // extractive answer over the retrieval path (rows-only)
+    // extractive answer as a HARD gate: extraction's defining invariant is
+    // that every answer sentence is lifted verbatim from the retrieved
+    // top-k contexts (first 1000 chars, the reference's clip) — checked
+    // engine-side over the k-bounded hit set and pinned true, along with
+    // the 1..maxSentences cardinality contract. The answer string itself
+    // stays spec-tested (QueryEngineSpec).
     "q37_answer" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -415,7 +440,12 @@ object Queries {
       val engine = new graft.query.QueryEngine(corpus, fz)
       val q = "spark join merge sort table"
       val ans = engine.answer(q, k = 5, maxSentences = 2)
-      Seq((q, ans)).toDF("query", "answer")
+      val srcTexts = engine.topK(q, 5).select("text").collect().map(_.getString(0))
+      val sents = ans.stripSuffix(".").split("\\. ").map(_.trim).filter(_.nonEmpty)
+      val grounded = sents.nonEmpty &&
+        sents.forall(sn => srcTexts.exists(t => t.take(1000).contains(sn)))
+      val nOk = sents.length >= 1 && sents.length <= 2
+      Seq((q, grounded, nOk)).toDF("query", "grounded_ok", "n_ok")
     }),
 
     // multimodal column plumbing: binary payload + metadata + describe
@@ -935,6 +965,26 @@ object Queries {
       "SELECT 'ivf' AS method, CAST(10 AS INTEGER) AS k, true AS recall_ok",
     "q33_minhash_pairs" ->
       "SELECT 'minhash' AS method, true AS precision_ok, true AS recall_ok, true AS truth_nonempty",
+    "q32_ner" -> {
+      def gazList(t: String): String = RuleNer.defaultGazetteer
+        .collect { case (w, tt) if tt == t => s"'$w'" }.toSeq.sorted.mkString(",")
+      s"""WITH d AS (SELECT doc_id,
+         |  text || ' Apple reported $$' || CAST(doc_id % 97 AS VARCHAR) || '.' || CAST(doc_id % 89 AS VARCHAR)
+         |       || ' million, up ' || CAST(doc_id % 41 AS VARCHAR) || '.5% in America'
+         |       || CASE WHEN doc_id % 3 = 0 THEN ' says Musk' ELSE '' END AS text
+         |  FROM documents WHERE doc_id < 200),
+         |toks AS (SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w FROM d),
+         |g AS (SELECT CASE WHEN w IN (${gazList("ORG")}) THEN 'ORG'
+         |                  WHEN w IN (${gazList("LOC")}) THEN 'LOC'
+         |                  WHEN w IN (${gazList("PER")}) THEN 'PER' END AS entity_type FROM toks),
+         |cnts AS (
+         |  SELECT entity_type, count(*) AS n FROM g WHERE entity_type IS NOT NULL GROUP BY 1
+         |  UNION ALL SELECT 'MONEY', CAST(sum(len(regexp_extract_all(text, '\\$$\\d[\\d,]*(\\.\\d+)?([mMbB]illion|[kKmMbB])?'))) AS BIGINT) FROM d
+         |  UNION ALL SELECT 'PERCENT', CAST(sum(len(regexp_extract_all(text, '\\d+(\\.\\d+)?%'))) AS BIGINT) FROM d)
+         |SELECT entity_type, n, true AS spans_ok FROM cnts WHERE n > 0 ORDER BY entity_type""".stripMargin
+    },
+    "q37_answer" ->
+      "SELECT 'spark join merge sort table' AS query, true AS grounded_ok, true AS n_ok",
     "q36_embed_topk" ->
       "SELECT 'tfidf' AS method, CAST(10 AS INTEGER) AS k, CAST(10 AS INTEGER) AS n_results, true AS parity_ok",
     "q56_simhash_pairs" ->
