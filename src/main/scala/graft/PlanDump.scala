@@ -6,10 +6,15 @@ import org.apache.spark.sql.SparkSession
   * the "audit every plan" discipline (tools/dump_plans.sh → PLANS.md).
   */
 object PlanDump {
+  // gated queries (q35/q51/…) return a driver-computed summary row whose
+  // plan is trivial, so the dump lists the queries whose returned frame IS
+  // the distributed pipeline
   val headline: Seq[String] = Seq(
     "q15_truncate", "q18_topk_l2", "q22_ngram_jaccard", "q29_agg_pushdown",
     "q30_window_topn", "q31_join_agg", "q41_asof_join", "q42_range_join",
-    "q44_grouped_topk", "q46_batch_topk")
+    "q43_curation", "q44_grouped_topk", "q46_batch_topk", "q53_cosine_lsh",
+    "q57_corpus_assembly", "q58_image_decode", "q59_salted_agg",
+    "q60_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -156,7 +156,12 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.05): DataFrame =
-    ngramJaccardOnShingles(shingleSet(df, idCol, textCol, n), minJaccard)
+    // the shingle set feeds three sub-plans (both join sides + the per-doc
+    // counts); eagerly materializing it once on executors replaces three
+    // scan+clean+explode passes — callers of this form always bound the
+    // doc set, so the checkpoint is small
+    ngramJaccardOnShingles(
+      shingleSet(df, idCol, textCol, n).localCheckpoint(true), minJaccard)
 
   /** Same, over a prebuilt (doc_id, sh) set — callers that also run the
     * MinHash path can share one (cached) shingle explode between both.
