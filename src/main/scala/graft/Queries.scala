@@ -342,16 +342,14 @@ object Queries {
       // side's shared-shingle join, the quadratic cost the LSH path exists
       // to avoid
       val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
-      val sh = Dedup.shingleSet(docs, "doc_id", "text", n = 3).cache()
-      try {
-        val lsh = Dedup.minhashNearDupsOnShingles(sh, numHashes = 32, bands = 8, minJaccard = 0.5)
-          .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val brute = Dedup.ngramJaccardOnShingles(sh, minJaccard = 0.5)
-          .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val recall = if (brute.isEmpty) 1.0 else lsh.intersect(brute).size.toDouble / brute.size
-        Seq(("minhash", lsh.subsetOf(brute), recall >= 0.8, brute.nonEmpty))
-          .toDF("method", "precision_ok", "recall_ok", "truth_nonempty")
-      } finally sh.unpersist()
+      val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = if (brute.isEmpty) 1.0 else lsh.intersect(brute).size.toDouble / brute.size
+      Seq(("minhash", lsh.subsetOf(brute), recall >= 0.8, brute.nonEmpty))
+        .toDF("method", "precision_ok", "recall_ok", "truth_nonempty")
     }),
 
     // SimHash signatures (rows-only)

@@ -1,0 +1,233 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Map-only signature kernels for the near-dup family.
+  *
+  * The aggregate forms (groupBy(doc).agg(32 × min(xxhash64(sh, i))) for
+  * MinHash, 64 conditional ±1 sums for SimHash) shuffle the ENTIRE
+  * exploded shingle/token set just to reduce it back to one row per doc —
+  * at corpus scale that is the single largest shuffle in the dedup
+  * pipeline, moving |corpus| × shingles-per-doc rows. Each kernel here
+  * computes the same signature from the per-row shingle/token ARRAY in one
+  * codegen pass: no explode, no shuffle, the signature stage becomes pure
+  * map work. The exploded form is still built downstream, but only for
+  * CANDIDATE docs (jaccard verification), which LSH has already pruned.
+  *
+  * Bit-compatibility: hashes replicate Spark's `xxhash64(...)` chains via
+  * the same XXH64 primitives (seed 42, left-to-right chaining), so
+  * signatures are identical to the aggregate forms — asserted in
+  * DedupSpec against the retained aggregate oracles.
+  */
+abstract class StringArrayExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
+  override def nullable: Boolean = true
+}
+
+/** array<long> of `numHashes` MinHash components: component j is
+  * min over the (deduplicated upstream) shingles s of the chained
+  * xxhash64(s, j). Null for an empty shingle set (such docs can't be
+  * candidates — mirrors the aggregate form, where they had no rows).
+  */
+case class MinhashSignatures(child: Expression, numHashes: Int)
+    extends StringArrayExpression {
+  override def prettyName: String = "minhash_sigs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(value: Any): Any = {
+    val arr = value.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashInt(j, h1)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h1 = ctx.freshName("h1")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |      long $h1 = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |      for (int $j = 0; $j < $numHashes; $j++) {
+         |        long $h = $xxh.hashInt($j, $h1);
+         |        if ($h < $mins[$j]) $mins[$j] = $h;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over the token array (multiplicity counts): token hash
+  * bit b votes ±1; signature bit b is 1 where the vote sum is positive.
+  * Null for an empty token array.
+  */
+case class SimhashSignature(child: Expression) extends StringArrayExpression {
+  override def prettyName: String = "simhash_sig"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(value: Any): Any = {
+    val arr = value.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $votes = new int[64];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |      long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |      for (int $b = 0; $b < 64; $b++) {
+         |        $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |      }
+         |    }
+         |  }
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($votes[$b] > 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NGramShingles {
+  /** Single-pass distinct word n-grams (first-occurrence order, like
+    * array_distinct). Static so generated code makes one call per row.
+    */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+}
+
+/** Distinct word n-gram shingles from a token array in ONE pass.
+  *
+  * The higher-order-function form (`transform(sequence(...), i ->
+  * concat_ws(element_at(tokens, ...)))`) is CodegenFallback, and worse:
+  * the token-array subexpression inside the lambda is re-evaluated on
+  * EVERY element reference — with `tokens(cleanText(text))` as input
+  * that's two full regex passes over the document × n references ×
+  * (m-n+1) grams, measured at ~18 ms/row — the silent dominant cost of
+  * the entire dedup family. This kernel reads the token array once.
+  */
+case class NGramShinglesExpr(child: Expression, n: Int) extends StringArrayExpression {
+  override def prettyName: String = "ngram_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(value: Any): Any =
+    NGramShingles.compute(value.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val helper = "graft.expressions.NGramShingles"
+      s"${ev.value} = $helper.compute($a, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API surface. */
+object TextHashExpressions {
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  private def e(col: Column): Expression = GraftBridge.expression(col)
+
+  def minhashSigs(shingles: Column, numHashes: Int): Column =
+    c(MinhashSignatures(e(shingles), numHashes))
+  def simhash(tokens: Column): Column =
+    c(SimhashSignature(e(tokens)))
+  def ngramShingles(tokens: Column, n: Int): Column =
+    c(NGramShinglesExpr(e(tokens), n))
+}

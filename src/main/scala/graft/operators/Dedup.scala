@@ -52,10 +52,11 @@ object Dedup {
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("doc_id"), explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
 
-  /** MinHash signatures: h independent hash functions simulated by salting
-    * xxhash64 with the function index; the signature component i is
-    * min over the doc's shingles of xxhash64(shingle, i). One shuffle
-    * (groupBy doc) with map-side partial min — linear in corpus size.
+  /** MinHash signatures via the AGGREGATE form (groupBy doc, 32 partial
+    * mins over the exploded shingles). Retained as the bit-compatibility
+    * oracle for the map-only kernel (DedupSpec asserts equality); the
+    * production path is [[minhashNearDups]], whose signature stage is the
+    * shuffle-free `TextHashExpressions.minhashSigs` kernel.
     */
   def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
@@ -97,23 +98,30 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol, n).cache()
-    try {
-      val out = minhashNearDupsOnShingles(sh, numHashes, bands, minJaccard)
-      // eagerly materialize the (small) verified-pair result on executors
-      // and cut its lineage, so the corpus-sized shingle cache can be
-      // released instead of staying pinned for the session lifetime
-      out.localCheckpoint(true)
-    } finally sh.unpersist()
-  }
-
-  /** LSH candidate generation + verification over a prebuilt (cached)
-    * shingle set — for callers managing the cache lifetime themselves.
-    */
-  def minhashNearDupsOnShingles(
-      sh: DataFrame, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
-    val cands = minhashCandidates(minhashSignatures(sh, numHashes), numHashes, bands)
-    jaccardOnPairs(cands, sh).filter(col("jaccard") >= minJaccard)
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    // signature stage is PURE MAP: the kernel computes all components from
+    // the per-row shingle array — no corpus-wide explode, no groupBy
+    // shuffle, no shingle cache to manage (the aggregate form shuffled
+    // |corpus| × shingles-per-doc rows just to reduce them back per doc)
+    val sigs = df.select(col(idCol).as("doc_id"),
+        graft.expressions.TextHashExpressions
+          .minhashSigs(TextFunctions.shingles(col(textCol), n), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)) :+ lit(b)): _*)
+    }
+    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cands = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // the shingle EXPLODE now happens only for verification, and
+    // jaccardOnPairs prunes it to candidate docs via leftsemi first
+    jaccardOnPairs(cands, shingleSet(df, idCol, textCol, n))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Restrict (doc_id, sh) rows to docs appearing in `pairs`. */
@@ -132,8 +140,14 @@ object Dedup {
     * a naive shingles⋈shingles-then-filter would recompute the full
     * intersection matrix and discard most of it.
     */
-  def jaccardOnPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
-    val candSh = shinglesOfCandidates(pairs, shingles)
+  def jaccardOnPairs(pairs0: DataFrame, shingles: DataFrame): DataFrame = {
+    // both intermediates are CANDIDATE-bounded (pairs, and the shingles of
+    // candidate docs) and each feeds 2-3 downstream sub-plans; eager
+    // materialization stops the band self-join and the corpus shingle
+    // explode from re-executing per reference — without it the candidate
+    // plan ran ~4× (measured 3× slowdown at sf0.1)
+    val pairs = pairs0.localCheckpoint(true)
+    val candSh = shinglesOfCandidates(pairs, shingles).localCheckpoint(true)
     val counts = candSh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = pairs
       .join(candSh.as("sa"), col("da") === col("sa.doc_id"))
@@ -156,12 +170,11 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.05): DataFrame =
-    // the shingle set feeds three sub-plans (both join sides + the per-doc
-    // counts); eagerly materializing it once on executors replaces three
-    // scan+clean+explode passes — callers of this form always bound the
-    // doc set, so the checkpoint is small
-    ngramJaccardOnShingles(
-      shingleSet(df, idCol, textCol, n).localCheckpoint(true), minJaccard)
+    // the shingle set feeds three sub-plans; with the single-pass shingle
+    // kernel the recompute is cheap scan+map work, and NOT materializing
+    // keeps the declarative plan intact (filter pushdown visible, Catalyst
+    // free to reuse the exchange)
+    ngramJaccardOnShingles(shingleSet(df, idCol, textCol, n), minJaccard)
 
   /** Same, over a prebuilt (doc_id, sh) set — callers that also run the
     * MinHash path can share one (cached) shingle explode between both.
@@ -184,10 +197,24 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens of cleaned text: each token's
     * xxhash64 votes ±1 per bit position; the signature bit is 1 where the
-    * vote sum is positive. Pure column expressions (64 conditional sums in
-    * one aggregation) — codegen-friendly, one shuffle on doc_id.
+    * vote sum is positive. ONE map-only codegen kernel over the per-row
+    * token array — no explode, no 64-aggregate groupBy shuffle (that wide
+    * aggregation was both the largest shuffle of the simhash path and the
+    * round-2 bench's codegen-compile suspect).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      graft.expressions.TextHashExpressions.simhash(
+        TextFunctions.tokens(graft.functions.CleanFunctions.cleanText(col(textCol))))
+        .as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** SimHash via the AGGREGATE form (explode + 64 conditional sums) —
+    * retained as the bit-compatibility oracle for the kernel (DedupSpec
+    * asserts equality).
+    */
+  private[graft] def simhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(
       col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(graft.functions.CleanFunctions.cleanText(col(textCol)))).as("tok"))

@@ -58,6 +58,34 @@ class DedupSpec extends SparkSpec {
     assert(mh == brute)
   }
 
+  test("minhash kernel signatures are bit-identical to the aggregate oracle form") {
+    import graft.functions.TextFunctions
+    val df = docs(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")),
+      (2L, (5 to 30).map(i => s"w$i").mkString(" ")),
+      (3L, "short doc here indeed"))
+    val kernel = df.select(col("doc_id"),
+        graft.expressions.TextHashExpressions
+          .minhashSigs(TextFunctions.shingles(col("text"), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Dedup.minhashSignatures(Dedup.shingleSet(df, "doc_id", "text", 3), 16)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
+    assert(kernel.keySet == agg.keySet)
+    kernel.foreach { case (id, sig) => assert(sig == agg(id), s"doc $id") }
+  }
+
+  test("simhash kernel signature is bit-identical to the aggregate oracle form") {
+    val df = docs(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, "one two three two one"),
+      (3L, "<b>Html!</b> and punctuation..."))
+    val kernel = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashAgg(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == agg)
+  }
+
   test("simhash: near-identical docs have small hamming distance, unrelated large") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val df = docs((1L, base), (2L, base + " tail"), (3L, (1 to 60).map(i => s"z$i").mkString(" ")))
