@@ -64,28 +64,6 @@ object Dedup {
     shingles.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: split the signature into `bands` bands of equal width and
-    * hash each band; docs sharing any band hash become candidate pairs.
-    * The band self-join is the only join, and it is an equi-join on
-    * (band_idx, band_hash) — bucket-local, never all-pairs.
-    */
-  def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-      xxhash64(cols :+ lit(b): _*)
-    }
-    val banded = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-  }
-
   /** End-to-end MinHash+LSH near-dup candidates with exact-Jaccard
     * verification of candidates only (the standard two-phase design:
     * cheap recall-oriented banding, then precise filtering on the
