@@ -743,6 +743,55 @@ object Queries {
         .orderBy("win_start", "event_type")
     }),
 
+    // session windows, driver-graded: the availableNow stream sessionizes
+    // per user (gap 10 min) in APPEND mode — only watermark-finalized
+    // sessions are emitted, i.e. sessions ending strictly before
+    // max(ts) - 5 min — and DuckDB rebuilds the identical session set with
+    // a gaps-and-islands query (break when ts - lag(ts) >= gap, end =
+    // last ts + gap) under the same finalization cutoff
+    "q62_stream_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sessions = graft.streaming.StreamingOps.sessionCounts(
+        ev, "ts", "user_id", gap = "10 minutes", watermark = "5 minutes")
+      val q = sessions.writeStream.format("memory").queryName("graft_q62_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q62_sink")
+        .select(col("session_start").cast(TimestampNTZType).as("session_start"),
+          col("session_end").cast(TimestampNTZType).as("session_end"),
+          col("user_id"), col("n"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // streaming exact dedup, driver-graded: watermark-bounded
+    // dropDuplicates over an availableNow stream must equal batch DISTINCT
+    // on the same key columns (single file batch → watermark starts at 0,
+    // nothing is late, so stream == batch exactly)
+    "q63_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = graft.streaming.StreamingOps.dedupStream(
+        ev, Seq("user_id", "event_type"), "ts", watermark = "5 minutes")
+      val q = deduped.writeStream.format("memory").queryName("graft_q63_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q63_sink")
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast(TimestampNTZType).as("ts"))
+        .orderBy("user_id", "event_type", "ts")
+    }),
+
     // skew-safe two-phase salted aggregation, graded against the plain
     // one-shuffle groupBy semantics in DuckDB: the decomposable sums run
     // on exact DECIMAL (addition order across salt partials then doesn't
@@ -992,6 +1041,25 @@ object Queries {
     "q61_stream_window" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // gaps-and-islands sessionization: break when the gap to the previous
+    // event is >= 10 min (Spark merges sessions only when the next event
+    // starts strictly inside the previous window), session end = last
+    // event + gap; append-mode finalization keeps only sessions ending
+    // strictly before max(ts) - 5 min (the final watermark)
+    "q62_stream_sessions" ->
+      """WITH o AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+        |       THEN 1 ELSE 0 END AS brk FROM events),
+        |g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM o),
+        |s AS (SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL '10 minutes' AS session_end, count(*) AS n
+        |      FROM g GROUP BY user_id, grp)
+        |SELECT session_start, session_end, user_id, n FROM s
+        |WHERE session_end < (SELECT max(ts) - INTERVAL '5 minutes' FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q63_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, ts FROM events
+        |ORDER BY user_id, event_type, ts""".stripMargin,
     "q59_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
