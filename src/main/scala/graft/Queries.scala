@@ -792,6 +792,37 @@ object Queries {
         .orderBy("user_id", "event_type", "ts")
     }),
 
+    // mapGroupsWithState (the custom-state pattern), driver-graded: the
+    // per-user running (count, sum) state after an availableNow stream
+    // must equal the batch groupBy aggregate. Values accumulate as exact
+    // integer cents (floor(value*100) both sides) so stream-order
+    // summation has no floating-point drift vs the oracle's sum order.
+    "q64_stream_state" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val typed = stream
+        .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
+        .as[(Long, Long)]
+      val states = graft.streaming.StreamingOps.runningPerUserCents(typed)
+      val q = states.toDF().writeStream.format("memory").queryName("graft_q64_sink")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // update mode re-emits a key per batch it appears in; a single data
+      // batch means one row per user, but dedup defensively on the final
+      // state (max event count) for robustness to batch splitting
+      s.table("graft_q64_sink")
+        .groupBy("user_id")
+        .agg(max(struct(col("events"), col("total_cents"))).as("st"))
+        .select(col("user_id"), col("st.events").as("events"),
+          col("st.total_cents").as("total_cents"))
+        .orderBy("user_id")
+    }),
+
     // skew-safe two-phase salted aggregation, graded against the plain
     // one-shuffle groupBy semantics in DuckDB: the decomposable sums run
     // on exact DECIMAL (addition order across salt partials then doesn't
@@ -827,6 +858,36 @@ object Queries {
           (abs(col("approx_n") - col("exact_n")).cast(DoubleType) /
             col("exact_n").cast(DoubleType) <= 0.05).as("approx_ok"))
         .orderBy("l_returnflag")),
+
+    // approx_percentile (GK sketch) as a HARD error gate next to q47's
+    // exact form: at 100 TB the exact ordered-statistics aggregate
+    // materializes every group's values and is unusable; the sketch with
+    // accuracy 10000 must land within 0.5% of the DuckDB-verified exact
+    // percentile (relative error bound 1/accuracy = 1e-4 — 50× margin)
+    "q65_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"))
+        .select(col("l_returnflag"),
+          dec(col("exact_p50")).as("p50"),
+          (abs(col("approx_p50") - col("exact_p50")) /
+            col("exact_p50") <= 0.005).as("approx_ok"))
+        .orderBy("l_returnflag")),
+
+    // partitioned parquet sink round-trip: write events partitioned by
+    // event_type (the storage layout low-cardinality pruning columns get
+    // at scale), read back ONE partition — the scan must prune to that
+    // directory (PartitionFilters, asserted in SinksSpec) — and the
+    // partition's contents must match DuckDB's filter of the source
+    "q66_partitioned_sink" -> ((s, dir) => {
+      val path = "/tmp/graft_q66_part"
+      graft.sinks.Sinks.writePartitioned(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        path, Seq("event_type"))
+      s.read.parquet(path).filter(col("event_type") === "click")
+        .select(col("event_id"), col("value"))
+        .orderBy("event_id")
+    }),
 
     // product-quantized ANN as a HARD recall gate, exercising the real
     // compressed-index layout: codes are persisted as their own compact
@@ -1060,6 +1121,18 @@ object Queries {
     "q63_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, ts FROM events
         |ORDER BY user_id, event_type, ts""".stripMargin,
+    "q64_stream_state" ->
+      """SELECT user_id, count(*) AS events,
+        |CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q65_approx_percentile" ->
+      """SELECT l_returnflag,
+        |CAST(CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(10,4)) AS DOUBLE) AS p50,
+        |true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q66_partitioned_sink" ->
+      """SELECT event_id, value FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
     "q59_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

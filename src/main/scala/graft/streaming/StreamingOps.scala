@@ -72,6 +72,26 @@ object StreamingOps {
 
   final case class UserRunning(user_id: Long, events: Long, total_value: Double)
 
+  final case class UserRunningCents(user_id: Long, events: Long, total_cents: Long)
+
+  /** Exact-integer variant of [[runningPerUser]] for oracle-graded runs:
+    * values arrive pre-scaled to integer cents, so the running sum is
+    * independent of stream arrival order (double accumulation would drift
+    * in the last bits vs a batch-order sum).
+    */
+  def runningPerUserCents(events: Dataset[(Long, Long)]): Dataset[UserRunningCents] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), UserRunningCents] {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var v = v0
+          rows.foreach { case (_, cents) => n += 1; v += cents }
+          state.update((n, v))
+          UserRunningCents(user, n, v)
+      }
+  }
+
   /** Per-user running aggregates via mapGroupsWithState — the custom-state
     * pattern (KeyValueGroupedDataset) for logic windowed aggs can't express.
     * State per key is O(1); partitioning is by group key, so it scales
