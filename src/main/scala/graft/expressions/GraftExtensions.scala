@@ -37,11 +37,34 @@ object GraftFunctions {
     TopKByScore(args(0), args(1), k)
   }
 
+  private def literalInt(e: Expression, what: String): Int = e match {
+    case x if x.foldable => x.eval().asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(s"$what must be a literal")
+  }
+
+  private def minhashBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"minhash_sigs(shingles, numHashes): got ${args.length} arguments")
+    MinhashSignatures(args(0), literalInt(args(1), "minhash_sigs: numHashes"))
+  }
+
+  private def simhashBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"simhash_sig(tokens): got ${args.length} arguments")
+    SimhashSignature(args(0))
+  }
+
+  private def shinglesBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"ngram_shingles(tokens, n): got ${args.length} arguments")
+    NGramShinglesExpr(args(0), literalInt(args(1), "ngram_shingles: n"))
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> binary(DotProduct) _,
     "vec_l2sq" -> binary(L2SquaredDistance) _,
     "vec_cosine" -> binary(CosineSimilarity) _,
-    "topk_by_score" -> (topkBuilder _))
+    "topk_by_score" -> (topkBuilder _),
+    "ngram_shingles" -> (shinglesBuilder _),
+    "minhash_sigs" -> (minhashBuilder _),
+    "simhash_sig" -> (simhashBuilder _))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -18,6 +18,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("text-hash kernels evaluate through spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT ngram_shingles(array('a','b','c','d'), 3) AS sh,
+        |       minhash_sigs(array('x','y'), 4) AS mh,
+        |       simhash_sig(array('one','two','one')) AS sim""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](1).length == 4)
+    // same inputs through the Column API must agree bit-for-bit
+    import org.apache.spark.sql.functions._
+    val viaCols = spark.range(1).select(
+      TextHashExpressions.minhashSigs(
+        array(lit("x"), lit("y")), 4).as("mh"),
+      TextHashExpressions.simhash(
+        array(lit("one"), lit("two"), lit("one"))).as("sim")).head()
+    assert(r.getSeq[Long](1) == viaCols.getSeq[Long](0))
+    assert(r.getLong(2) == viaCols.getLong(1))
+  }
+
   test("wrong arity gives a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
@@ -43,6 +63,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared with register()
     assert(GraftFunctions.all.map(_._1) ==
-      Seq("vec_dot", "vec_l2sq", "vec_cosine", "topk_by_score"))
+      Seq("vec_dot", "vec_l2sq", "vec_cosine", "topk_by_score",
+        "ngram_shingles", "minhash_sigs", "simhash_sig"))
   }
 }
