@@ -889,6 +889,35 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // the IVF scale story demonstrated end-to-end, not just documented:
+    // the assigned corpus is WRITTEN PARTITIONED BY CLUSTER, and a probe
+    // reads only the nprobe cluster directories (partition-pruned scan —
+    // the plan must show PartitionFilters, asserted via the explain text)
+    // then runs exact top-k inside them. Gates: the pruned-scan search
+    // equals the in-memory ivfSearch result exactly, and the scan really
+    // pruned (both pinned true by the oracle).
+    "q67_ivf_partitioned" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val idx = Ann.ivfBuild(corpus, "vec_id", "embedding",
+        nlist = 16, seed = 42L, maxIter = 25, fitSample = 1.0)
+      val path = "/tmp/graft_q67_ivf"
+      idx.assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+      val qv = queryVec(s, dir)
+      val probes = Ann.rankClusters(idx.centers, qv).take(4)
+      val pruned = s.read.parquet(path).filter(col("cluster").isin(probes: _*))
+      val prunedPlan = pruned.queryExecution.executedPlan.toString
+      val prunedOk = prunedPlan.contains("PartitionFilters") &&
+        prunedPlan.contains("cluster")
+      val viaDisk = Similarity.topK(pruned, "vec_id", "embedding", qv, 10, Similarity.L2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaMem = Ann.ivfSearch(idx, qv, k = 10, nprobe = 4, Similarity.L2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      Seq(("ivf_partitioned", 10, viaDisk == viaMem, prunedOk))
+        .toDF("method", "k", "match_ok", "pruned_scan_ok")
+    }),
+
     // product-quantized ANN as a HARD recall gate, exercising the real
     // compressed-index layout: codes are persisted as their own compact
     // table and the ADC shortlist scans (id, code) ONLY — the raw vectors
@@ -1154,6 +1183,8 @@ object Queries {
          |FROM b ORDER BY name""".stripMargin,
     "q51_ann_pq" ->
       "SELECT 'pq' AS method, CAST(10 AS INTEGER) AS k, true AS recall_ok",
+    "q67_ivf_partitioned" ->
+      "SELECT 'ivf_partitioned' AS method, CAST(10 AS INTEGER) AS k, true AS match_ok, true AS pruned_scan_ok",
     // Mirrors SecEtl.clean's per-(Ticker, Name) dedup with the SAME
     // value-column tiebreak (CSV column order, ascending, nulls first —
     // Spark's default sort-null placement; DuckDB's ASC default is NULLS

@@ -64,21 +64,26 @@ object Ann {
     IvfIndex(assigned, centers, idCol, vecCol)
   }
 
-  /** IVF search: rank clusters by centroid distance on the driver (nlist is
-    * small), then run exact top-k inside the nprobe nearest clusters only.
+  /** Cluster ids ranked by centroid L2 distance to the query (driver-side:
+    * nlist is small). The prefix of this ranking is the probe set.
     */
-  def ivfSearch(
-      index: IvfIndex, query: Array[Float], k: Int,
-      nprobe: Int = 8, metric: Similarity.Metric = Similarity.Cosine): DataFrame = {
+  def rankClusters(centers: Array[Array[Double]], query: Array[Float]): Array[Int] = {
     val qd = query.map(_.toDouble)
     def l2sq(c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < c.length) { val d = c(i) - qd(i); s += d * d; i += 1 }
       s
     }
-    val probes = index.centers.zipWithIndex
-      .sortBy { case (c, i) => (l2sq(c), i) }
-      .take(nprobe).map(_._2)
+    centers.zipWithIndex.sortBy { case (c, i) => (l2sq(c), i) }.map(_._2)
+  }
+
+  /** IVF search: rank clusters by centroid distance on the driver (nlist is
+    * small), then run exact top-k inside the nprobe nearest clusters only.
+    */
+  def ivfSearch(
+      index: IvfIndex, query: Array[Float], k: Int,
+      nprobe: Int = 8, metric: Similarity.Metric = Similarity.Cosine): DataFrame = {
+    val probes = rankClusters(index.centers, query).take(nprobe)
     val pruned = index.assigned.filter(col("cluster").isin(probes: _*))
     Similarity.topK(pruned, index.idCol, index.vecCol, query, k, metric)
   }
