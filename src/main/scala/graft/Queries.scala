@@ -485,6 +485,32 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // backward as-of with max-staleness tolerance (merge_asof tolerance):
+    // matches older than 1 hour before the event are nulled
+    "q68_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts")).distinct()
+      graft.operators.TemporalJoins.asofJoinTolerance(
+          ev.select("event_id", "user_id", "ts"), signups,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightVals = Seq(), tolerance = expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("user_id"), col("asof_ts").as("signup_ts"))
+        .orderBy("event_id")
+    }),
+
+    // forward as-of: earliest signup at-or-after each event, per user
+    "q69_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts")).distinct()
+      graft.operators.TemporalJoins.asofJoinForward(
+          ev.select("event_id", "user_id", "ts"), signups,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts", rightVals = Seq())
+        .select(col("event_id"), col("user_id"), col("asof_ts").as("next_signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // bucketed range join: events of users 0-4 inside 5-minute windows
     // opened by events of users 5-7 (chunked equi-join, no nested loop)
     "q42_range_join" -> ((s, dir) => {
@@ -1273,6 +1299,21 @@ object Queries {
         |FROM events l ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+    "q68_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id,
+        |  CASE WHEN r.ts >= l.ts - INTERVAL '1 hour' THEN r.ts END AS signup_ts
+        |FROM events l ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+    // forward as-of via explicit earliest-at-or-after selection (QUALIFY
+    // keeps unmatched left rows: their single null-match row ranks 1)
+    "q69_asof_forward" ->
+      """SELECT event_id, user_id, next_signup_ts FROM (
+        |  SELECT l.event_id, l.user_id, r.ts AS next_signup_ts,
+        |    row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts ASC NULLS LAST) AS rn
+        |  FROM events l LEFT JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND r.ts >= l.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q42_range_join" ->
       """SELECT l.event_id, r.event_id AS itv_id
         |FROM (SELECT event_id, ts FROM events WHERE user_id < 5) l

@@ -64,6 +64,67 @@ object TemporalJoins {
     carried.select(leftOut ++ rightOut: _*)
   }
 
+  /** Backward as-of with a max-staleness tolerance (pandas merge_asof's
+    * `tolerance`, kdb `wj` windows): a match older than `tolerance` before
+    * the left timestamp is nulled out instead of attached. Same single
+    * shuffle as [[asofJoin]]; the tolerance is a pure post-filter column
+    * map.
+    */
+  def asofJoinTolerance(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightVals: Seq[String], tolerance: Column): DataFrame = {
+    val joined = asofJoin(left, right, keys, leftTs, rightTs, rightVals)
+    val fresh = col(s"asof_$rightTs").isNotNull &&
+      col(s"asof_$rightTs") >= col(leftTs) - tolerance
+    (rightTs +: rightVals).foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+    }
+  }
+
+  /** Forward as-of join: for every left row, the EARLIEST right row with
+    * `right.ts >= left.ts` per key (ties at equal ts match, mirroring the
+    * backward form). Same tagged-union single-shuffle design, with the
+    * window mirrored: left rows sort before right rows at equal ts and the
+    * first non-null right payload in the following frame is taken.
+    */
+  def asofJoinForward(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightVals: Seq[String]): DataFrame = {
+    val tiebreak = if (rightVals.isEmpty) Seq(col(rightTs)) else rightVals.map(col)
+    val rightUniq = Dedup.firstRowByKey(
+      right.select((keys :+ rightTs) ++ rightVals map col: _*),
+      keys :+ rightTs, tiebreak)
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__r", lit(0))
+      .withColumn("__lrow", struct(leftCols.map(col): _*))
+      .withColumn("__rrow", lit(null).cast(
+        rightUniq.select(struct((rightTs +: rightVals).map(col): _*)).schema.head.dataType))
+      .select((keys.map(col) ++ Seq(col("__ts"), col("__r"), col("__lrow"), col("__rrow"))): _*)
+    val r = rightUniq
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__r", lit(1))
+      .withColumn("__lrow", lit(null).cast(
+        left.select(struct(leftCols.map(col): _*)).schema.head.dataType))
+      .withColumn("__rrow", struct((rightTs +: rightVals).map(col): _*))
+      .select((keys.map(col) ++ Seq(col("__ts"), col("__r"), col("__lrow"), col("__rrow"))): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__r").asc) // left first at equal ts → its following frame includes the tie
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = l.unionByName(r)
+      .withColumn("__match", first(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__r") === 0)
+
+    val leftOut = leftCols.map(c => col(s"__lrow.$c").as(c))
+    val rightOut = (rightTs +: rightVals).map(c => col(s"__match.$c").as(s"asof_$c"))
+    carried.select(leftOut ++ rightOut: _*)
+  }
+
   /** Range join: pairs (left, right) with `left.point` inside
     * `[right.start, right.end]`. A plain BETWEEN join falls back to a
     * nested-loop in Spark; bucketing time into `bucket`-sized chunks and

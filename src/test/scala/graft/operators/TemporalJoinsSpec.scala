@@ -27,6 +27,43 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100.0), (2L, 200.0), (3L, null), (4L, 300.0)))
   }
 
+  test("asofJoinForward picks the earliest right row at-or-after each left row per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 11:00:00")),  // after all right → null
+      (3L, "u1", ts("2024-01-01 09:00:00")),
+      (4L, "u2", ts("2024-01-01 10:30:00")))  // exact tie → matches (>=)
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 100.0),
+      ("u1", ts("2024-01-01 10:30:00"), 200.0),
+      ("u2", ts("2024-01-01 10:30:00"), 300.0))
+      .toDF("k", "rt", "v")
+    val out = TemporalJoins.asofJoinForward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("id").collect()
+    val got = out.map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 200.0), (2L, null), (3L, 100.0), (4L, 300.0)))
+  }
+
+  test("asofJoinTolerance nulls matches staler than the tolerance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),   // match at 09:30 → fresh (30 min)
+      (2L, "u1", ts("2024-01-01 12:00:00")))   // match at 10:30 → stale (90 min)
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 100.0),
+      ("u1", ts("2024-01-01 10:30:00"), 200.0))
+      .toDF("k", "rt", "v")
+    val out = TemporalJoins.asofJoinTolerance(
+        left, right, Seq("k"), "t", "rt", Seq("v"), expr("INTERVAL 1 HOUR"))
+      .orderBy("id").collect()
+    val got = out.map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 100.0), (2L, null)))
+  }
+
   test("asofJoin matches a brute-force computation on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
