@@ -580,6 +580,50 @@ object Queries {
         count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // CUBE: all grouping-set combinations in one pass (q48 covers ROLLUP)
+    "q70_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem").cube("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // PIVOT: one column per event type (explicit value list keeps the
+    // schema static — required at scale, where an inferred pivot pays an
+    // extra distinct scan); missing combos coalesce to 0 to match the
+    // FILTER-aggregate form
+    "q71_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = t(s, dir, "events").groupBy("user_id").pivot("event_type", types).count()
+      p.select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy("user_id")
+    }),
+
+    // analytic window functions: per-user running total (exact integer
+    // cents — windowed double sums disagree across engines on addition
+    // order) and previous-event value
+    "q72_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("cents", floor(col("value") * 100).cast(LongType))
+        .select(col("event_id"), col("user_id"),
+          sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_cents"),
+          lag(col("cents"), 1).over(w).as("prev_cents"))
+        .orderBy("event_id")
+    }),
+
+    // left-semi and left-anti joins, surfaced per customer (EXISTS /
+    // NOT EXISTS semantics — no row duplication from matching orders)
+    "q73_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders").select("o_custkey")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "leftsemi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "leftanti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      semi.unionByName(anti).orderBy("c_custkey")
+    }),
+
     // temporal bucketing + component extraction
     "q49_date_agg" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1370,6 +1414,31 @@ object Queries {
     "q49_date_agg" ->
       """SELECT date_trunc('day', ts) AS day, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, hr""".stripMargin,
+    "q70_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q71_pivot" ->
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'click') AS click,
+        |count(*) FILTER (WHERE event_type = 'view') AS view,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q72_window_running" ->
+      """SELECT event_id, user_id,
+        |CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+        |lag(CAST(floor(value * 100) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q73_semi_anti" ->
+      """SELECT c_custkey,
+        |CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  THEN 'has_orders' ELSE 'no_orders' END AS status
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q50_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin
