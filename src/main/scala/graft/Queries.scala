@@ -327,7 +327,9 @@ object Queries {
     // MinHash+LSH near-dup as a HARD gate (the salted-hash minima aren't
     // DuckDB-expressible, but the gate booleans are): over the bounded doc
     // set the engine runs BOTH the LSH path and the brute shared-shingle
-    // path from ONE cached shingle explode, then checks
+    // path (each recomputes its shingles — the single-pass kernel made
+    // that cheap scan+map work, so no shared cache is worth its pinned
+    // lifetime), then checks
     //   precision: every LSH pair is a true >= 0.5-Jaccard pair
     //   recall:    LSH finds >= 80% of the true pairs (banding theory at
     //              b=8/r=4 gives ~0.96 collision at j=0.5, ~1 above)

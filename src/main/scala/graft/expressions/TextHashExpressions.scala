@@ -35,8 +35,12 @@ abstract class StringArrayExpression extends UnaryExpression {
 
 /** array<long> of `numHashes` MinHash components: component j is
   * min over the (deduplicated upstream) shingles s of the chained
-  * xxhash64(s, j). Null for an empty shingle set (such docs can't be
-  * candidates — mirrors the aggregate form, where they had no rows).
+  * xxhash64(s, j). Null when the array has NO usable element (empty or
+  * all-null — such docs can't be candidates; mirrors the aggregate form,
+  * where they had no rows). Null ELEMENTS are skipped, which diverges
+  * from the aggregate oracle (xxhash64 skips null children, contributing
+  * hashInt(j, 42)) — our shingle/token producers never emit null
+  * elements, and skipping beats emitting a degenerate constant component.
   */
 case class MinhashSignatures(child: Expression, numHashes: Int)
     extends StringArrayExpression {
@@ -46,11 +50,12 @@ case class MinhashSignatures(child: Expression, numHashes: Int)
   override def nullSafeEval(value: Any): Any = {
     val arr = value.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var found = false
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        found = true
         val s = arr.getUTF8String(i)
         val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var j = 0
@@ -62,7 +67,11 @@ case class MinhashSignatures(child: Expression, numHashes: Int)
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    // no usable shingles (empty OR all-null array) → null, same as a doc
+    // with no rows in the aggregate form. Emitting the Long.MaxValue fill
+    // here would give every such row one degenerate signature and collapse
+    // the candidate join toward all-pairs for that stratum.
+    if (!found) null else new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -70,6 +79,7 @@ case class MinhashSignatures(child: Expression, numHashes: Int)
       val xxh = classOf[XXH64].getName
       val n = ctx.freshName("n")
       val mins = ctx.freshName("mins")
+      val found = ctx.freshName("found")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
@@ -77,21 +87,23 @@ case class MinhashSignatures(child: Expression, numHashes: Int)
       val h = ctx.freshName("h")
       s"""
          |int $n = $a.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long[] $mins = new long[$numHashes];
-         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if (!$a.isNullAt($i)) {
-         |      org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |      long $h1 = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
-         |      for (int $j = 0; $j < $numHashes; $j++) {
-         |        long $h = $xxh.hashInt($j, $h1);
-         |        if ($h < $mins[$j]) $mins[$j] = $h;
-         |      }
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $found = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $found = true;
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    long $h1 = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $h = $xxh.hashInt($j, $h1);
+         |      if ($h < $mins[$j]) $mins[$j] = $h;
          |    }
          |  }
+         |}
+         |if (!$found) {
+         |  ${ev.isNull} = true;
+         |} else {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |}
        """.stripMargin
@@ -112,11 +124,12 @@ case class SimhashSignature(child: Expression) extends StringArrayExpression {
   override def nullSafeEval(value: Any): Any = {
     val arr = value.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
     val votes = new Array[Int](64)
+    var found = false
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        found = true
         val s = arr.getUTF8String(i)
         val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var b = 0
@@ -127,6 +140,9 @@ case class SimhashSignature(child: Expression) extends StringArrayExpression {
       }
       i += 1
     }
+    // no usable tokens (empty or all-null array) → null, not the constant
+    // all-zero signature that would hamming-collide all such docs
+    if (!found) return null
     var sig = 0L
     var b = 0
     while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
@@ -138,6 +154,7 @@ case class SimhashSignature(child: Expression) extends StringArrayExpression {
       val xxh = classOf[XXH64].getName
       val n = ctx.freshName("n")
       val votes = ctx.freshName("votes")
+      val found = ctx.freshName("found")
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
       val s = ctx.freshName("s")
@@ -145,19 +162,21 @@ case class SimhashSignature(child: Expression) extends StringArrayExpression {
       val sig = ctx.freshName("sig")
       s"""
          |int $n = $a.numElements();
-         |if ($n == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  int[] $votes = new int[64];
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if (!$a.isNullAt($i)) {
-         |      org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |      long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
-         |      for (int $b = 0; $b < 64; $b++) {
-         |        $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
-         |      }
+         |int[] $votes = new int[64];
+         |boolean $found = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $found = true;
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |    long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
          |    }
          |  }
+         |}
+         |if (!$found) {
+         |  ${ev.isNull} = true;
+         |} else {
          |  long $sig = 0L;
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ($votes[$b] > 0) $sig |= (1L << $b);

@@ -59,7 +59,12 @@ object Ann {
       nlist: Int = 100, seed: Long = 42L, maxIter: Int = 20,
       fitSample: Double = 1.0, maxFitPoints: Int = 1 << 16): IvfIndex = {
     val sample = KMeansLite.sampleVectors(corpus, vecCol, fitSample, maxFitPoints, seed)
+    // round the trained centroids to float precision ONCE: assignment
+    // (float kernel bank) and probe ranking (driver-side doubles) must see
+    // the same centroid geometry, or a boundary vector can be assigned to
+    // a cell the probe ranking orders differently — a silent recall leak
     val centers = KMeansLite.fit(sample, nlist, maxIter, seed)
+      .map(_.map(v => v.toFloat.toDouble))
     val assigned = corpus.withColumn("cluster", nearestCentroidExpr(col(vecCol), centers))
     IvfIndex(assigned, centers, idCol, vecCol)
   }

@@ -17,17 +17,20 @@ object Shuffle {
     * combines the partials per key. Supports the decomposable aggregates
     * (count / sum); results are identical to a direct groupBy.
     *
-    * The salt is CONTENT-derived (xxhash64 over the full row), not
-    * placement-derived (`spark_partition_id + monotonically_increasing_id`
-    * changes under retries/repartition — harmless for decomposable
-    * aggregates but nondeterministic for anything order-sensitive built on
-    * the same pattern). Duplicate rows share a salt; real skewed data has
-    * enough value variation to spread.
+    * The salt is deliberately PLACEMENT-derived. A content-derived salt
+    * (xxhash64 over the row) reads as more deterministic but collapses on
+    * the canonical skew shape — a hot key whose rows are IDENTICAL
+    * (heartbeats, default-valued events): every duplicate hashes to one
+    * salt and the single-reducer hotspot returns. The salt value never
+    * reaches the result (phase 2 sums it away, and count/sum are
+    * decomposable), so retries changing the placement salt cannot change
+    * the answer; operators needing an order-sensitive salt must derive
+    * their own.
     */
   def saltedCountSum(
       df: DataFrame, keys: Seq[String], sumCol: String, salts: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts)))
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__cnt"), sum(col(sumCol)).as("__sum"))

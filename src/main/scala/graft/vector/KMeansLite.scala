@@ -130,12 +130,22 @@ object KMeansLite {
   /** Collect a bounded, seeded training sample of an `array<float>` column
     * as driver-side double vectors. `fraction` trims the scan volume;
     * `maxPoints` hard-caps driver memory no matter the corpus size.
+    *
+    * When the cap binds, the excess is shed by a seeded RANDOM sample, not
+    * a `limit` — a limit is a partition-scan-order prefix, and on any
+    * corpus whose storage order correlates with vector space (sorted or
+    * partitioned writes — e.g. a corpus previously written partitionBy
+    * cluster) a prefix trains degenerate, region-local centroids while
+    * still claiming to be representative.
     */
   def sampleVectors(
       df: org.apache.spark.sql.DataFrame, vecCol: String,
       fraction: Double, maxPoints: Int, seed: Long): Array[Array[Double]] = {
-    val base = if (fraction < 1.0) df.sample(fraction, seed) else df
-    base.select(vecCol).limit(maxPoints).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val base = (if (fraction < 1.0) df.sample(fraction, seed) else df).select(vecCol)
+    val n = base.count()
+    val bounded =
+      if (n <= maxPoints) base
+      else base.sample(maxPoints.toDouble * 1.2 / n, seed).limit(maxPoints)
+    bounded.collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
   }
 }

@@ -1,5 +1,6 @@
 #!/bin/bash
 # Run graft.BenchSome against a scale dir using the sbt-compiled classes.
+cd "$(dirname "$0")/.."
 :
 :
 :
