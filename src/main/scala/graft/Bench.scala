@@ -32,8 +32,16 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // untimed: release caches and localCheckpoint RDDs the query left
+      // behind — 73 queries accumulating storage in one 8-16g JVM turn
+      // into GC pressure that bills later queries for earlier ones'
+      // leftovers (r04: q52 17.3s in-bench vs 6.1s isolated)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // -1 keeps failures machine-detectable in the JSON contract
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

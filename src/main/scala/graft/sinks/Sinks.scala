@@ -63,15 +63,28 @@ object Sinks {
     * compare), catching quoting/typing corruption a bare count would miss.
     */
   def writeCsvVerified(df: DataFrame, path: String): DataFrame = {
-    val n = df.count()
+    import org.apache.spark.sql.functions._
     writeSingleCsv(df, path)
     val back = readBackCsv(df.sparkSession, path, df.schema)
-    val m = back.count()
+    // Count both sides AND the multiset symmetric difference in ONE job:
+    // tag written rows +1 and read-back rows -1, group by the full row,
+    // and aggregate. The naive form (count + count + exceptAll ×2) costs
+    // four jobs — pure fixed overhead on small exports, and four extra
+    // full passes at scale.
+    val cols = df.columns.toSeq
+    val tagged = df.select(cols.map(col) :+ lit(1).as("__tag"): _*)
+      .unionAll(back.select(cols.map(col) :+ lit(-1).as("__tag"): _*))
+    val row = tagged.groupBy(cols.map(col): _*)
+      .agg(sum(col("__tag")).as("__d"),
+        count(when(col("__tag") === 1, 1)).as("__n"),
+        count(when(col("__tag") === -1, 1)).as("__m"))
+      .agg(sum(abs(col("__d"))).as("mismatch"),
+        sum(col("__n")).as("n"), sum(col("__m")).as("m"))
+      .head()
+    val (mismatch, n, m) = (row.getLong(0), row.getLong(1), row.getLong(2))
     require(m == n, s"read-back count $m != written count $n at $path")
-    val missing = df.exceptAll(back).count()
-    val extra = back.exceptAll(df).count()
-    require(missing == 0 && extra == 0,
-      s"read-back content mismatch at $path: $missing missing / $extra extra rows")
+    require(mismatch == 0,
+      s"read-back content mismatch at $path: $mismatch rows differ between written and read-back multisets")
     back
   }
 }
