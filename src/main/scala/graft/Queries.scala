@@ -626,6 +626,84 @@ object Queries {
       semi.unionByName(anti).orderBy("c_custkey")
     }),
 
+    // explicit GROUPING SETS (finer than rollup/cube: the exact ensemble
+    // list) with grouping_id disambiguating which ensemble each row is from
+    "q74_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast(IntegerType).as("gid"),
+          count(lit(1)).as("n"), dec(sum(col("l_quantity")), 18).as("qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // full outer join with coalesced keys: overlapping-but-distinct key
+    // ranges exercise left-only, right-only, and matched rows
+    "q75_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_name"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_custkey") > 250 && col("o_custkey") <= 750)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          coalesce(col("c_name"), lit("(no customer)")).as("name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    }),
+
+    // generator/UDTF surface: posexplode of the tokenizer's output —
+    // one (pos, token) row per token, the lateral-view shape every
+    // token-level pipeline stage (n-grams, tagging) builds on
+    "q76_explode_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 50 && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")),
+
+    // map-typed column functions: JSON props → map<string,int>, then
+    // size / sorted-keys / element_at — the semi-structured column surface
+    "q77_map_functions" -> ((s, dir) => {
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      t(s, dir, "events").select(
+          col("event_id"),
+          size(m).as("nkeys"),
+          array_join(array_sort(map_keys(m)), ",").as("keys"),
+          element_at(m, "k").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // time-based RANGE window frame: per-user sliding 10-minute aggregate
+    // ordered by event time — the frame spec rows-based windows can't
+    // express (peers at equal ts are included on both engines)
+    "q78_window_range" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("graft_q78_events")
+      s.sql(
+        """SELECT event_id,
+          |  count(*) OVER w AS n_10m,
+          |  CAST(CAST(round(sum(value) OVER w, 4) AS DECIMAL(14,4)) AS DOUBLE) AS sum_10m
+          |FROM graft_q78_events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)
+    }),
+
+    // correlated EXISTS / NOT EXISTS subqueries through the SQL surface —
+    // Catalyst rewrites both to semi/anti joins (q73 is the DataFrame-level
+    // equivalent; this grades the subquery-decorrelation path)
+    "q79_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_q79_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_q79_orders")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name FROM graft_q79_customer c
+          |WHERE EXISTS (SELECT 1 FROM graft_q79_orders o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_q79_orders o2
+          |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
     // temporal bucketing + component extraction
     "q49_date_agg" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1441,6 +1519,49 @@ object Queries {
         |CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |  THEN 'has_orders' ELSE 'no_orders' END AS status
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q74_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  CAST(CAST(round(sum(l_quantity), 4) AS DECIMAL(18,4)) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q75_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  coalesce(c.c_name, '(no customer)') AS name,
+        |  coalesce(o.n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_custkey > 250 AND o_custkey <= 750 GROUP BY 1) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q76_explode_tokens" ->
+      """SELECT doc_id, generate_subscripts(lst, 1) - 1 AS pos, unnest(lst) AS token
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS lst
+        |      FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q77_map_functions" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS nkeys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q78_window_range" ->
+      """SELECT event_id,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(CAST(round(sum(value) OVER w, 4) AS DECIMAL(14,4)) AS DOUBLE) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q79_exists_subquery" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |ORDER BY c.c_custkey""".stripMargin,
     "q50_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin
