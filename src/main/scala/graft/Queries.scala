@@ -704,6 +704,157 @@ object Queries {
           |ORDER BY c.c_custkey""".stripMargin)
     }),
 
+    // ORC sink + scan round-trip: the engine's second columnar format;
+    // the oracle reads the parquet source, so a type or value corruption
+    // anywhere in the ORC write/read path breaks the hash
+    "q80_orc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      graft.sinks.Sinks.writeOrc(src, "/tmp/graft_q80_orc")
+      graft.sinks.Sinks.readOrc(s, "/tmp/graft_q80_orc").orderBy("s_suppkey")
+    }),
+
+    // bucketed co-located join (Shuffle.writeBucketed): both sides written
+    // bucketed+sorted by user_id, so the forced sort-merge join runs with
+    // NO shuffle exchange — the no_shuffle_join flag is asserted from the
+    // executed plan and pinned true by the oracle
+    "q81_bucketed_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("user_id", "value")
+      val users = t(s, dir, "events").groupBy("user_id")
+        .agg(max(col("ts")).as("last_ts"))
+      s.sql("DROP TABLE IF EXISTS graft_q81_ev")
+      s.sql("DROP TABLE IF EXISTS graft_q81_users")
+      // the catalog is session-scoped but the warehouse is not: a prior
+      // session's table location survives the DROP (which only knows the
+      // current catalog) and fails saveAsTable with LOCATION_ALREADY_EXISTS
+      for (tbl <- Seq("graft_q81_ev", "graft_q81_users")) {
+        val loc = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
+      graft.operators.Shuffle.writeBucketed(ev, "graft_q81_ev", "user_id", 8)
+      graft.operators.Shuffle.writeBucketed(users, "graft_q81_users", "user_id", 8)
+      val joined = s.table("graft_q81_ev").hint("merge")
+        .join(s.table("graft_q81_users"), "user_id")
+      val noShuffle = !graft.operators.Shuffle.hasShuffle(joined)
+      joined.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dec(sum(col("value")), 18).as("total"),
+          max(col("last_ts")).as("last_ts"))
+        .withColumn("no_shuffle_join", lit(noShuffle))
+        .orderBy("user_id")
+    }),
+
+    // salted join (Shuffle.saltForJoin): hot-key fact side spread over 8
+    // salts, dimension replicated per salt — result must equal the plain
+    // join (the salt never reaches the output)
+    "q82_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "event_type")
+      val dim = t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"))
+      val (big, small) = graft.operators.Shuffle.saltForJoin(ev, dim, salts = 8)
+      big.join(small, Seq("event_type", "__salt"))
+        .select(col("event_id"), col("event_type"), col("type_n"))
+        .orderBy("event_id")
+    }),
+
+    // stream-stream interval join: purchases within 30 minutes after a
+    // click by the same user, watermarked on both sides (bounded state);
+    // inner-join emission doesn't wait on the watermark, so the
+    // availableNow run over the static drop equals DuckDB's batch join
+    "q83_stream_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream() = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = stream().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val purchases = stream().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        clicks, "click_ts", purchases, "purchase_ts",
+        "user_id", "p_user", span = "30 minutes", watermark = "10 minutes")
+      val q = joined.writeStream.format("memory").queryName("graft_q83_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q83_sink")
+        .select(col("click_id"), col("purchase_id"),
+          col("click_ts").cast(TimestampNTZType).as("click_ts"),
+          col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
+    // IVF-bucketed cosine near-dup JOIN (Ann.ivfNearDupJoin) — the
+    // ANN-join scale path, graded with the q53 plant construction:
+    // ×2-scaled copies produce bit-identical unit vectors → same quantizer
+    // cell with probability 1, and only planted pairs clear the 0.9 floor
+    // (margin asserted on a bounded sample, as in q53)
+    "q84_ann_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sampleMax = Dedup.cosinePairs(
+          emb.filter(col("vec_id") < 400), "vec_id", "embedding", minCos = -1.0)
+        .agg(max(col("cos"))).head().getDouble(0)
+      require(sampleMax < 0.85,
+        f"q84 margin violated: max natural pairwise cosine $sampleMax%.4f >= 0.85 — " +
+          "the planted-pair construction is no longer safely separable at this SF")
+      val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0d)).cast(FloatType)).as("embedding"))
+      val pool = emb.select("vec_id", "embedding").union(planted)
+      Ann.ivfNearDupJoin(pool, "vec_id", "embedding", minCos = 0.9, seed = 42L)
+        .select(col("va"), col("vb"), dec(col("cos")).as("cos"))
+        .orderBy("va", "vb")
+    }),
+
+    // count-min sketch: per-type estimates from one mergeable sketch pass
+    // must respect the CMS guarantee (overcount-only, within eps·N);
+    // the boolean is pinned true by the oracle, the exact counts are
+    // DuckDB-verified values
+    "q85_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val eps = 0.001
+      val sketch = ev.stat.countMinSketch(
+        "event_type", eps = eps, confidence = 0.99, seed = 42)
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type").collect()
+      val bound = math.ceil(eps * sketch.totalCount()).toLong
+      exact.toSeq.map { r =>
+        val (tpe, n) = (r.getString(0), r.getLong(1))
+        val est = sketch.estimateCount(tpe)
+        (tpe, n, est >= n && est <= n + bound)
+      }.toDF("event_type", "n", "est_ok").orderBy("event_type")
+    }),
+
+    // bloom filter: membership pre-filter contract — zero false negatives
+    // over every present key, false-positive rate on absent keys within
+    // 5× the configured fpp; booleans pinned true by the oracle
+    "q86_bloom_filter" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val fpp = 0.01
+      val bf = ev.stat.bloomFilter("user_id", 1000, fpp)
+      val present = ev.select("user_id").distinct().collect().map(_.getLong(0))
+      val noFalseNegatives = present.forall(bf.mightContainLong)
+      val absentStart = present.max + 1
+      val trials = 10000
+      val fpCount =
+        (absentStart until absentStart + trials).count(bf.mightContainLong)
+      val fpOk = fpCount <= (trials * fpp * 5).toInt
+      Seq((present.length, noFalseNegatives, fpOk))
+        .toDF("n_keys", "no_false_negatives", "fp_ok")
+    }),
+
     // temporal bucketing + component extraction
     "q49_date_agg" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1562,6 +1713,44 @@ object Queries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
         |ORDER BY c.c_custkey""".stripMargin,
+    "q80_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q81_bucketed_join" ->
+      """WITH u AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY 1)
+        |SELECT e.user_id, count(*) AS n,
+        |  CAST(CAST(round(sum(e.value), 4) AS DECIMAL(18,4)) AS DOUBLE) AS total,
+        |  max(u.last_ts) AS last_ts, true AS no_shuffle_join
+        |FROM events e JOIN u ON e.user_id = u.user_id
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "q82_salted_join" ->
+      """WITH d AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, d.type_n
+        |FROM events e JOIN d ON e.event_type = d.event_type
+        |ORDER BY e.event_id""".stripMargin,
+    "q83_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "q84_ann_join" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |planted AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, list_transform(e, x -> x * 2) AS e FROM base WHERE vec_id < 50),
+        |v AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(10,4)) AS DOUBLE) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+        |ORDER BY va, vb""".stripMargin,
+    "q85_count_min" ->
+      """SELECT event_type, count(*) AS n, true AS est_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q86_bloom_filter" ->
+      """SELECT CAST(count(DISTINCT user_id) AS INTEGER) AS n_keys,
+        |  true AS no_false_negatives, true AS fp_ok
+        |FROM events""".stripMargin,
     "q50_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin

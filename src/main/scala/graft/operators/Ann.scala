@@ -113,4 +113,63 @@ object Ann {
     model.approxNearestNeighbors(withVec, qv, k)
       .select(col(idCol), col("distCol").as("score"))
   }
+
+  // ------------------------------------------------------- ANN join (IVF)
+
+  /** IVF-bucketed cosine near-dup JOIN — the ANN-join scale path for
+    * embedding near-duplicate detection, complementing the hyperplane-LSH
+    * path (Dedup.cosineNearDupsLsh): vectors are L2-normalized and
+    * assigned to a spherical coarse quantizer (scaled or near-identical
+    * directions produce bit-identical unit vectors, so exact duplicates
+    * land in the same cell with probability 1), candidate pairs are the
+    * same-cell pairs — quadratic only within a cell, linear across cells —
+    * and candidates are verified with the exact cosine kernel. Only
+    * (id, cluster) flows through the candidate self-join; vectors join
+    * back by id for verification, so the corpus is never amplified
+    * through the shuffle. At cluster scale the assigned corpus is written
+    * partitioned by `cluster` (cf. the q67 partition-pruned probe) and
+    * each cell's pair generation is a co-located scan.
+    *
+    * Recall trade (same one FAISS IVF makes): near-dup pairs straddling a
+    * Voronoi boundary are missed; callers needing guarantees for
+    * non-identical pairs raise `nlist` granularity or fall back to the
+    * multi-table LSH path.
+    *
+    * `nlist <= 0` sizes the quantizer automatically as ~sqrt(n) (FAISS
+    * guidance) so cell population — and with it the quadratic candidate
+    * cost — stays ~sqrt(n) as the corpus grows.
+    */
+  def ivfNearDupJoin(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      nlist: Int = 0, seed: Long = 42L, maxIter: Int = 10,
+      maxFitPoints: Int = 1 << 14): DataFrame = {
+    import graft.functions.VectorFunctions
+    val k =
+      if (nlist > 0) nlist
+      else math.max(16, math.sqrt(corpus.count().toDouble).toInt)
+    // __n is materialized as its own column so the per-element lambda only
+    // reads an attribute (an interpreted HOF re-evaluates non-lambda
+    // subtrees per element — a norm recompute per element would be O(dim²))
+    val unitized = corpus
+      .withColumn("__n", sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))))
+      .filter(col("__n") > 0.0)
+      .withColumn("__u",
+        transform(col(vecCol), x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
+    val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, maxFitPoints, seed)
+    val centers = KMeansLite.fit(sample, k, maxIter, seed)
+      .map(_.map(v => v.toFloat.toDouble))
+    val assigned = unitized.select(col(idCol).as("doc_id"),
+      nearestCentroidExpr(col("__u"), centers).as("cluster"))
+    val cands = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))
+    val vecs = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
+    cands
+      .join(vecs.as("x"), col("va") === col("x.doc_id"))
+      .join(vecs.as("y"), col("vb") === col("y.doc_id"))
+      .select(col("va"), col("vb"),
+        VectorFunctions.cosine(col("x.__v"), col("y.__v")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 }

@@ -24,6 +24,16 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Partitioned ORC write — the columnar alternative for ORC-standard
+    * warehouses; same pushdown/pruning properties as parquet under
+    * Spark's vectorized ORC reader.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Hive-style partitioned layout: one directory per distinct value of
     * `partitionCols`. Readers filtering on those columns scan only the
     * matching directories (partition pruning) — the storage-layout lever

@@ -58,6 +58,27 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Stream-stream inner interval join: right-side events inside
+    * [left.ts, left.ts + span] per key. Watermarks on BOTH sides are
+    * mandatory at scale — Spark derives each side's state-retention
+    * horizon from the interval condition plus the watermarks, so join
+    * state stays bounded by (arrival rate × (span + watermark)) instead
+    * of growing with the stream. Inner-join emission itself does not wait
+    * on the watermark, so an availableNow run over a static drop equals
+    * the batch join exactly.
+    */
+  def intervalJoin(
+      left: DataFrame, leftTs: String, right: DataFrame, rightTs: String,
+      leftKey: String, rightKey: String, span: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $span"))
+  }
+
   /** Session windows: activity grouped by gaps — events within `gap` of
     * each other merge into one session per key (the sessionization the
     * reference's "real-time" story implies but never implements).

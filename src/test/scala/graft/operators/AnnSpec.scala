@@ -45,6 +45,36 @@ class AnnSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("ivfNearDupJoin finds every planted duplicate and nothing below the floor") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.FloatType
+    // plant ×3-scaled copies of the first 20 vectors: identical direction →
+    // bit-identical unit vector → same quantizer cell with probability 1
+    val planted = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(3.0d)).cast(FloatType)).as("embedding"))
+    val pool = corpus.select("vec_id", "embedding").union(planted)
+    val pairs = Ann.ivfNearDupJoin(pool, "vec_id", "embedding",
+        minCos = 0.999, nlist = 8, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach { i =>
+      assert(pairs.contains((i, i + 1000L)), s"planted pair $i missing")
+    }
+    // every returned pair must clear the verification floor in the brute
+    // reference path too (engine pairs ⊆ brute pairs at the same floor)
+    val brute = Dedup.cosinePairs(pool, "vec_id", "embedding", minCos = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(brute), s"non-brute pairs: ${pairs.diff(brute)}")
+  }
+
+  test("ivfNearDupJoin auto-sizes nlist and still verifies candidates exactly") {
+    val pairs = Ann.ivfNearDupJoin(corpus, "vec_id", "embedding",
+      minCos = 0.9999, seed = 7L)
+    // clustered-but-noisy corpus: near-identical pairs are rare; whatever
+    // is returned must carry a cosine at/above the floor
+    assert(pairs.collect().forall(_.getDouble(2) >= 0.9999))
+  }
+
   test("LSH top-k recall ≥ 0.9 vs exact L2 top-10") {
     val exact = Similarity.topK(corpus, "vec_id", "embedding", query, 10, Similarity.L2)
       .collect().map(_.getLong(0)).toSeq

@@ -47,6 +47,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin matches the batch interval join on a static drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val l = clicks.toDF().toDF("click_id", "user_id", "click_ts")
+    val r = buys.toDF().toDF("buy_id", "buy_user", "buy_ts")
+    val q = StreamingOps.intervalJoin(
+        l, "click_ts", r, "buy_ts", "user_id", "buy_user",
+        span = "10 minutes", watermark = "5 minutes")
+      .select("click_id", "buy_id")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((1L, 7L, ts(0)), (2L, 7L, ts(20)), (3L, 8L, ts(0)))
+      buys.addData((10L, 7L, ts(5)), (11L, 7L, ts(25)), (12L, 9L, ts(5)),
+        (13L, 8L, ts(11)))
+      q.processAllAvailable()
+      val got = spark.table("ij").collect()
+        .map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+      // click 1 matches buy 10 (within 10 min, same user); click 2 matches
+      // buy 11; click 3 does not match buy 13 (11 min gap) nor buy 12
+      // (other user)
+      assert(got == Set((1L, 10L), (2L, 11L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
