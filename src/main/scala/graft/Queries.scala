@@ -72,6 +72,18 @@ object Queries {
   private def duckU32(off: Int): String =
     (0 to 3).map(k => s"${duckByte((off + k + 1).toString)}*${1L << (8 * k)}").mkString("(", " + ", ")")
 
+  /** Stateful streaming runs keep state stores per shuffle partition (a
+    * stream-stream join holds four per partition); at 32 partitions the
+    * store setup dominates a single availableNow batch over test-scale
+    * drops. Run `body` at `n` and restore — at real stream volume callers
+    * size this to state volume, not core count.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Query vector: embedding of vec_id=0 (the fixed probe row). */
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
@@ -768,29 +780,31 @@ object Queries {
     // inner-join emission doesn't wait on the watermark, so the
     // availableNow run over the static drop equals DuckDB's batch join
     "q83_stream_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      def stream() = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val clicks = stream().filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      val purchases = stream().filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("purchase_ts"))
-      val joined = graft.streaming.StreamingOps.intervalJoin(
-        clicks, "click_ts", purchases, "purchase_ts",
-        "user_id", "p_user", span = "30 minutes", watermark = "10 minutes")
-      val q = joined.writeStream.format("memory").queryName("graft_q83_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("graft_q83_sink")
-        .select(col("click_id"), col("purchase_id"),
-          col("click_ts").cast(TimestampNTZType).as("click_ts"),
-          col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
-        .orderBy("click_id", "purchase_id")
+      withStatePartitions(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def stream() = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val clicks = stream().filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("purchase_ts"))
+        val joined = graft.streaming.StreamingOps.intervalJoin(
+          clicks, "click_ts", purchases, "purchase_ts",
+          "user_id", "p_user", span = "30 minutes", watermark = "10 minutes")
+        val q = joined.writeStream.format("memory").queryName("graft_q83_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_q83_sink")
+          .select(col("click_id"), col("purchase_id"),
+            col("click_ts").cast(TimestampNTZType).as("click_ts"),
+            col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
+          .orderBy("click_id", "purchase_id")
+      }
     }),
 
     // IVF-bucketed cosine near-dup JOIN (Ann.ivfNearDupJoin) — the
@@ -1023,25 +1037,27 @@ object Queries {
     // output mode emits every window, so stream-vs-batch equality is
     // deterministic; watermarking still exercises the state-bounding path.
     "q61_stream_window" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // watermarks require TIMESTAMP (not NTZ); the session is pinned UTC,
-      // so instants equal the file's naive timestamps and the output cast
-      // back to NTZ matches DuckDB bit-for-bit
-      val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = graft.streaming.StreamingOps.windowedEventCounts(
-        ev, "ts", windowLen = "10 minutes", watermark = "5 minutes")
-      val q = agg.writeStream.format("memory").queryName("graft_q61_sink")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("graft_q61_sink")
-        .select(col("win_start").cast(TimestampNTZType).as("win_start"),
-          col("event_type"), col("n"))
-        .orderBy("win_start", "event_type")
+      withStatePartitions(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        // watermarks require TIMESTAMP (not NTZ); the session is pinned UTC,
+        // so instants equal the file's naive timestamps and the output cast
+        // back to NTZ matches DuckDB bit-for-bit
+        val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = graft.streaming.StreamingOps.windowedEventCounts(
+          ev, "ts", windowLen = "10 minutes", watermark = "5 minutes")
+        val q = agg.writeStream.format("memory").queryName("graft_q61_sink")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_q61_sink")
+          .select(col("win_start").cast(TimestampNTZType).as("win_start"),
+            col("event_type"), col("n"))
+          .orderBy("win_start", "event_type")
+      }
     }),
 
     // session windows, driver-graded: the availableNow stream sessionizes
@@ -1051,23 +1067,25 @@ object Queries {
     // a gaps-and-islands query (break when ts - lag(ts) >= gap, end =
     // last ts + gap) under the same finalization cutoff
     "q62_stream_sessions" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val sessions = graft.streaming.StreamingOps.sessionCounts(
-        ev, "ts", "user_id", gap = "10 minutes", watermark = "5 minutes")
-      val q = sessions.writeStream.format("memory").queryName("graft_q62_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("graft_q62_sink")
-        .select(col("session_start").cast(TimestampNTZType).as("session_start"),
-          col("session_end").cast(TimestampNTZType).as("session_end"),
-          col("user_id"), col("n"))
-        .orderBy("user_id", "session_start")
+      withStatePartitions(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val sessions = graft.streaming.StreamingOps.sessionCounts(
+          ev, "ts", "user_id", gap = "10 minutes", watermark = "5 minutes")
+        val q = sessions.writeStream.format("memory").queryName("graft_q62_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_q62_sink")
+          .select(col("session_start").cast(TimestampNTZType).as("session_start"),
+            col("session_end").cast(TimestampNTZType).as("session_end"),
+            col("user_id"), col("n"))
+          .orderBy("user_id", "session_start")
+      }
     }),
 
     // streaming exact dedup, driver-graded: watermark-bounded
@@ -1075,22 +1093,24 @@ object Queries {
     // on the same key columns (single file batch → watermark starts at 0,
     // nothing is late, so stream == batch exactly)
     "q63_stream_dedup" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val deduped = graft.streaming.StreamingOps.dedupStream(
-        ev, Seq("user_id", "event_type"), "ts", watermark = "5 minutes")
-      val q = deduped.writeStream.format("memory").queryName("graft_q63_sink")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("graft_q63_sink")
-        .select(col("user_id"), col("event_type"),
-          col("ts").cast(TimestampNTZType).as("ts"))
-        .orderBy("user_id", "event_type", "ts")
+      withStatePartitions(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val deduped = graft.streaming.StreamingOps.dedupStream(
+          ev, Seq("user_id", "event_type"), "ts", watermark = "5 minutes")
+        val q = deduped.writeStream.format("memory").queryName("graft_q63_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_q63_sink")
+          .select(col("user_id"), col("event_type"),
+            col("ts").cast(TimestampNTZType).as("ts"))
+          .orderBy("user_id", "event_type", "ts")
+      }
     }),
 
     // mapGroupsWithState (the custom-state pattern), driver-graded: the
@@ -1099,29 +1119,31 @@ object Queries {
     // integer cents (floor(value*100) both sides) so stream-order
     // summation has no floating-point drift vs the oracle's sum order.
     "q64_stream_state" -> ((s, dir) => {
-      import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val typed = stream
-        .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
-        .as[(Long, Long)]
-      val states = graft.streaming.StreamingOps.runningPerUserCents(typed)
-      val q = states.toDF().writeStream.format("memory").queryName("graft_q64_sink")
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // update mode re-emits a key per batch it appears in; a single data
-      // batch means one row per user, but dedup defensively on the final
-      // state (max event count) for robustness to batch splitting
-      s.table("graft_q64_sink")
-        .groupBy("user_id")
-        .agg(max(struct(col("events"), col("total_cents"))).as("st"))
-        .select(col("user_id"), col("st.events").as("events"),
-          col("st.total_cents").as("total_cents"))
-        .orderBy("user_id")
+      withStatePartitions(s) {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val typed = stream
+          .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
+          .as[(Long, Long)]
+        val states = graft.streaming.StreamingOps.runningPerUserCents(typed)
+        val q = states.toDF().writeStream.format("memory").queryName("graft_q64_sink")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // update mode re-emits a key per batch it appears in; a single data
+        // batch means one row per user, but dedup defensively on the final
+        // state (max event count) for robustness to batch splitting
+        s.table("graft_q64_sink")
+          .groupBy("user_id")
+          .agg(max(struct(col("events"), col("total_cents"))).as("st"))
+          .select(col("user_id"), col("st.events").as("events"),
+            col("st.total_cents").as("total_cents"))
+          .orderBy("user_id")
+      }
     }),
 
     // skew-safe two-phase salted aggregation, graded against the plain
