@@ -549,6 +549,24 @@ object Queries {
           dec(col("quality")).as("quality"), col("fp"))
         .orderBy("doc_id")),
 
+    // backward as-of join on the CUSTOM PHYSICAL OPERATOR
+    // (graft.plans.AsOfJoinExec via AsOfJoinStrategy): same semantics and
+    // oracle as q41's union+window form, planned as a first-class Catalyst
+    // node — co-partitioned co-sorted children, per-partition two-pointer
+    // merge, O(1) state per key
+    "q87_asof_exec" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts")).distinct()
+      val out = graft.operators.TemporalJoins.asofJoinMerge(
+          ev.select("event_id", "user_id", "ts"), signups,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts", rightVals = Seq())
+      require(out.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        "q87 must run on the custom AsOfJoinExec operator")
+      out.select(col("event_id"), col("user_id"), col("asof_ts").as("signup_ts"))
+        .orderBy("event_id")
+    }),
+
     // bounded-heap grouped top-k aggregate (map-side partial heaps) —
     // same semantics as q30's window form, radically cheaper shuffle
     "q44_grouped_topk" -> ((s, dir) =>
@@ -1592,6 +1610,11 @@ object Queries {
       """SELECT vec_id, CAST(CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 15""".stripMargin,
     "q41_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.ts AS signup_ts
+        |FROM events l ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+    "q87_asof_exec" ->
       """SELECT l.event_id, l.user_id, r.ts AS signup_ts
         |FROM events l ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
         |ON l.user_id = r.user_id AND l.ts >= r.ts

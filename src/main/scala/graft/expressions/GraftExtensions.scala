@@ -13,13 +13,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - running session (tests, the driver's Verify/Bench): `GraftFunctions.register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[VectorBinaryExpression].getName, name),
         builder))
     }
+    // whole-operator extension: the merge as-of join's planner strategy
+    // (graft.plans.AsOfJoinStrategy); the runtime path for an already-
+    // running session is GraftBridge.addStrategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftFunctions {

@@ -82,6 +82,52 @@ object TemporalJoins {
     }
   }
 
+  /** Backward as-of join on the CUSTOM PHYSICAL OPERATOR
+    * (graft.plans.AsOfJoinExec): same semantics and column layout as
+    * [[asofJoin]], but planned as a first-class Catalyst node — each side
+    * is clustered on the keys and sorted by (keys, ts) via declared
+    * requirements (reused when a side is already bucketed/sorted), then a
+    * per-partition two-pointer merge attaches the latest at-or-before
+    * right payload with O(1) state. Registered on the session
+    * idempotently; cluster deployments get it from
+    * `spark.sql.extensions=graft.expressions.GraftExtensions`.
+    */
+  def asofJoinMerge(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    val spark = left.sparkSession
+    GraftBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val tiebreak = if (rightVals.isEmpty) Seq(col(rightTs)) else rightVals.map(col)
+    val rightUniq = Dedup.firstRowByKey(
+      right.select((keys :+ rightTs) ++ rightVals map col: _*),
+      keys :+ rightTs, tiebreak)
+    val lPlan = GraftBridge.analyzed(left)
+    val rPlan0 = GraftBridge.analyzed(rightUniq)
+    // both sides may derive from the same scan (self-as-of) and then share
+    // attribute ids — the analyzer dedups this for Join nodes, but a
+    // post-analysis custom node must mint fresh right-side ids itself or
+    // downstream binding resolves against the wrong side
+    val rPlan =
+      if (rPlan0.output.exists(lPlan.outputSet.contains)) {
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+      } else rPlan0
+    def attr(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${out.map(_.name)}"))
+    val payload = (rightTs +: rightVals).map(n => attr(rPlan.output, n))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan.output, _)), keys.map(attr(rPlan.output, _)),
+      attr(lPlan.output, leftTs), attr(rPlan.output, rightTs),
+      payload, graft.plans.AsOfJoinNode.outputAttrs(payload))
+    GraftBridge.ofRows(spark, node)
+  }
+
   /** Forward as-of join: for every left row, the EARLIEST right row with
     * `right.ts >= left.ts` per key (ties at equal ts match, mirroring the
     * backward form). Same tagged-union single-shuffle design, with the

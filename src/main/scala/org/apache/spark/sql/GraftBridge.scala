@@ -23,4 +23,23 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Analyzed logical plan of a DataFrame (custom logical operators are
+    * built over already-analyzed children, so they construct resolved).
+    */
+  def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a logical plan back into a DataFrame. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to a running session (the runtime
+    * equivalent of SparkSessionExtensions.injectPlannerStrategy).
+    */
+  def addStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit =
+    if (!spark.experimental.extraStrategies.contains(s))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ s
 }

@@ -27,6 +27,47 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100.0), (2L, 200.0), (3L, null), (4L, 300.0)))
   }
 
+  test("asofJoinMerge (custom physical operator) matches the known answers") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 11:00:00")),
+      (3L, "u1", ts("2024-01-01 09:00:00")),
+      (4L, "u2", ts("2024-01-01 10:30:00")))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 100.0),
+      ("u1", ts("2024-01-01 10:30:00"), 200.0),
+      ("u2", ts("2024-01-01 10:30:00"), 300.0))
+      .toDF("k", "rt", "v")
+    val df = TemporalJoins.asofJoinMerge(left, right, Seq("k"), "t", "rt", Seq("v"))
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "expected the custom exec in the physical plan")
+    val got = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 100.0), (2L, 200.0), (3L, null), (4L, 300.0)))
+  }
+
+  test("asofJoinMerge equals the union+window form on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // keys with 0, 1, and many right rows; duplicate (key, ts) right rows;
+    // left timestamps before/among/after the right range
+    val left = (0 until 500).map { i =>
+      (i.toLong, s"k${rnd.nextInt(20)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }.toDF("id", "k", "t")
+    val right = (0 until 300).map { _ =>
+      (s"k${rnd.nextInt(15)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        rnd.nextInt(1000).toDouble)
+    }.toDF("k", "rt", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "k", "t", "asof_rt", "asof_v")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val merge = canon(TemporalJoins.asofJoinMerge(left, right, Seq("k"), "t", "rt", Seq("v")))
+    val window = canon(TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v")))
+    assert(merge.toSeq == window.toSeq)
+  }
+
   test("asofJoinForward picks the earliest right row at-or-after each left row per key") {
     import spark.implicits._
     val left = Seq(
