@@ -567,6 +567,61 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // seeded Bernoulli sampling (O22's sample leg): the draw itself is
+    // engine-internal randomness no oracle can replay, so the gate pins
+    // the statistical contract — observed fraction within 5 sigma of the
+    // requested one, sample a true subset (verified by anti-join count)
+    "q88_sample" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val n = li.count()
+      val f = 0.1
+      val sampled = li.sample(withReplacement = false, f, seed = 42L)
+      val k = sampled.count()
+      val subsetViolations = sampled.select("l_orderkey", "l_linenumber")
+        .join(li.select("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_linenumber"), "left_anti").count()
+      val sigma = math.sqrt(f * (1 - f) * n)
+      val fracOk = math.abs(k - f * n) <= 5 * sigma
+      Seq((n, fracOk, subsetViolations == 0L))
+        .toDF("n_source", "frac_ok", "subset_ok")
+    }),
+
+    // range-partitioned sorted write: repartitionByRange + sortWithin-
+    // Partitions is the layout that makes downstream key-range scans
+    // file-prunable. Read back and assert the layout contract — every
+    // file internally sorted, file key-ranges pairwise disjoint — plus
+    // full content equality against the DuckDB-read source
+    "q89_sorted_write" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      src.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet("/tmp/graft_q89_sorted")
+      val back = s.read.parquet("/tmp/graft_q89_sorted")
+      val byFile = back
+        .select(col("o_orderkey"), input_file_name().as("__f"))
+        .groupBy("__f")
+        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"),
+          count(lit(1)).as("cnt"))
+        .collect().sortBy(_.getAs[Long]("lo"))
+      val disjoint = byFile.sliding(2).forall {
+        case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
+        case _ => true
+      }
+      // per-file sortedness: within each file, row order must follow the
+      // key; parquet read preserves in-file row order per split, so a
+      // violation shows as a descending step inside one file
+      val sortedInFile = back
+        .select(col("o_orderkey"), input_file_name().as("__f"))
+        .withColumn("__prev", lag(col("o_orderkey"), 1)
+          .over(Window.partitionBy(col("__f")).orderBy(monotonically_increasing_id())))
+        .filter(col("__prev").isNotNull && col("__prev") > col("o_orderkey"))
+        .count() == 0L
+      back.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(disjoint).as("ranges_disjoint"), lit(sortedInFile).as("files_sorted"))
+        .orderBy("o_orderkey")
+    }),
+
     // bounded-heap grouped top-k aggregate (map-side partial heaps) —
     // same semantics as q30's window form, radically cheaper shuffle
     "q44_grouped_topk" -> ((s, dir) =>
@@ -1619,6 +1674,13 @@ object Queries {
         |FROM events l ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+    "q88_sample" ->
+      """SELECT count(*) AS n_source, true AS frac_ok, true AS subset_ok
+        |FROM lineitem""".stripMargin,
+    "q89_sorted_write" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  true AS ranges_disjoint, true AS files_sorted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q68_asof_tolerance" ->
       """SELECT l.event_id, l.user_id,
         |  CASE WHEN r.ts >= l.ts - INTERVAL '1 hour' THEN r.ts END AS signup_ts
