@@ -14,7 +14,9 @@ object PlanDump {
     "q30_window_topn", "q31_join_agg", "q41_asof_join", "q42_range_join",
     "q43_curation", "q44_grouped_topk", "q46_batch_topk", "q53_cosine_lsh",
     "q57_corpus_assembly", "q58_image_decode", "q59_salted_agg",
-    "q60_hll_distinct")
+    "q60_hll_distinct", "q74_grouping_sets", "q75_full_outer",
+    "q78_window_range", "q79_exists_subquery", "q81_bucketed_join",
+    "q82_salted_join", "q84_ann_join", "q87_asof_exec", "q89_sorted_write")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
