@@ -622,6 +622,74 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    // distinct set operations beyond union: INTERSECT / EXCEPT over
+    // overlapping key ranges, tagged and stacked into one result
+    "q90_set_ops" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val a = cust.filter(col("c_custkey") <= 600).select("c_custkey")
+      val b = cust.filter(col("c_custkey") > 300 && col("c_custkey") <= 900)
+        .select("c_custkey")
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .orderBy("op", "c_custkey")
+    }),
+
+    // IN-subquery + scalar subquery through the SQL surface — the two
+    // remaining subquery decorrelation shapes (EXISTS is q79)
+    "q91_in_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_q91_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_q91_orders")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM graft_q91_orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM graft_q91_customer
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |  AND o_totalprice > (SELECT avg(o_totalprice) FROM graft_q91_orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // the ranking-function family over one total per-partition order:
+    // rank / dense_rank / ntile / percent_rank / cume_dist (q72 covers
+    // frames + lag; this covers the rank semantics)
+    "q92_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events").select(
+          col("event_id"), col("event_type"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("event_id")
+    }),
+
+    // date/time scalar surface: arithmetic, month-end, day diffs, and the
+    // calendar components whose conventions differ per engine (DuckDB
+    // dow is 0-based Sunday; Spark's is 1-based — the oracle aligns)
+    "q93_date_functions" -> ((s, dir) =>
+      t(s, dir, "events").select(
+          col("event_id"),
+          date_add(col("ts").cast(DateType), 30).as("d_plus30"),
+          last_day(col("ts").cast(DateType)).as("month_end"),
+          datediff(lit("2026-01-01").cast(DateType), col("ts").cast(DateType))
+            .as("days_to_2026"),
+          dayofweek(col("ts")).as("dow"),
+          weekofyear(col("ts")).as("woy"),
+          quarter(col("ts")).as("qtr"))
+        .orderBy("event_id")),
+
+    // string scalar surface: edit distance, char mapping, padding,
+    // delimiter split, reverse
+    "q94_string_functions" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+          col("c_custkey"),
+          levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("lev"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+          lpad(col("c_custkey").cast(StringType), 10, "0").as("padded"),
+          element_at(split(col("c_name"), "#"), 2).as("name_num"),
+          reverse(col("c_name")).as("rev"))
+        .orderBy("c_custkey")),
+
     // bounded-heap grouped top-k aggregate (map-side partial heaps) —
     // same semantics as q30's window form, radically cheaper shuffle
     "q44_grouped_topk" -> ((s, dir) =>
@@ -1677,6 +1745,47 @@ object Queries {
     "q88_sample" ->
       """SELECT count(*) AS n_source, true AS frac_ok, true AS subset_ok
         |FROM lineitem""".stripMargin,
+    "q90_set_ops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_custkey <= 600),
+        |b AS (SELECT c_custkey FROM customer WHERE c_custkey > 300 AND c_custkey <= 900)
+        |SELECT * FROM (
+        |  SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT c_custkey, 'except' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |ORDER BY op, c_custkey""".stripMargin,
+    "q91_in_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q92_rank_family" ->
+      """SELECT event_id, event_type,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q93_date_functions" ->
+      """SELECT event_id,
+        |  CAST(ts AS DATE) + 30 AS d_plus30,
+        |  last_day(CAST(ts AS DATE)) AS month_end,
+        |  CAST(datediff('day', CAST(ts AS DATE), DATE '2026-01-01') AS INTEGER) AS days_to_2026,
+        |  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  CAST(weekofyear(ts) AS INTEGER) AS woy,
+        |  CAST(quarter(ts) AS INTEGER) AS qtr
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q94_string_functions" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INTEGER) AS lev,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  split_part(c_name, '#', 2) AS name_num,
+        |  reverse(c_name) AS rev
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q89_sorted_write" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  true AS ranges_disjoint, true AS files_sorted
