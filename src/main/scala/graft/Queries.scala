@@ -427,7 +427,11 @@ object Queries {
       // other registered query's scan on the shared session
       val docs = t(s, dir, "documents")
       val fz = new Featurizer(dim = 64).fit(docs, "text")
-      val corpus = fz.transform(docs, "text")
+      // caching the TRANSFORMED frame is safe on the shared session (its
+      // plan is unique to this featurizer's IDF map, so it can't
+      // substitute into other queries' scans) and keeps the downstream
+      // actions from re-hashing the corpus
+      val corpus = fz.transform(docs, "text").cache()
       val qv = fz.embedQuery(s, "spark join merge sort table")
       val top = Similarity.topK(corpus, "doc_id", "embedding", qv, 10, Similarity.Cosine)
       val n = top.select("doc_id").collect().length
@@ -621,6 +625,31 @@ object Queries {
           lit(disjoint).as("ranges_disjoint"), lit(sortedInFile).as("files_sorted"))
         .orderBy("o_orderkey")
     }),
+
+    // flatMapGroupsWithState (zero-or-more rows per key per batch — the
+    // alerting shape mapGroups can't express): emit a user once, at the
+    // end of the first batch where their running total crosses the
+    // threshold, with order-independent batch-end totals; DuckDB mirrors
+    // with a HAVING aggregate in integer cents
+    "q95_stream_flatmap" -> ((s, dir) =>
+      withStatePartitions(s) {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val typed = stream
+          .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
+          .as[(Long, Long)]
+        val crossings = graft.streaming.StreamingOps.thresholdCrossings(typed, 330000L)
+        val q = crossings.toDF().writeStream.format("memory")
+          .queryName("graft_q95_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_q95_sink").orderBy("user_id")
+      }),
 
     // distinct set operations beyond union: INTERSECT / EXCEPT over
     // overlapping key ranges, tagged and stacked into one result
@@ -1745,6 +1774,12 @@ object Queries {
     "q88_sample" ->
       """SELECT count(*) AS n_source, true AS frac_ok, true AS subset_ok
         |FROM lineitem""".stripMargin,
+    "q95_stream_flatmap" ->
+      """SELECT user_id, count(*) AS events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id
+        |HAVING sum(CAST(floor(value * 100) AS BIGINT)) >= 330000
+        |ORDER BY user_id""".stripMargin,
     "q90_set_ops" ->
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_custkey <= 600),
         |b AS (SELECT c_custkey FROM customer WHERE c_custkey > 300 AND c_custkey <= 900)

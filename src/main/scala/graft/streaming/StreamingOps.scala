@@ -113,6 +113,36 @@ object StreamingOps {
       }
   }
 
+  final case class ThresholdCrossing(user_id: Long, events: Long, total_cents: Long)
+
+  /** flatMapGroupsWithState: per-key state that emits ZERO OR MORE rows
+    * per batch — here, one row at the end of the FIRST batch where a
+    * user's running total reaches `thresholdCents`, nothing before or
+    * after (mapGroups must emit exactly one row per key per batch; the
+    * flatMap form is the engine's alerting/trigger shape). Emission
+    * carries batch-end totals, which are order-independent — firing at
+    * the crossing row would expose the nondeterministic within-group
+    * arrival order. Append mode; state is (events, cents, alreadyFired),
+    * O(1) per key.
+    */
+  def thresholdCrossings(
+      events: Dataset[(Long, Long)], thresholdCents: Long): Dataset[ThresholdCrossing] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Boolean), ThresholdCrossing](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Boolean)]) =>
+          val (n0, v0, fired0) = state.getOption.getOrElse((0L, 0L, false))
+          var n = n0; var v = v0
+          rows.foreach { case (_, cents) => n += 1; v += cents }
+          val fires = !fired0 && v >= thresholdCents
+          state.update((n, v, fired0 || fires))
+          if (fires) Iterator.single(ThresholdCrossing(user, n, v))
+          else Iterator.empty
+      }
+  }
+
   /** Per-user running aggregates via mapGroupsWithState — the custom-state
     * pattern (KeyValueGroupedDataset) for logic windowed aggs can't express.
     * State per key is O(1); partitioning is by group key, so it scales

@@ -74,6 +74,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("thresholdCrossings fires once, at the end of the first crossing batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingOps.thresholdCrossings(in.toDS(), thresholdCents = 100L)
+      .toDF().writeStream.format("memory").queryName("crossings")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, 40L), (1L, 30L), (2L, 10L))   // nobody crosses
+      q.processAllAvailable()
+      assert(spark.table("crossings").count() == 0)
+      in.addData((1L, 50L), (2L, 20L))              // user 1 crosses (120)
+      q.processAllAvailable()
+      val r1 = spark.table("crossings").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(r1.toSeq == Seq((1L, 3L, 120L)))
+      in.addData((1L, 500L), (2L, 80L))             // user 1 must NOT re-fire; user 2 crosses (110)
+      q.processAllAvailable()
+      val r2 = spark.table("crossings").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(r2 == Set((1L, 3L, 120L), (2L, 3L, 110L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
