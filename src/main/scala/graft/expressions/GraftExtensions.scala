@@ -21,9 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     // whole-operator extension: the merge as-of join's planner strategy
-    // (graft.plans.AsOfJoinStrategy); the runtime path for an already-
-    // running session is GraftBridge.addStrategy
+    // and its filter-pushdown optimizer rule (graft.plans); the runtime
+    // path for an already-running session is GraftBridge.addStrategy /
+    // addOptimizerRule
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }
 

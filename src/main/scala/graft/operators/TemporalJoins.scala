@@ -100,6 +100,7 @@ object TemporalJoins {
     import org.apache.spark.sql.catalyst.expressions.Attribute
     val spark = left.sparkSession
     GraftBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    GraftBridge.addOptimizerRule(spark, graft.plans.PushFilterThroughAsOfJoin)
     val tiebreak = if (rightVals.isEmpty) Seq(col(rightTs)) else rightVals.map(col)
     val rightUniq = Dedup.firstRowByKey(
       right.select((keys :+ rightTs) ++ rightVals map col: _*),

@@ -68,6 +68,51 @@ object AsOfJoinNode {
     payload.map(p => AttributeReference(s"asof_${p.name}", p.dataType, nullable = true)())
 }
 
+/** Optimizer rule: push key-only filter predicates THROUGH the as-of join
+  * into BOTH children. Catalyst's PushDownPredicates cannot see through an
+  * unknown node, so `asof.filter($"user_id" < 5)` would otherwise join the
+  * full corpus and discard 97% of it afterwards — at 100 TB the difference
+  * between a pruned scan and a full one. Pushing a key predicate is
+  * semantics-preserving on both sides: left rows are filtered exactly as
+  * the post-filter would, and a right row whose key fails the predicate
+  * can only have matched left rows that are themselves filtered out.
+  * Non-key predicates (on left payload or asof_* outputs) stay above the
+  * join. Registered alongside the strategy (injectOptimizerRule /
+  * experimental.extraOptimizations).
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      // only bare-attribute key pairs are rewritable to the right side;
+      // the DataFrame builder always produces that shape
+      val keyPairs = j.leftKeys.zip(j.rightKeys).collect {
+        case (la: Attribute, ra: Attribute) => la -> ra
+      }
+      if (keyPairs.length != j.leftKeys.length) f
+      else {
+        val leftKeySet = AttributeSet(keyPairs.map(_._1))
+        val (pushable, rest) = splitConjunctivePredicates(cond)
+          .partition(p => p.deterministic && p.references.subsetOf(leftKeySet))
+        if (pushable.isEmpty) f
+        else {
+          val l2r = keyPairs.map { case (la, ra) => la.exprId -> ra }.toMap
+          val rightPred = pushable.map(_.transform {
+            case a: Attribute if l2r.contains(a.exprId) => l2r(a.exprId)
+          })
+          val pushed = j.copy(
+            left = Filter(pushable.reduce(And), j.left),
+            right = Filter(rightPred.reduce(And), j.right))
+          rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+      }
+  }
+}
+
 /** Plans the logical node into the merge exec; everything else falls
   * through to Spark's built-in strategies.
   */

@@ -42,4 +42,14 @@ object GraftBridge {
   def addStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit =
     if (!spark.experimental.extraStrategies.contains(s))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ s
+
+  /** Idempotently add an optimizer rule to a running session (the runtime
+    * equivalent of SparkSessionExtensions.injectOptimizerRule).
+    */
+  def addOptimizerRule(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit =
+    if (!spark.experimental.extraOptimizations.contains(r))
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ r
 }

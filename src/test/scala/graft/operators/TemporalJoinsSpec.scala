@@ -68,6 +68,37 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(merge.toSeq == window.toSeq)
   }
 
+  test("PushFilterThroughAsOfJoin pushes key predicates into both sides") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val left = (0 until 200).map(i => (i.toLong, (i % 10).toLong,
+      ts(f"2024-01-01 10:${i % 60}%02d:00"))).toDF("id", "k", "t")
+    val right = (0 until 100).map(i => ((i % 12).toLong,
+      ts(f"2024-01-01 10:${i % 60}%02d:00"), i.toDouble)).toDF("k", "rt", "v")
+    val joined = TemporalJoins.asofJoinMerge(left, right, Seq("k"), "t", "rt", Seq("v"))
+    val filtered = joined.filter(col("k") < 3)
+    // the optimized plan must carry the key filter BELOW the join on both
+    // children (the default optimizer can't see through the custom node)
+    val opt = filtered.queryExecution.optimizedPlan
+    var filtersUnderJoin = 0
+    opt.foreach {
+      case j: graft.plans.AsOfJoinNode =>
+        j.children.foreach(_.foreach {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.toString.contains("< 3") => filtersUnderJoin += 1
+          case _ =>
+        })
+      case _ =>
+    }
+    assert(filtersUnderJoin == 2, s"expected the key filter under both sides:\n$opt")
+    // and the pushed plan must compute the same rows as filter-after-join
+    // computed without the rule (the window form as independent oracle)
+    val expected = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .filter(col("k") < 3).collect().map(_.toSeq).sortBy(_.toString)
+    val got = filtered.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("asofJoinForward picks the earliest right row at-or-after each left row per key") {
     import spark.implicits._
     val left = Seq(
