@@ -267,7 +267,7 @@ object Queries {
         col("doc_id"),
         TF.tokenCount(col("text")).as("n_tokens"),
         TF.punctCount(col("text")).as("n_punct"),
-        dec(TF.qualityScore(col("text"))).as("score")).orderBy("doc_id")),
+        TF.qualityScoreRounded(col("text")).as("score")).orderBy("doc_id")),
 
     // token counting (whitespace + BPE-ish)
     "q27_token_count" -> ((s, dir) =>
@@ -550,7 +550,7 @@ object Queries {
       graft.pipeline.Curation.curate(t(s, dir, "documents"), "doc_id", "text",
           graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
-          dec(col("quality")).as("quality"), col("fp"))
+          col("quality_4dp").as("quality"), col("fp"))
         .orderBy("doc_id")),
 
     // backward as-of join on the CUSTOM PHYSICAL OPERATOR
@@ -1027,8 +1027,10 @@ object Queries {
       import s.implicits._
       val ev = t(s, dir, "events")
       val fpp = 0.01
-      val bf = ev.stat.bloomFilter("user_id", 1000, fpp)
+      // size the filter from the ACTUAL key cardinality — a filter built
+      // for 1000 keys holding 1500 (sf0.1) blows its fpp contract
       val present = ev.select("user_id").distinct().collect().map(_.getLong(0))
+      val bf = ev.stat.bloomFilter("user_id", math.max(present.length, 1000), fpp)
       val noFalseNegatives = present.forall(bf.mightContainLong)
       val absentStart = present.max + 1
       val trials = 10000
@@ -1483,11 +1485,45 @@ object Queries {
 
   private val duckStops = TF.stopwords.map(w => s"'$w'").mkString(",")
 
-  /** raw (unrounded) quality score — mirrors TF.qualityScore exactly. */
-  private val duckQualityRaw: String =
-    s"""0.4 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
-       | + 0.3 * (1.0 - CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
-       | + 0.3 * least(CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0 THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$duckStops], tk))) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) ELSE 0.0 END * 5.0, 1.0)""".stripMargin.replace("\n", "")
+  /** raw (unrounded) quality score — mirrors TF.qualityScore exactly:
+    * ONE double division of exact integer numerator/denominator, so both
+    * engines produce the same bits (a multi-term double accumulation put
+    * real scores exactly on 4-dp round half-way ties where the engines
+    * disagreed by an ulp — sf0.1 doc 1828).
+    */
+  private val duckQualityRaw: String = {
+    val nTok = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+    val nChar = "CAST(length(text) AS BIGINT)"
+    val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT)"
+    val stop = s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$duckStops], tk))) AS BIGINT)"
+    val safeChar = s"(CASE WHEN $nChar > 0 THEN $nChar ELSE 1 END)"
+    val punctEff = s"(CASE WHEN $nChar > 0 THEN $punct ELSE 0 END)"
+    val safeTok = s"(CASE WHEN $nTok > 0 THEN $nTok ELSE 1 END)"
+    val stopEff = s"(CASE WHEN $nTok > 0 THEN $stop ELSE 0 END)"
+    s"(CAST(least($nTok, 100) * 4 * $safeChar * $safeTok" +
+      s" + ($safeChar - $punctEff) * 300 * $safeTok" +
+      s" + least($stopEff * 5, $safeTok) * 300 * $safeChar AS DOUBLE)" +
+      s" / CAST($safeChar * $safeTok * 1000 AS DOUBLE))"
+  }
+
+  /** exact-integer 4-dp half-up rounding of the quality score, mirroring
+    * TF.qualityScoreRounded: r = (20000*num + den) // (2*den), r/10000.0.
+    */
+  private val duckQualityRound4: String = {
+    val nTok = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+    val nChar = "CAST(length(text) AS BIGINT)"
+    val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT)"
+    val stop = s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$duckStops], tk))) AS BIGINT)"
+    val safeChar = s"(CASE WHEN $nChar > 0 THEN $nChar ELSE 1 END)"
+    val punctEff = s"(CASE WHEN $nChar > 0 THEN $punct ELSE 0 END)"
+    val safeTok = s"(CASE WHEN $nTok > 0 THEN $nTok ELSE 1 END)"
+    val stopEff = s"(CASE WHEN $nTok > 0 THEN $stop ELSE 0 END)"
+    val num = s"(least($nTok, 100) * 4 * $safeChar * $safeTok" +
+      s" + ($safeChar - $punctEff) * 300 * $safeTok" +
+      s" + least($stopEff * 5, $safeTok) * 300 * $safeChar)"
+    val den = s"($safeChar * $safeTok * 1000)"
+    s"(CAST((20000 * $num + $den) // (2 * $den) AS DOUBLE) / 10000.0)"
+  }
 
   val oracles: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1563,7 +1599,7 @@ object Queries {
       s"""SELECT doc_id,
          |CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
          |CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS INTEGER) AS n_punct,
-         |CAST(CAST(round($duckQualityRaw, 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
+         |$duckQualityRound4 AS score
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q27_token_count" ->
       """SELECT doc_id,
@@ -1853,11 +1889,12 @@ object Queries {
          |  $duckLangCaseExpr AS lang_pred,
          |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
          |  $duckQualityRaw AS quality_raw,
+         |  $duckQualityRound4 AS quality_r4,
          |  md5(array_to_string($duckCleanTokens, ' ')) AS fp
          |FROM s),
          |f AS (SELECT * FROM a WHERE lang_pred IN ('en') AND quality_raw >= 0.5 AND n_tokens BETWEEN 5 AND 1048576),
          |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
-         |SELECT doc_id, lang_pred, n_tokens, CAST(CAST(round(quality_raw, 4) AS DECIMAL(10,4)) AS DOUBLE) AS quality, fp
+         |SELECT doc_id, lang_pred, n_tokens, quality_r4 AS quality, fp
          |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q44_grouped_topk" ->
       """SELECT event_id, event_type, value FROM (

@@ -131,15 +131,52 @@ object TextFunctions {
     * to once-materialized columns, keeping the heavy tokenization out of the
     * per-signal expression trees.
     */
+  /** Exact integer (numerator, denominator) of the quality blend. The
+    * blend's terms are terminating decimals (0.4·min(n/100,1), 0.3·k/n,
+    * …), so real scores routinely land EXACTLY on 4-dp round half-way
+    * points — a multi-term double accumulation lets two engines land an
+    * ulp apart on opposite sides of the tie, and even identical doubles
+    * are tie-broken differently by different round() implementations.
+    * Keeping the score rational until the last step is what makes it
+    * portable. den = 1000·chars·tokens stays far under Long range for
+    * any realistic document (overflow needs chars·tokens > 4.6e11).
+    */
+  def qualityNumDen(nTokCol: Column, punctCol: Column,
+      stopCol: Column, nCharCol: Column): (Column, Column) = {
+    val nTok = nTokCol.cast(LongType)
+    val nChar = nCharCol.cast(LongType)
+    // degenerate guards keep the historical semantics: punct ratio 0 when
+    // the text is empty, stop ratio 0 when there are no tokens
+    val safeChar = when(nChar > 0, nChar).otherwise(lit(1L))
+    val punctEff = when(nChar > 0, punctCol.cast(LongType)).otherwise(lit(0L))
+    val safeTok = when(nTok > 0, nTok).otherwise(lit(1L))
+    val stopEff = when(nTok > 0, stopCol.cast(LongType)).otherwise(lit(0L))
+    val num = least(nTok, lit(100L)) * lit(4L) * safeChar * safeTok +
+      (safeChar - punctEff) * lit(300L) * safeTok +
+      least(stopEff * lit(5L), safeTok) * lit(300L) * safeChar
+    (num, safeChar * safeTok * lit(1000L))
+  }
+
   def qualityScoreFromParts(nTokCol: Column, punctCol: Column,
       stopCol: Column, nCharCol: Column): Column = {
-    val nTok = nTokCol.cast(DoubleType)
-    val nChar = nCharCol.cast(DoubleType)
-    val punctRatio = when(nChar > 0, punctCol.cast(DoubleType) / nChar).otherwise(0.0)
-    val stopRatio = when(nTok > 0, stopCol.cast(DoubleType) / nTok).otherwise(0.0)
-    lit(0.4) * least(nTok / 100.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - punctRatio) +
-      lit(0.3) * least(stopRatio * 5.0, lit(1.0))
+    // ONE double division of exact integers: bit-identical in any engine
+    // evaluating the same num/den, so threshold compares agree everywhere
+    val (num, den) = qualityNumDen(nTokCol, punctCol, stopCol, nCharCol)
+    num.cast(DoubleType) / den.cast(DoubleType)
+  }
+
+  /** Quality rounded half-up to 4 dp IN EXACT INTEGER SPACE:
+    * r = (20000·num + den) div (2·den), emitted as r/10000.0. Double
+    * round() is not portable on ties (engines disagree on which side an
+    * ulp-off value falls, and on tie-break direction); integer rounding
+    * of the exact rational is. This is the gradeable output form.
+    */
+  def qualityScoreRoundedFromParts(nTokCol: Column, punctCol: Column,
+      stopCol: Column, nCharCol: Column): Column = {
+    val (num, den) = qualityNumDen(nTokCol, punctCol, stopCol, nCharCol)
+    val r = org.apache.spark.sql.GraftBridge.integralDivide(
+      num * lit(20000L) + den, den * lit(2L))
+    r.cast(DoubleType) / lit(10000.0)
   }
 
   /** Composite quality score in [0,1]: rewards moderate length, low
@@ -149,6 +186,12 @@ object TextFunctions {
     */
   def qualityScore(c: Column): Column =
     qualityScoreFromParts(tokenCount(c), punctCount(c), stopwordCount(c), length(c))
+
+  /** 4-dp exact-rounded form of [[qualityScore]] (see
+    * qualityScoreRoundedFromParts for why double round() can't grade this).
+    */
+  def qualityScoreRounded(c: Column): Column =
+    qualityScoreRoundedFromParts(tokenCount(c), punctCount(c), stopwordCount(c), length(c))
 
   /** Sentence split for the extractive answerer (reference's RAG context is
     * sentence-shaped, py:460). Keeps non-empty trimmed sentences.

@@ -56,6 +56,14 @@ object Curation {
         col("__n_punct"),
         TextFunctions.stopwordCountFromTokens(col("__lc_toks")),
         length(t)))
+      // exact-integer 4-dp rounding — the gradeable/exportable form
+      // (double round() tie behavior is engine-specific; quality keeps
+      // the raw value for thresholds)
+      .withColumn("quality_4dp", TextFunctions.qualityScoreRoundedFromParts(
+        size(col("__lc_toks")),
+        col("__n_punct"),
+        TextFunctions.stopwordCountFromTokens(col("__lc_toks")),
+        length(t)))
       .withColumn("fp", TextFunctions.fingerprintFromTokens(col("__clean_toks")))
       .drop("__clean_toks", "__lc_toks", "__n_punct", "__vocab")
       .drop(TextFunctions.langMarkers.map { case (lang, _) => s"__s_$lang" }: _*)

@@ -24,6 +24,14 @@ object GraftBridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Exact integer division column (SQL `div`). The Column API's `/` on
+    * longs is double division; exact-integer rounding (portable across
+    * engines, unlike double round() tie behavior) needs the integral form.
+    */
+  def integralDivide(a: Column, b: Column): Column =
+    column(catalyst.expressions.IntegralDivide(
+      expression(a), expression(b), catalyst.expressions.EvalMode.LEGACY))
+
   /** Analyzed logical plan of a DataFrame (custom logical operators are
     * built over already-analyzed children, so they construct resolved).
     */
