@@ -626,6 +626,41 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    // unpivot/melt — the inverse of q71's pivot: wide numeric columns to
+    // (id, metric, val) long form, common-type cast to double
+    "q96_unpivot" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast(DoubleType).as("c_nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("c_nationkey")), "metric", "val")
+        .orderBy("c_custkey", "metric")),
+
+    // DYNAMIC pivot: column set discovered from the data (an extra
+    // distinct pass), unlike q71's static value list; same contract
+    "q97_pivot_dynamic" -> ((s, dir) => {
+      val p = t(s, dir, "events").groupBy("user_id").pivot("event_type").count()
+      val types = p.columns.filterNot(_ == "user_id").sorted
+      p.select(col("user_id") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy("user_id")
+    }),
+
+    // value-positional window functions over explicit frames:
+    // first/last/nth_value and lead (q72 covers frames+lag, q92 ranks)
+    "q98_value_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+          col("event_id"), col("user_id"),
+          first(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_v"),
+          last(col("value")).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("last_v"),
+          nth_value(col("value"), 3).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("third_v"),
+          lead(col("value"), 2).over(w).as("lead2_v"))
+        .orderBy("event_id")
+    }),
+
     // flatMapGroupsWithState (zero-or-more rows per key per batch — the
     // alerting shape mapGroups can't express): emit a user once, at the
     // end of the first batch where their running total crosses the
@@ -1810,6 +1845,29 @@ object Queries {
     "q88_sample" ->
       """SELECT count(*) AS n_source, true AS frac_ok, true AS subset_ok
         |FROM lineitem""".stripMargin,
+    "q96_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        |ORDER BY c_custkey, metric""".stripMargin,
+    "q97_pivot_dynamic" ->
+      """SELECT user_id,
+        |count(*) FILTER (WHERE event_type = 'click') AS click,
+        |count(*) FILTER (WHERE event_type = 'error') AS error,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q98_value_windows" ->
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_v,
+        |  nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_v,
+        |  lead(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lead2_v
+        |FROM events ORDER BY event_id""".stripMargin,
     "q95_stream_flatmap" ->
       """SELECT user_id, count(*) AS events,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
