@@ -26,6 +26,9 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // q81 eagerly drops+writes its bucketed tables when the query
+      // function is invoked — without this they land in ./spark-warehouse
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     headline.foreach { name =>

@@ -601,26 +601,35 @@ object Queries {
       src.repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey")
         .write.mode("overwrite").parquet("/tmp/graft_q89_sorted")
+      // one read partition per file: when a file spans multiple splits,
+      // split-to-partition assignment is size-ordered bin packing, so
+      // monotonically_increasing_id would NOT reflect in-file row order
+      // and the sortedness probe below would flag correctly-sorted data
+      val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.files.maxPartitionBytes", s"${8L << 40}")
+      val (disjoint, sortedInFile) =
+        try {
+          val back = s.read.parquet("/tmp/graft_q89_sorted")
+          val byFile = back
+            .select(col("o_orderkey"), input_file_name().as("__f"))
+            .groupBy("__f")
+            .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+            .collect().sortBy(_.getAs[Long]("lo"))
+          val dj = byFile.sliding(2).forall {
+            case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
+            case _ => true
+          }
+          // per-file sortedness: with whole-file splits, in-partition row
+          // order IS file order, so a violation shows as a descending step
+          val sorted = back
+            .select(col("o_orderkey"), input_file_name().as("__f"))
+            .withColumn("__prev", lag(col("o_orderkey"), 1)
+              .over(Window.partitionBy(col("__f")).orderBy(monotonically_increasing_id())))
+            .filter(col("__prev").isNotNull && col("__prev") > col("o_orderkey"))
+            .count() == 0L
+          (dj, sorted)
+        } finally s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
       val back = s.read.parquet("/tmp/graft_q89_sorted")
-      val byFile = back
-        .select(col("o_orderkey"), input_file_name().as("__f"))
-        .groupBy("__f")
-        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"),
-          count(lit(1)).as("cnt"))
-        .collect().sortBy(_.getAs[Long]("lo"))
-      val disjoint = byFile.sliding(2).forall {
-        case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
-        case _ => true
-      }
-      // per-file sortedness: within each file, row order must follow the
-      // key; parquet read preserves in-file row order per split, so a
-      // violation shows as a descending step inside one file
-      val sortedInFile = back
-        .select(col("o_orderkey"), input_file_name().as("__f"))
-        .withColumn("__prev", lag(col("o_orderkey"), 1)
-          .over(Window.partitionBy(col("__f")).orderBy(monotonically_increasing_id())))
-        .filter(col("__prev").isNotNull && col("__prev") > col("o_orderkey"))
-        .count() == 0L
       back.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           lit(disjoint).as("ranges_disjoint"), lit(sortedInFile).as("files_sorted"))
         .orderBy("o_orderkey")
@@ -1520,35 +1529,17 @@ object Queries {
 
   private val duckStops = TF.stopwords.map(w => s"'$w'").mkString(",")
 
-  /** raw (unrounded) quality score — mirrors TF.qualityScore exactly:
-    * ONE double division of exact integer numerator/denominator, so both
-    * engines produce the same bits (a multi-term double accumulation put
-    * real scores exactly on 4-dp round half-way ties where the engines
-    * disagreed by an ulp — sf0.1 doc 1828).
+  /** Shared exact-integer (numerator, denominator) SQL for the quality
+    * blend — the single source the raw and 4-dp-rounded oracle forms both
+    * derive from, mirroring TF.qualityNumDen term by term. HUGEINT: a
+    * multi-MB document pushes 20000·chars·tokens past BIGINT (the Scala
+    * side runs the same headroom in DECIMAL(38,0)).
     */
-  private val duckQualityRaw: String = {
-    val nTok = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
-    val nChar = "CAST(length(text) AS BIGINT)"
-    val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT)"
-    val stop = s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$duckStops], tk))) AS BIGINT)"
-    val safeChar = s"(CASE WHEN $nChar > 0 THEN $nChar ELSE 1 END)"
-    val punctEff = s"(CASE WHEN $nChar > 0 THEN $punct ELSE 0 END)"
-    val safeTok = s"(CASE WHEN $nTok > 0 THEN $nTok ELSE 1 END)"
-    val stopEff = s"(CASE WHEN $nTok > 0 THEN $stop ELSE 0 END)"
-    s"(CAST(least($nTok, 100) * 4 * $safeChar * $safeTok" +
-      s" + ($safeChar - $punctEff) * 300 * $safeTok" +
-      s" + least($stopEff * 5, $safeTok) * 300 * $safeChar AS DOUBLE)" +
-      s" / CAST($safeChar * $safeTok * 1000 AS DOUBLE))"
-  }
-
-  /** exact-integer 4-dp half-up rounding of the quality score, mirroring
-    * TF.qualityScoreRounded: r = (20000*num + den) // (2*den), r/10000.0.
-    */
-  private val duckQualityRound4: String = {
-    val nTok = "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
-    val nChar = "CAST(length(text) AS BIGINT)"
-    val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT)"
-    val stop = s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$duckStops], tk))) AS BIGINT)"
+  private val duckQualityNumDen: (String, String) = {
+    val nTok = "CAST(len(string_split_regex(trim(text), '\\s+')) AS HUGEINT)"
+    val nChar = "CAST(length(text) AS HUGEINT)"
+    val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS HUGEINT)"
+    val stop = s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$duckStops], tk))) AS HUGEINT)"
     val safeChar = s"(CASE WHEN $nChar > 0 THEN $nChar ELSE 1 END)"
     val punctEff = s"(CASE WHEN $nChar > 0 THEN $punct ELSE 0 END)"
     val safeTok = s"(CASE WHEN $nTok > 0 THEN $nTok ELSE 1 END)"
@@ -1556,7 +1547,22 @@ object Queries {
     val num = s"(least($nTok, 100) * 4 * $safeChar * $safeTok" +
       s" + ($safeChar - $punctEff) * 300 * $safeTok" +
       s" + least($stopEff * 5, $safeTok) * 300 * $safeChar)"
-    val den = s"($safeChar * $safeTok * 1000)"
+    (num, s"($safeChar * $safeTok * 1000)")
+  }
+
+  /** raw (unrounded) quality score — ONE double division of the exact
+    * integers, bit-identical to TF.qualityScoreFromParts (threshold form).
+    */
+  private val duckQualityRaw: String = {
+    val (num, den) = duckQualityNumDen
+    s"(CAST($num AS DOUBLE) / CAST($den AS DOUBLE))"
+  }
+
+  /** exact-integer 4-dp half-up rounding of the quality score, mirroring
+    * TF.qualityScoreRounded: r = (20000*num + den) // (2*den), r/10000.0.
+    */
+  private val duckQualityRound4: String = {
+    val (num, den) = duckQualityNumDen
     s"(CAST((20000 * $num + $den) // (2 * $den) AS DOUBLE) / 10000.0)"
   }
 

@@ -151,10 +151,16 @@ object TextFunctions {
     val punctEff = when(nChar > 0, punctCol.cast(LongType)).otherwise(lit(0L))
     val safeTok = when(nTok > 0, nTok).otherwise(lit(1L))
     val stopEff = when(nTok > 0, stopCol.cast(LongType)).otherwise(lit(0L))
-    val num = least(nTok, lit(100L)) * lit(4L) * safeChar * safeTok +
-      (safeChar - punctEff) * lit(300L) * safeTok +
-      least(stopEff * lit(5L), safeTok) * lit(300L) * safeChar
-    (num, safeChar * safeTok * lit(1000L))
+    // the products run in DECIMAL(38,0), not LONG: a multi-MB document can
+    // push 20000·chars·tokens past Long range, where Spark legacy math
+    // wraps silently while the DuckDB oracle (HUGEINT) keeps going — the
+    // decimal headroom (num ≤ ~2e7·chars·tokens < 1e38) makes the exact
+    // rational safe for any real document
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val num = d38(least(nTok, lit(100L))) * lit(4) * d38(safeChar) * d38(safeTok) +
+      d38(safeChar - punctEff) * lit(300) * d38(safeTok) +
+      d38(least(stopEff * lit(5L), safeTok)) * lit(300) * d38(safeChar)
+    (num, d38(safeChar) * d38(safeTok) * lit(1000))
   }
 
   def qualityScoreFromParts(nTokCol: Column, punctCol: Column,

@@ -158,8 +158,12 @@ object Ann {
     val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, maxFitPoints, seed)
     val centers = KMeansLite.fit(sample, k, maxIter, seed)
       .map(_.map(v => v.toFloat.toDouble))
+    // cached: the assignment subtree (scan + normalize + k·dim kernel)
+    // otherwise re-executes for EACH side of the self-join — callers on a
+    // long-lived session release it with catalog.clearCache (Bench/Verify
+    // do so per query)
     val assigned = unitized.select(col(idCol).as("doc_id"),
-      nearestCentroidExpr(col("__u"), centers).as("cluster"))
+      nearestCentroidExpr(col("__u"), centers).as("cluster")).cache()
     val cands = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))

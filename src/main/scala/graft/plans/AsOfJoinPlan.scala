@@ -48,6 +48,13 @@ final case class AsOfJoinNode(
 
   require(leftKeys.length == rightKeys.length, "key arity mismatch")
   require(rightPayload.length == asofAttrs.length, "payload/output arity mismatch")
+  // the exec compares right-projected UnsafeRows with orderings built from
+  // the LEFT side's types — a type mismatch would silently reinterpret raw
+  // bits instead of failing analysis, so reject it here
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"key type mismatch: ${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"timestamp type mismatch: ${leftTs.dataType} vs ${rightTs.dataType}")
 
   override def output: Seq[Attribute] = left.output ++ asofAttrs
 

@@ -88,8 +88,11 @@ object Sinks {
       .agg(sum(col("__tag")).as("__d"),
         count(when(col("__tag") === 1, 1)).as("__n"),
         count(when(col("__tag") === -1, 1)).as("__m"))
-      .agg(sum(abs(col("__d"))).as("mismatch"),
-        sum(col("__n")).as("n"), sum(col("__m")).as("m"))
+      // coalesce: an EMPTY export aggregates zero groups → null sums, and
+      // an empty-but-equal round-trip must verify, not NPE
+      .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as("mismatch"),
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        coalesce(sum(col("__m")), lit(0L)).as("m"))
       .head()
     val (mismatch, n, m) = (row.getLong(0), row.getLong(1), row.getLong(2))
     require(m == n, s"read-back count $m != written count $n at $path")
