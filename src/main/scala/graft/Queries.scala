@@ -635,6 +635,32 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    // array-column function surface: intersect/except against a literal
+    // vocabulary, slice, distinct-size — token arrays as first-class
+    // values (outputs stringified sorted, so both engines' set-op
+    // ordering quirks are normalized away)
+    "q99_array_functions" -> ((s, dir) => {
+      val stopsLit = typedLit(Seq("the", "a", "and", "of", "to", "in", "is"))
+      val toks = TF.tokens(lower(col("text")))
+      t(s, dir, "documents").filter(col("doc_id") < 100).select(
+          col("doc_id"),
+          array_join(array_sort(array_intersect(array_distinct(toks), stopsLit)), ",")
+            .as("stops_present"),
+          array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("first5"),
+          size(array_distinct(toks)).as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
+    // filtered & boolean aggregates: count_if / bool_or / bool_and /
+    // FILTER'd sums — the conditional-aggregation surface
+    "q100_filtered_agg" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+          count(when(col("value") > 50, 1)).as("n_hi"),
+          bool_or(col("value") > 90).as("any_gt90"),
+          bool_and(col("value") >= 0).as("all_nonneg"),
+          dec(sum(when(col("value") > 50, col("value")))).as("sum_hi"))
+        .orderBy("event_type")),
+
     // unpivot/melt — the inverse of q71's pivot: wide numeric columns to
     // (id, metric, val) long form, common-type cast to double
     "q96_unpivot" -> ((s, dir) =>
@@ -1851,6 +1877,20 @@ object Queries {
     "q88_sample" ->
       """SELECT count(*) AS n_source, true AS frac_ok, true AS subset_ok
         |FROM lineitem""".stripMargin,
+    "q99_array_functions" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+        |    ['the','a','and','of','to','in','is'])), ','), '') AS stops_present,
+        |  array_to_string(string_split_regex(trim(text), '\s+')[1:5], ' ') AS first5,
+        |  CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS INTEGER) AS n_distinct
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "q100_filtered_agg" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE value > 50) AS n_hi,
+        |  bool_or(value > 90) AS any_gt90,
+        |  bool_and(value >= 0) AS all_nonneg,
+        |  CAST(CAST(round(sum(value) FILTER (WHERE value > 50), 4) AS DECIMAL(10,4)) AS DOUBLE) AS sum_hi
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q96_unpivot" ->
       """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val FROM customer
         |UNION ALL
