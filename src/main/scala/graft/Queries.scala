@@ -956,6 +956,16 @@ object Queries {
           |ORDER BY c.c_custkey""".stripMargin)
     }),
 
+    // partitioned JSON sink (O7, the reference's py:87 write path) + scan
+    // round-trip: schema-explicit read-back, DuckDB checks against the
+    // parquet source — a serialization or parsing defect breaks the hash
+    "q101_json_sink" -> ((s, dir) => {
+      val src = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      graft.sinks.Sinks.writeJson(src, "/tmp/graft_q101_json")
+      s.read.schema(src.schema).json("/tmp/graft_q101_json").orderBy("s_suppkey")
+    }),
+
     // ORC sink + scan round-trip: the engine's second columnar format;
     // the oracle reads the parquet source, so a type or value corruption
     // anywhere in the ORC write/read path breaks the hash
@@ -2106,6 +2116,9 @@ object Queries {
         |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
         |ORDER BY c.c_custkey""".stripMargin,
     "q80_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q101_json_sink" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q81_bucketed_join" ->
