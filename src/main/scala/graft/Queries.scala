@@ -956,6 +956,23 @@ object Queries {
           |ORDER BY c.c_custkey""".stripMargin)
     }),
 
+    // driver-list source + executor-side per-element fetch/parse with
+    // null-drop (O3-O6, the reference's parallelize(urls).map(fetch)
+    // shape): malformed elements are dropped by the fetch Option, and the
+    // oracle pins the surviving parsed rows
+    "q102_fetch_source" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Seq("1|spark merges|10", "2|joins at scale|7", "garbage-line",
+        "3|asof windows|4", "4|bad-score|x")
+      graft.ingest.Sources.fetched(s, raw, (line: String) => {
+          val parts = line.split('|')
+          if (parts.length == 3)
+            scala.util.Try((parts(0).toLong, parts(1), parts(2).toInt)).toOption
+          else None
+        })
+        .toDF("id", "title", "score").orderBy("id")
+    }),
+
     // partitioned JSON sink (O7, the reference's py:87 write path) + scan
     // round-trip: schema-explicit read-back, DuckDB checks against the
     // parquet source — a serialization or parsing defect breaks the hash
@@ -2121,6 +2138,12 @@ object Queries {
     "q101_json_sink" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q102_fetch_source" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'spark merges', CAST(10 AS INTEGER)),
+        |  (CAST(2 AS BIGINT), 'joins at scale', CAST(7 AS INTEGER)),
+        |  (CAST(3 AS BIGINT), 'asof windows', CAST(4 AS INTEGER)))
+        |AS t(id, title, score) ORDER BY id""".stripMargin,
     "q81_bucketed_join" ->
       """WITH u AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY 1)
         |SELECT e.user_id, count(*) AS n,
