@@ -1005,11 +1005,15 @@ object Queries {
       s.sql("DROP TABLE IF EXISTS graft_q81_users")
       // the catalog is session-scoped but the warehouse is not: a prior
       // session's table location survives the DROP (which only knows the
-      // current catalog) and fails saveAsTable with LOCATION_ALREADY_EXISTS
+      // current catalog) and fails saveAsTable with LOCATION_ALREADY_EXISTS.
+      // The physical delete is restricted to graft-owned warehouses
+      // (/tmp/graft_* — Bench/Verify pin /tmp/graft_warehouse, tests use
+      // /tmp/graft_test_warehouse); if a deployment points the warehouse
+      // elsewhere (possibly shared), never rm there.
       for (tbl <- Seq("graft_q81_ev", "graft_q81_users")) {
-        val loc = new java.io.File(
-          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
-        if (loc.exists()) {
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = new java.io.File(wh, tbl)
+        if (wh.startsWith("/tmp/graft_") && loc.exists()) {
           def rm(f: java.io.File): Unit = {
             if (f.isDirectory) f.listFiles().foreach(rm)
             f.delete()

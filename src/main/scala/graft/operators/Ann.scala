@@ -164,10 +164,15 @@ object Ann {
     // do so per query)
     val assigned = unitized.select(col(idCol).as("doc_id"),
       nearestCentroidExpr(col("__u"), centers).as("cluster")).cache()
+    // candidate pairs are materialized eagerly (ids only — tiny next to the
+    // vectors), which lets the assignment cache be released before this
+    // function returns instead of leaking into the caller's session
     val cands = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))
+      .localCheckpoint(true)
+    assigned.unpersist(false)
     val vecs = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
     cands
       .join(vecs.as("x"), col("va") === col("x.doc_id"))

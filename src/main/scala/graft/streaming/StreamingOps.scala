@@ -71,12 +71,16 @@ object StreamingOps {
       left: DataFrame, leftTs: String, right: DataFrame, rightTs: String,
       leftKey: String, rightKey: String, span: String,
       watermark: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
+    // dataset aliases pin each condition column to its side, so the join
+    // builds even when the two streams share key/timestamp column names
+    // (the OUTPUT then carries duplicate names — callers selecting from
+    // the result of a same-named join should rename before or after)
+    val l = left.withWatermark(leftTs, watermark).as("__gl")
+    val r = right.withWatermark(rightTs, watermark).as("__gr")
     l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $span"))
+      col(s"__gl.$leftKey") === col(s"__gr.$rightKey") &&
+        col(s"__gr.$rightTs") >= col(s"__gl.$leftTs") &&
+        col(s"__gr.$rightTs") <= col(s"__gl.$leftTs") + expr(s"INTERVAL $span"))
   }
 
   /** Session windows: activity grouped by gaps — events within `gap` of

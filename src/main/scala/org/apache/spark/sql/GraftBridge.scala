@@ -44,12 +44,19 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  // registration lock: extraStrategies/extraOptimizations are plain vars,
+  // so the contains/append pair below is check-then-act — two threads
+  // racing the first registration would otherwise both append
+  private val registrationLock = new Object
+
   /** Idempotently add a planner strategy to a running session (the runtime
     * equivalent of SparkSessionExtensions.injectPlannerStrategy).
     */
   def addStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit =
-    if (!spark.experimental.extraStrategies.contains(s))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ s
+    registrationLock.synchronized {
+      if (!spark.experimental.extraStrategies.contains(s))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ s
+    }
 
   /** Idempotently add an optimizer rule to a running session (the runtime
     * equivalent of SparkSessionExtensions.injectOptimizerRule).
@@ -58,6 +65,8 @@ object GraftBridge {
       spark: SparkSession,
       r: org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit =
-    if (!spark.experimental.extraOptimizations.contains(r))
-      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ r
+    registrationLock.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ r
+    }
 }
