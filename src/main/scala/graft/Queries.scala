@@ -1554,6 +1554,125 @@ object Queries {
       val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
       val overlap = annIds.intersect(exactIds).size
       Seq(("pq", 10, overlap >= 9)).toDF("method", "k", "recall_ok")
+    }),
+
+    // ---------------------------------------------------------------- r6
+
+    // statistical aggregates: second-moment family (stddev/variance/
+    // covariance/correlation) and the linear-regression aggregates —
+    // all single-pass partial-merge aggregates (no Expand, map-side
+    // combine), the profile pass a feature pipeline runs over raw columns
+    "q103_stat_aggs" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        dec(stddev_samp(col("l_quantity")), 18).as("sd_qty"),
+        dec(var_samp(col("l_quantity")), 18).as("var_qty"),
+        dec(corr(col("l_quantity"), col("l_extendedprice")), 18).as("corr_qp"),
+        dec(covar_samp(col("l_quantity"), col("l_extendedprice")), 18).as("covs_qp"),
+        dec(covar_pop(col("l_quantity"), col("l_extendedprice")), 18).as("covp_qp"),
+        dec(regr_slope(col("l_extendedprice"), col("l_quantity")), 18).as("slope"),
+        dec(regr_intercept(col("l_extendedprice"), col("l_quantity")), 18).as("icept"),
+        dec(regr_r2(col("l_extendedprice"), col("l_quantity")), 18).as("r2"))
+        .orderBy("l_returnflag")),
+
+    // argmin/argmax aggregates (min_by/max_by) + deterministic collect_set:
+    // the "representative row per group" shape without a self-join. The
+    // ordering value is made UNIQUE (n_chars ⊕ doc_id in disjoint bit
+    // ranges) — min_by on a tied ordering value is nondeterministic in
+    // both engines
+    "q104_arg_minmax" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("__ord", col("n_chars") * lit(1L << 32) + col("doc_id"))
+        .groupBy("lang").agg(
+          min_by(col("doc_id"), col("__ord")).as("shortest_doc"),
+          max_by(col("doc_id"), col("__ord")).as("longest_doc"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          concat_ws(",", sort_array(collect_set(col("source")))).as("sources"))
+        .orderBy("lang")),
+
+    // calendar gap-fill + forward fill (TrainingData.gapFillDaily): densify
+    // per-user daily activity onto the full day spine, carry the last
+    // observation forward — the feature-store densification pass; spine is
+    // broadcast, fill is one bounded window per key
+    "q105_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 50)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("cents"))
+      graft.pipeline.TrainingData.gapFillDaily(ev, "user_id", "day", "cents")
+        .orderBy("user_id", "day")
+    }),
+
+    // deterministic content-addressed train/val/test split
+    // (TrainingData.assignSplit): md5-bucketed 75/12.5/12.5, seedless and
+    // engine-portable — membership is a pure function of the id, so
+    // incremental corpus appends never reshuffle existing splits
+    "q106_hash_split" -> ((s, dir) =>
+      graft.pipeline.TrainingData.assignSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("tot_chars"))
+        .orderBy("split")),
+
+    // token-budgeted sequence packing (TrainingData.packSequences): assign
+    // docs to contiguous token-capped packs via a DISTRIBUTED prefix sum —
+    // range partition by (lang, doc_id), per-partition subtotals to the
+    // driver, per-partition offsets back; the window only sorts within one
+    // range partition, so no single task ever holds a whole language
+    "q107_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      graft.pipeline.TrainingData
+        .packSequences(docs, "doc_id", "lang", "n_tokens", capTokens = 256L)
+        .withColumn("n_tokens", col("n_tokens").cast(IntegerType))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction (TrainingData.redactPii): typed placeholder scrub of
+    // emails/phones/SSNs + per-kind audit counts. The testdata corpus has
+    // no PII, so deterministic synthetic PII is appended from doc_id —
+    // identically in the oracle — making every redaction branch live
+    "q108_pii_redact" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" reach user"), col("doc_id").cast(StringType),
+          lit("@example.com tel 555-867-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+          lit(" ssn "),
+          lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
+          lit("-45-6789")))
+      graft.pipeline.TrainingData.redactPii(seeded, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ssns"), col("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination (TrainingData.contaminatedDocIds): training
+    // docs sharing any 20-char shingle with the eval slice (doc_id % 97 = 0)
+    // — eval shingles broadcast-semi-joined against the corpus shingles
+    "q109_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval_ = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.pipeline.TrainingData
+        .contaminatedDocIds(train, eval_, "doc_id", "text", n = 20)
+        .orderBy("doc_id")
+    }),
+
+    // latest-wins snapshot upsert (TrainingData.upsertLatest): merge an
+    // updates batch (modified rows + brand-new keys) into the base
+    // snapshot — one shuffle on the key, updates win, new keys append
+    "q110_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val updates = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderstatus", lit("U"))
+        .unionByName(base.filter(col("o_orderkey") % 1000 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      graft.pipeline.TrainingData.upsertLatest(base, updates, "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).as("price"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2185,6 +2304,95 @@ object Queries {
         |FROM events""".stripMargin,
     "q50_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q103_stat_aggs" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(round(stddev_samp(l_quantity), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sd_qty,
+        |  CAST(CAST(round(var_samp(l_quantity), 4) AS DECIMAL(18,4)) AS DOUBLE) AS var_qty,
+        |  CAST(CAST(round(corr(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4)) AS DOUBLE) AS corr_qp,
+        |  CAST(CAST(round(covar_samp(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4)) AS DOUBLE) AS covs_qp,
+        |  CAST(CAST(round(covar_pop(l_quantity, l_extendedprice), 4) AS DECIMAL(18,4)) AS DOUBLE) AS covp_qp,
+        |  CAST(CAST(round(regr_slope(l_extendedprice, l_quantity), 4) AS DECIMAL(18,4)) AS DOUBLE) AS slope,
+        |  CAST(CAST(round(regr_intercept(l_extendedprice, l_quantity), 4) AS DECIMAL(18,4)) AS DOUBLE) AS icept,
+        |  CAST(CAST(round(regr_r2(l_extendedprice, l_quantity), 4) AS DECIMAL(18,4)) AS DOUBLE) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q104_arg_minmax" ->
+      """SELECT lang,
+        |  arg_min(doc_id, n_chars * 4294967296 + doc_id) AS shortest_doc,
+        |  arg_max(doc_id, n_chars * 4294967296 + doc_id) AS longest_doc,
+        |  count(*) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q105_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+        |grid AS (SELECT u.user_id, s.day
+        |         FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN spine s)
+        |SELECT g.user_id, g.day,
+        |  coalesce(last_value(e.cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cents
+        |FROM grid g LEFT JOIN ev e ON g.user_id = e.user_id AND g.day = e.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+    "q106_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tot_chars
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+    "q107_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS pack_id
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q108_pii_redact" ->
+      """WITH seeded AS (SELECT doc_id,
+        |  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com tel 555-867-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn ' ||
+        |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-45-6789' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_ssns,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM seeded ORDER BY doc_id""".stripMargin,
+    "q109_decontam" ->
+      """WITH ev AS (SELECT DISTINCT shingle FROM (
+        |    SELECT unnest([substr(lower(text), i, 20)
+        |                   for i in range(1, len(lower(text)) - 18)]) AS shingle
+        |    FROM documents WHERE doc_id % 97 = 0 AND len(lower(text)) >= 20)),
+        |tr AS (SELECT doc_id, unnest([substr(lower(text), i, 20)
+        |                   for i in range(1, len(lower(text)) - 18)]) AS shingle
+        |       FROM documents WHERE doc_id % 97 <> 0 AND len(lower(text)) >= 20)
+        |SELECT DISTINCT doc_id FROM tr WHERE shingle IN (SELECT shingle FROM ev)
+        |ORDER BY doc_id""".stripMargin,
+    "q110_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 7),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(CAST(round(o_totalprice, 4) AS DECIMAL(10,4)) AS DOUBLE) AS price
+        |FROM merged ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,186 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data assembly operators beyond curation (Curation.scala): the
+  * steps that turn a curated document pool into model-ready shards —
+  * deterministic train/val/test splits, token-budgeted sequence packing,
+  * PII redaction, benchmark decontamination, calendar gap-fill for
+  * time-series features, and latest-wins snapshot upserts for incremental
+  * corpus refreshes. The reference pipeline stops at a FAISS index
+  * (ai_powered_financial_analysis.py:354-438); these are the operations the
+  * same corpus needs on the way into an LLM training run, designed Spark-
+  * first for the 100-TB case.
+  */
+object TrainingData {
+
+  /** Deterministic content-addressed split assignment: bucket by the first
+    * hex character of md5(id) — 16 buckets, split by bucket ranges (12/2/2
+    * → 75% train, 12.5% val, 12.5% test). Pure per-row map (no shuffle, no
+    * seed state); any engine that can compute md5 reproduces the exact
+    * membership, so the split survives re-runs, engine swaps, and
+    * incremental appends (a new doc's split never depends on what else is
+    * in the corpus).
+    */
+  def assignSplit(df: DataFrame, idCol: String): DataFrame = {
+    val bucket = substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 1)
+    df.withColumn("split",
+      when(bucket < "c", "train").when(bucket < "e", "val").otherwise("test"))
+  }
+
+  /** Token-budgeted sequence packing: assign each document (ordered by
+    * `idCol` within `groupCol`) to the pack holding its starting token
+    * offset — `pack_id = floor(tokens_before / capTokens)`, the contiguous-
+    * chunking form of packing (documents stay whole; a pack's payload may
+    * finish past the cap and the next doc starts the next pack region).
+    *
+    * 100-TB shape: the naive form is one window per group — a group's
+    * entire corpus through a single task, which dies at scale. This
+    * implementation is a distributed prefix-sum (scan): range-partition by
+    * (group, id), compute per-partition per-group token subtotals (tiny:
+    * #partitions × #groups rows to the driver), prefix-sum those into
+    * per-partition offsets, then add a window that only ever sorts WITHIN
+    * one range partition (bounded by partition size, not group size). The
+    * result is bit-identical to the global per-group window because range
+    * partitioning preserves the total (group, id) order across partitions.
+    */
+  def packSequences(
+      docs: DataFrame, idCol: String, groupCol: String, tokenCol: String,
+      capTokens: Long, numPartitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = docs.select(
+      col(groupCol).cast(StringType).as("__g"),
+      col(idCol).cast(LongType).as("__id"),
+      col(tokenCol).cast(LongType).as("__tok"))
+    val ranged = base
+      .repartitionByRange(parts, col("__g"), col("__id"))
+      .withColumn("__pid", spark_partition_id())
+    // stage 1: per-(partition, group) subtotals — #partitions × #groups
+    // rows, safe to collect
+    val subtotals = ranged.groupBy("__pid", "__g")
+      .agg(sum(col("__tok")).as("__sub"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // driver-side exclusive prefix sum over partition ids, per group
+    val offsets: Seq[(Int, String, Long)] = subtotals.keys.map(_._2).toSeq.distinct.flatMap { g =>
+      val pids = subtotals.keys.filter(_._2 == g).map(_._1).toSeq.sorted
+      var acc = 0L
+      pids.map { p =>
+        val o = (p, g, acc)
+        acc += subtotals((p, g))
+        o
+      }
+    }
+    import spark.implicits._
+    val offsetDf = offsets.toDF("__pid", "__g", "__off")
+    // stage 2: local exclusive cumsum within the range partition + the
+    // group's offset into it; the window partition is (pid, group) so its
+    // sort never exceeds one range partition
+    val w = Window.partitionBy(col("__pid"), col("__g")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsetDf), Seq("__pid", "__g"))
+      .withColumn("__before", col("__off") + coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .select(
+        col("__id").as(idCol), col("__g").as(groupCol),
+        col("__tok").as(tokenCol),
+        floor(col("__before") / capTokens).as("pack_id"))
+  }
+
+  /** PII redaction: replace e-mail addresses, North-American phone shapes,
+    * and SSN-shaped digit groups with typed placeholder tags, and count
+    * each kind (audit columns a compliance pass needs). Pure per-row
+    * regexes — codegen'd, no shuffle, linear at any scale.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(emailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(phoneRe), lit(0))))
+      .withColumn("n_ssns", size(regexp_extract_all(t, lit(ssnRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailRe, "<EMAIL>"),
+            ssnRe, "<SSN>"),
+          phoneRe, "<PHONE>"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * character n-gram with an evaluation set. The contamination join is a
+    * LEFT SEMI join on the shingle — the eval side's distinct shingle set
+    * is orders of magnitude smaller than the corpus, so Spark broadcasts
+    * it and the probe stays a single narrow pass over the training
+    * shingles; matched doc_ids are then de-duplicated by the semi join
+    * itself (no row explosion reaches the output).
+    *
+    * The shingle join key here is the raw n-gram string so external
+    * engines can reproduce the exact semantics; at 100 TB you'd hash the
+    * shingle first (xxhash64) to shrink shuffle/broadcast width — identical
+    * membership, 8-byte keys.
+    */
+  def contaminatedDocIds(
+      train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      n: Int = 20): DataFrame = {
+    def shingles(df: DataFrame): DataFrame =
+      df.select(col(idCol), lower(col(textCol)).as("__t"))
+        .filter(length(col("__t")) >= n)
+        .select(col(idCol),
+          explode(expr(s"transform(sequence(1, length(__t) - ${n - 1}), i -> substring(__t, i, $n))"))
+            .as("shingle"))
+    val evalShingles = shingles(eval_).select("shingle").distinct()
+    shingles(train)
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** Calendar gap-fill + forward fill: densify a (key, day, value) series
+    * onto the full day spine between the series' global min and max day,
+    * carrying the last observed value forward (0 before the first
+    * observation). The spine is tiny (days × keys only after the cross
+    * join) and broadcast; the fill is one bounded window per key.
+    */
+  def gapFillDaily(
+      series: DataFrame, keyCol: String, dayCol: String,
+      valCol: String): DataFrame = {
+    val bounds = series.agg(
+      min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val spine = bounds.select(
+      explode(expr(s"sequence(__lo, __hi, interval 1 day)")).as(dayCol))
+    val keys = series.select(col(keyCol)).distinct()
+    val grid = keys.crossJoin(broadcast(spine))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(series, Seq(keyCol, dayCol), "left")
+      .select(col(keyCol), col(dayCol),
+        coalesce(last(col(valCol), ignoreNulls = true).over(w), lit(0L)).as(valCol))
+  }
+
+  /** Latest-wins snapshot upsert: merge an updates batch into a base
+    * snapshot by key — updates replace base rows with the same key, new
+    * keys append (the incremental-refresh MERGE a periodically re-crawled
+    * corpus needs, expressed storage-agnostically). One shuffle on the
+    * key: union the version-tagged sides and keep the max-version row per
+    * key. Equivalent to FULL OUTER + coalesce but survives multi-batch
+    * generalization (version becomes the batch epoch).
+    */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
+    val tagged = base.withColumn("__v", lit(0))
+      .unionByName(updates.withColumn("__v", lit(1)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v").desc)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__v", "__rn")
+  }
+}
