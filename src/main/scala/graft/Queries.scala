@@ -1673,6 +1673,142 @@ object Queries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           dec(col("o_totalprice")).as("price"))
         .orderBy("o_orderkey")
+    }),
+
+    // stream-STATIC join (q83 is stream-stream): each micro-batch hash-
+    // joins against a broadcast batch dimension — no join state store at
+    // all, the scale path for enriching a stream with slowly-changing
+    // reference data; availableNow over the static drop equals the batch
+    // join exactly
+    "q111_stream_static_join" -> ((s, dir) => {
+      withStatePartitions(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val dim = t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("type_n"))
+        val joined = stream.join(broadcast(dim), "event_type")
+          .select(col("event_id"), col("event_type"), col("type_n"))
+        val q = joined.writeStream.format("memory")
+          .queryName("graft_q111_sink").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_q111_sink").orderBy("event_id")
+      }
+    }),
+
+    // dropDuplicatesWithinWatermark (q63 dedups on keys+ts; this dedups on
+    // the KEYS with a bounded time horizon — the at-least-once-source
+    // retry-absorption contract): projected to the key set, the single
+    // availableNow batch equals batch DISTINCT
+    "q112_stream_dedup_wm" -> ((s, dir) => {
+      withStatePartitions(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val deduped = graft.streaming.StreamingOps.dedupWithinWatermark(
+          ev, Seq("user_id", "event_type"), "ts", "10 minutes")
+          .select("user_id", "event_type")
+        val q = deduped.writeStream.format("memory")
+          .queryName("graft_q112_sink").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_q112_sink").orderBy("user_id", "event_type")
+      }
+    }),
+
+    // higher-order array functions as one codegen'd pass: filter / exists /
+    // forall / transform / slice / aggregate over the token array — no
+    // explode, no shuffle, no UDF (the lambda forms Catalyst compiles)
+    "q113_hof_suite" -> ((s, dir) => {
+      val toks = TF.tokens(lower(col("text")))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          size(filter(toks, tk => length(tk) > 3)).as("n_long"),
+          exists(toks, tk => tk === "the").as("has_the"),
+          forall(toks, tk => length(tk) < 50).as("all_short"),
+          array_join(slice(transform(filter(toks, tk => length(tk) > 3),
+            tk => upper(tk)), 1, 5), ",").as("top5_upper"),
+          aggregate(transform(toks, tk => length(tk)), lit(0),
+            (acc, x) => acc + x).as("tok_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // seeded STRATIFIED sample (q88 is uniform): per-stratum Bernoulli
+    // fractions via sampleBy; gates pin per-stratum counts to a 5σ
+    // binomial envelope and subset containment, next to deterministic
+    // per-stratum totals the oracle reproduces
+    "q114_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val fractions = Map("click" -> 0.5, "view" -> 0.2, "purchase" -> 1.0,
+        "signup" -> 0.8, "error" -> 0.1)
+      val sampled = ev.stat.sampleBy("event_type", fractions, 42L)
+      val sampledCounts = sampled.groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val subsetViolations = sampled.select("event_id")
+        .join(ev.select("event_id"), Seq("event_id"), "left_anti").count()
+      val totals = ev.groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rows = fractions.toSeq.sortBy(_._1).map { case (tp, f) =>
+        val n = totals.getOrElse(tp, 0L)
+        val k = sampledCounts.getOrElse(tp, 0L)
+        val sigma = math.sqrt(f * (1 - f) * n)
+        (tp, n, math.abs(k - f * n) <= 5 * sigma + 1, subsetViolations == 0L)
+      }
+      rows.toDF("event_type", "n_total", "frac_ok", "subset_ok")
+        .orderBy("event_type")
+    }),
+
+    // Observation API: named accumulator-backed metrics collected ON the
+    // write pass itself — the scale path for audit counts (count/sum/max
+    // piggyback on the action instead of a second scan of 100 TB)
+    "q115_observe" -> ((s, dir) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation("graft_q115")
+      val li = t(s, dir, "lineitem").observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(floor(col("l_quantity") * 100).cast(LongType)).as("qty_cents"),
+        max(col("l_orderkey")).as("max_key"))
+      li.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long], m("qty_cents").asInstanceOf[Long],
+        m("max_key").asInstanceOf[Long]))
+        .toDF("n_rows", "qty_cents", "max_key")
+    }),
+
+    // foreachBatch sink: per-epoch overwrite parquet — the idempotent
+    // retry-safe custom-sink pattern (a re-run of an epoch replaces, never
+    // duplicates); read-back across epochs must equal the source
+    "q116_foreach_batch" -> ((s, dir) => {
+      withStatePartitions(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val outPath = "/tmp/graft_q116_fb"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(outPath))
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = stream.select("event_id", "event_type", "value")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outPath/epoch=$id")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outPath)
+          .select("event_id", "event_type", "value")
+          .orderBy("event_id")
+      }
     })
   )
 
@@ -2393,6 +2529,36 @@ object Queries {
         |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(CAST(round(o_totalprice, 4) AS DECIMAL(10,4)) AS DOUBLE) AS price
-        |FROM merged ORDER BY o_orderkey""".stripMargin
+        |FROM merged ORDER BY o_orderkey""".stripMargin,
+    "q111_stream_static_join" ->
+      """WITH d AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, d.type_n
+        |FROM events e JOIN d ON e.event_type = d.event_type
+        |ORDER BY e.event_id""".stripMargin,
+    "q112_stream_dedup_wm" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q113_hof_suite" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, tk -> len(tk) > 3)) AS INTEGER) AS n_long,
+        |  len(list_filter(toks, tk -> tk = 'the')) > 0 AS has_the,
+        |  len(list_filter(toks, tk -> len(tk) >= 50)) = 0 AS all_short,
+        |  array_to_string(list_transform(list_filter(toks, tk -> len(tk) > 3),
+        |    tk -> upper(tk))[1:5], ',') AS top5_upper,
+        |  CAST(list_sum(list_transform(toks, tk -> len(tk))) AS INTEGER) AS tok_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q114_sample_stratified" ->
+      """SELECT event_type, count(*) AS n_total, true AS frac_ok, true AS subset_ok
+        |FROM events WHERE event_type IN ('click','view','purchase','signup','error')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q115_observe" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  max(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin,
+    "q116_foreach_batch" ->
+      """SELECT event_id, event_type, value FROM events ORDER BY event_id""".stripMargin
   )
 }

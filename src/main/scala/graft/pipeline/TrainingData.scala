@@ -58,9 +58,13 @@ object TrainingData {
       col(groupCol).cast(StringType).as("__g"),
       col(idCol).cast(LongType).as("__id"),
       col(tokenCol).cast(LongType).as("__tok"))
+    // materialized once (ids + token counts only — a few bytes per row):
+    // both the subtotal pass and the final window read this frame, and
+    // checkpointing pins ONE set of range boundaries for both
     val ranged = base
       .repartitionByRange(parts, col("__g"), col("__id"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     // stage 1: per-(partition, group) subtotals — #partitions × #groups
     // rows, safe to collect
     val subtotals = ranged.groupBy("__pid", "__g")

@@ -58,6 +58,20 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Watermark-windowed key dedup (`dropDuplicatesWithinWatermark`): unlike
+    * [[dedupStream]], the key set does NOT include the event time — rows
+    * with the same keys arriving within the watermark horizon of each
+    * other dedup to the first arrival, and a key's state is dropped once
+    * the watermark passes it (the guarantee is "no duplicates within the
+    * horizon", which is exactly the at-least-once-source contract: a
+    * source retry re-delivers close in time, not days later).
+    */
+  def dedupWithinWatermark(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-stream inner interval join: right-side events inside
     * [left.ts, left.ts + span] per key. Watermarks on BOTH sides are
     * mandatory at scale — Spark derives each side's state-retention
