@@ -53,6 +53,17 @@ object Queries {
     candidates.find(p => new java.io.File(p).exists()).getOrElse(candidates.head)
   }
 
+  /** Malformed-CSV fixture (3 corrupt rows of 10) — resolved against the
+    * repo root; only the Spark side reads it (its oracle pins the
+    * documented counts as literals).
+    */
+  private[graft] val malformedFixturePath: String = {
+    val candidates = Seq(
+      "/root/repo/src/test/resources/malformed_fixture.csv",
+      new java.io.File("src/test/resources/malformed_fixture.csv").getAbsolutePath)
+    candidates.find(p => new java.io.File(p).exists()).getOrElse(candidates.head)
+  }
+
   /** BMP fixture dir (tools/make_bmp_fixtures.py) — resolved against the
     * repo root so Spark's binaryFile scan and DuckDB's read_blob see the
     * same files.
@@ -1809,6 +1820,105 @@ object Queries {
           .select("event_id", "event_type", "value")
           .orderBy("event_id")
       }
+    }),
+
+    // malformed-record handling on the CSV scan (the reference's inferSchema
+    // path just nulls bad cells — py:246-249): PERMISSIVE keeps partial
+    // rows and captures the raw line in a corrupt-record column,
+    // DROPMALFORMED drops them; both graded against the fixture's
+    // documented 7-good/3-bad split
+    "q117_csv_malformed" -> ((s, dir) => {
+      import s.implicits._
+      val schema = StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType),
+        StructField("qty", IntegerType),
+        StructField("_corrupt", StringType)))
+      val permissive = s.read.schema(schema)
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(malformedFixturePath)
+        .cache()
+      val nCorrupt = permissive.filter(col("_corrupt").isNotNull).count()
+      val nGood = permissive.filter(col("_corrupt").isNull).count()
+      val qtySum = permissive.agg(sum(col("qty"))).collect()(0).getLong(0)
+      // collect, not count: CSV column pruning parses ZERO columns under a
+      // count() (nothing malformed then — nothing is even parsed), so the
+      // malformed check must materialize every column
+      val nDrop = s.read
+        .schema(StructType(schema.fields.dropRight(1)))
+        .option("header", "true").option("mode", "DROPMALFORMED")
+        .csv(malformedFixturePath).collect().length.toLong
+      permissive.unpersist(false)
+      Seq((nGood, nCorrupt, nDrop, qtySum))
+        .toDF("n_good", "n_corrupt", "n_dropmalformed", "qty_sum")
+    }),
+
+    // JSON parse with corrupt-input handling: from_json under an explicit
+    // schema returns null for the injected invalid payloads (event_id
+    // divisible by 13 gets a trailing byte) and a to_json re-serialization
+    // round-trips the valid ones — the schema-on-read contract a raw
+    // event feed needs
+    "q118_json_parse" -> ((s, dir) => {
+      // corruption by TRUNCATION (unclosed object): appending trailing
+      // bytes is not enough — Jackson stops at the root object's close and
+      // tolerates a suffix, DuckDB's json_valid doesn't
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      t(s, dir, "events")
+        .withColumn("raw",
+          when(col("event_id") % 13 === 0,
+            expr("substring(props, 1, length(props) - 1)"))
+            .otherwise(col("props")))
+        .withColumn("parsed", from_json(col("raw"), schema))
+        .select(col("event_id"),
+          coalesce(col("parsed.k"), lit(-1)).as("k"),
+          col("parsed.k").isNotNull.as("valid"),
+          when(col("parsed.k").isNotNull,
+            to_json(struct(col("parsed.k").as("k")))).as("reser"))
+        .orderBy("event_id")
+    }),
+
+    // BATCH sessionization — the gaps-and-islands form of q62's streaming
+    // session windows: a session break is a >10-min silence per user; two
+    // windows over ONE (user_id, ts) sort, then one aggregate — no
+    // quadratic self-join, partition-local after a single shuffle
+    "q119_batch_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ts is NTZ (nanos-to-micros conversion, session pinned UTC) —
+      // unix_micros wants an instant, so cast through TIMESTAMP
+      val us = unix_micros(col("ts").cast(TimestampType))
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(us, 1).over(w))
+        .withColumn("brk",
+          (col("prev_us").isNull ||
+            us - col("prev_us") > 600000000L).cast(LongType))
+        .withColumn("session_id", sum(col("brk")).over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // broadcast-join planning gate: a dimension under the broadcast
+    // threshold must plan as BroadcastHashJoin (no shuffle of the fact
+    // side) — asserted from the executed plan and pinned by the oracle,
+    // like q81's no-shuffle flag
+    "q120_broadcast_gate" -> ((s, dir) => {
+      val joined = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+      val planLines = joined.select("c_custkey", "n_name")
+        .queryExecution.executedPlan.toString.split('\n')
+      val bhj = planLines.exists(_.contains("BroadcastHashJoin"))
+      // a BroadcastExchange is expected (the dim ships to every task); what
+      // must NOT appear is a shuffle exchange of the fact side
+      val noShuffle = !planLines.exists(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      joined.groupBy("n_name").agg(count(lit(1)).as("n_cust"),
+          dec(sum(col("c_acctbal").cast(DecimalType(18, 2))), 18, 2).as("tot_bal"))
+        .withColumn("bhj", lit(bhj))
+        .withColumn("fact_unshuffled", lit(noShuffle))
+        .orderBy("n_name")
     })
   )
 
@@ -2559,6 +2669,40 @@ object Queries {
         |  max(l_orderkey) AS max_key
         |FROM lineitem""".stripMargin,
     "q116_foreach_batch" ->
-      """SELECT event_id, event_type, value FROM events ORDER BY event_id""".stripMargin
+      """SELECT event_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
+    "q117_csv_malformed" ->
+      """SELECT CAST(7 AS BIGINT) AS n_good, CAST(3 AS BIGINT) AS n_corrupt,
+        |  CAST(7 AS BIGINT) AS n_dropmalformed, CAST(123 AS BIGINT) AS qty_sum""".stripMargin,
+    "q118_json_parse" ->
+      """WITH r AS (SELECT event_id,
+        |  CASE WHEN event_id % 13 = 0 THEN substr(props, 1, len(props) - 1)
+        |       ELSE props END AS raw
+        |  FROM events)
+        |SELECT event_id,
+        |  coalesce(CASE WHEN json_valid(raw)
+        |    THEN CAST(json_extract_string(raw, '$.k') AS INTEGER) END, -1) AS k,
+        |  json_valid(raw) AS valid,
+        |  CASE WHEN json_valid(raw) THEN
+        |    to_json({'k': CAST(json_extract_string(raw, '$.k') AS INTEGER)}) END AS reser
+        |FROM r ORDER BY event_id""".stripMargin,
+    "q119_batch_sessions" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000 THEN 1
+        |       ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q120_broadcast_gate" ->
+      """SELECT n.n_name, count(*) AS n_cust,
+        |  CAST(CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS tot_bal,
+        |  true AS bhj, true AS fact_unshuffled
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
   )
 }
