@@ -1919,6 +1919,46 @@ object Queries {
         .withColumn("bhj", lit(bhj))
         .withColumn("fact_unshuffled", lit(noShuffle))
         .orderBy("n_name")
+    }),
+
+    // transformWithState (the Spark-4 arbitrary-state API, successor to
+    // q64's mapGroupsWithState): named ValueState slot + explicit
+    // OutputMode/TimeMode contract, on the RocksDB provider it requires —
+    // same running-totals semantics, same DuckDB oracle as q64
+    "q121_stream_tws" -> ((s, dir) => {
+      withStatePartitions(s) {
+        import s.implicits._
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+          val stream = s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          val typed = stream
+            .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
+            .as[(Long, Long)]
+          val states = graft.streaming.StreamingOps.runningPerUserCentsTws(typed)
+          val q = states.toDF().writeStream.format("memory")
+            .queryName("graft_q121_sink").outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table("graft_q121_sink")
+            .groupBy("user_id")
+            .agg(max(struct(col("events"), col("total_cents"))).as("st"))
+            .select(col("user_id"), col("st.events").as("events"),
+              col("st.total_cents").as("total_cents"))
+            .orderBy("user_id")
+        } finally {
+          prevProv match {
+            case Some(p) => s.conf.set(provKey, p)
+            case None => s.conf.unset(provKey)
+          }
+        }
+      }
     })
   )
 
@@ -2703,6 +2743,10 @@ object Queries {
         |  CAST(CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS tot_bal,
         |  true AS bhj, true AS fact_unshuffled
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q121_stream_tws" ->
+      """SELECT user_id, count(*) AS events,
+        |CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -131,6 +131,50 @@ object StreamingOps {
       }
   }
 
+  /** [[runningPerUserCents]] on the transformWithState API (the arbitrary-
+    * state successor to mapGroupsWithState): named typed state slots from a
+    * handle, an explicit OutputMode/TimeMode contract at init, and per-slot
+    * TTL. Requires the RocksDB state-store provider — which is also the
+    * right provider at scale (HDFS-backed stores keep every key in executor
+    * heap; RocksDB spills to local disk and changelogs to the checkpoint).
+    */
+  final class RunningCentsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserRunningCents] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserRunningCents] = {
+      val (n0, v0) = Option(totals.get()).getOrElse((0L, 0L))
+      var n = n0; var v = v0
+      rows.foreach { case (_, cents) => n += 1; v += cents }
+      totals.update((n, v))
+      Iterator.single(UserRunningCents(user, n, v))
+    }
+  }
+
+  /** Per-user running totals via [[RunningCentsProcessor]] — semantics
+    * identical to [[runningPerUserCents]], exercised as the
+    * transformWithState face of the same contract.
+    */
+  def runningPerUserCentsTws(events: Dataset[(Long, Long)]): Dataset[UserRunningCents] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningCentsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   final case class ThresholdCrossing(user_id: Long, events: Long, total_cents: Long)
 
   /** flatMapGroupsWithState: per-key state that emits ZERO OR MORE rows

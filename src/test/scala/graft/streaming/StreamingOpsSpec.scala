@@ -157,4 +157,35 @@ class StreamingOpsSpec extends SparkSpec {
       assert(latest(2L) == ((1L, 1.0)))
     } finally q.stop()
   }
+
+  test("transformWithState running totals match mapGroupsWithState across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingOps.runningPerUserCentsTws(in.toDS())
+      .writeStream.format("memory").queryName("running_tws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, 1000L), (1L, 500L), (2L, 100L))
+      q.processAllAvailable()
+      in.addData((1L, 200L), (3L, 7L))
+      q.processAllAvailable()
+      val latest = spark.table("running_tws").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(latest(1L) == ((3L, 1700L)))
+      assert(latest(2L) == ((1L, 100L)))
+      assert(latest(3L) == ((1L, 7L)))
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
