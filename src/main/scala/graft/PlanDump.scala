@@ -16,7 +16,9 @@ object PlanDump {
     "q57_corpus_assembly", "q58_image_decode", "q59_salted_agg",
     "q60_hll_distinct", "q74_grouping_sets", "q75_full_outer",
     "q78_window_range", "q79_exists_subquery", "q81_bucketed_join",
-    "q82_salted_join", "q84_ann_join", "q87_asof_exec", "q89_sorted_write")
+    "q82_salted_join", "q84_ann_join", "q87_asof_exec", "q89_sorted_write",
+    "q105_gap_fill", "q107_pack_sequences", "q109_decontam",
+    "q119_batch_sessions", "q120_broadcast_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

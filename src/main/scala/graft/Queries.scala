@@ -1959,7 +1959,38 @@ object Queries {
           }
         }
       }
-    })
+    }),
+
+    // ANSI-safe try_* family: errors become nulls instead of failed jobs —
+    // at 100 TB one malformed cell must not kill a 6-hour run (the ANSI
+    // dialect Spark 4 defaults to makes bare cast/divide THROW)
+    "q122_try_functions" -> ((s, dir) =>
+      t(s, dir, "events").select(
+          col("event_id"),
+          expr("try_divide(value, user_id % 5)").as("safe_div"),
+          coalesce(expr("try_cast((CASE WHEN user_id % 2 = 0 " +
+            "THEN CAST(event_id AS STRING) ELSE event_type END) AS INT)"),
+            lit(-1)).as("safe_int"),
+          try_element_at(split(col("event_type"), ""), lit(10)).as("char10"),
+          coalesce(when(col("user_id") > 0,
+              expr("try_add(9223372036854775807L, user_id)"))
+            .otherwise(lit(Long.MaxValue)), lit(0L)).as("safe_add"))
+        .orderBy("event_id")),
+
+    // VARIANT (Spark 4's semi-structured type): parse once into the binary
+    // variant encoding, then typed path extraction — the schema-on-read
+    // scale path for ragged JSON (parse_json → variant_get beats repeated
+    // string re-parsing; shredding pushes paths into the scan)
+    "q123_variant" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "int").as("k"),
+          coalesce(try_variant_get(col("v"), "$.missing", "int"), lit(-1))
+            .as("missing"),
+          schema_of_variant(col("v")).as("vschema"))
+        .orderBy("event_id"))
   )
 
   // ------------------------------------------------------------------
@@ -2747,6 +2778,21 @@ object Queries {
     "q121_stream_tws" ->
       """SELECT user_id, count(*) AS events,
         |CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q122_try_functions" ->
+      """SELECT event_id,
+        |  value / NULLIF(user_id % 5, 0) AS safe_div,
+        |  coalesce(TRY_CAST((CASE WHEN user_id % 2 = 0
+        |    THEN CAST(event_id AS VARCHAR) ELSE event_type END) AS INTEGER), -1) AS safe_int,
+        |  string_split(event_type, '')[10] AS char10,
+        |  CAST(CASE WHEN user_id > 0 THEN 0
+        |       ELSE 9223372036854775807 END AS BIGINT) AS safe_add
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q123_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  -1 AS missing,
+        |  'OBJECT<k: BIGINT>' AS vschema
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -45,4 +45,23 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q01_scan_project")
     assert(p.contains("rangepartitioning") || p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("q109: decontamination probes a BROADCAST semi join (no corpus-side shuffle for the join)") {
+    val p = plan("q109_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("q107: sequence packing windows are bounded by the range partition (no whole-group sort)") {
+    // the window must partition by (__pid, __g) — the range-partition id —
+    // never by the group alone (a per-group window serializes a whole
+    // language through one task at scale)
+    val p = plan("q107_pack_sequences")
+    assert(p.contains("__pid"), p)
+  }
+
+  test("q120: sub-threshold dimension plans as BroadcastHashJoin with no fact-side shuffle") {
+    val out = Queries.all("q120_broadcast_gate")(spark, TestSpark.sf0001)
+      .select("bhj", "fact_unshuffled").distinct().collect()
+    assert(out.length == 1 && out(0).getBoolean(0) && out(0).getBoolean(1))
+  }
 }
