@@ -1990,7 +1990,85 @@ object Queries {
           coalesce(try_variant_get(col("v"), "$.missing", "int"), lit(-1))
             .as("missing"),
           schema_of_variant(col("v")).as("vschema"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // XML scan surface (from_xml under an explicit schema): typed field
+    // extraction out of an XML payload constructed identically on both
+    // sides; roundtrip_ok pins the parse against the source columns
+    "q124_xml" -> ((s, dir) => {
+      val xmlSchema = StructType(Seq(
+        StructField("k", IntegerType), StructField("t", StringType)))
+      t(s, dir, "events")
+        .withColumn("k0", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .withColumn("xml", concat(lit("<r><k>"), col("k0"),
+          lit("</k><t>"), col("event_type"), lit("</t></r>")))
+        .withColumn("parsed", from_xml(col("xml"), xmlSchema))
+        .select(col("event_id"),
+          col("parsed.k").as("k"), col("parsed.t").as("t"),
+          (col("parsed.k") === col("k0") &&
+            col("parsed.t") === col("event_type")).as("roundtrip_ok"))
+        .orderBy("event_id")
+    }),
+
+    // collated comparison semantics (Spark-4 collations): grouping and
+    // equality under UTF8_LCASE fold case in the COMPARATOR — no
+    // normalize-then-compare column rewrite, and at scale no second
+    // lowercase copy of the data
+    "q125_collation" -> ((s, dir) => {
+      val mixed = when(col("event_id") % 2 === 0, upper(col("event_type")))
+        .otherwise(col("event_type"))
+      t(s, dir, "events")
+        .withColumn("m", collate(mixed, "UTF8_LCASE"))
+        .groupBy(lower(col("m")).as("etype")).agg(
+          count(lit(1)).as("n"),
+          count(when(col("m") === lit("CLICK"), 1)).as("n_click_ci"))
+        .orderBy("etype")
+    }),
+
+    // LATERAL correlated subquery join: top-2 customers by balance PER
+    // nation — the per-row dependent subquery the optimizer decorrelates
+    // into a ranked join (no N driver-side queries)
+    "q126_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("graft_q126_nation")
+      t(s, dir, "customer").createOrReplaceTempView("graft_q126_customer")
+      s.sql(
+        """SELECT n.n_name, l.c_custkey, l.bal
+          |FROM graft_q126_nation n, LATERAL (
+          |  SELECT c_custkey, c_acctbal AS bal
+          |  FROM graft_q126_customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+          |ORDER BY n.n_name, l.c_custkey""".stripMargin)
+    }),
+
+    // recursive CTE (Spark-4 WITH RECURSIVE): walk the implicit binary-
+    // tree hierarchy user_id -> user_id/2 up to the root for every user
+    // under 32 — the iterative closure shape q45 hand-rolls, as SQL
+    "q127_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("graft_q127_events")
+      s.sql(
+        """WITH RECURSIVE anc(u, a, depth) AS (
+          |  SELECT user_id, user_id, 0
+          |  FROM (SELECT DISTINCT user_id FROM graft_q127_events WHERE user_id < 32)
+          |  UNION ALL
+          |  SELECT u, CAST(FLOOR(a / 2) AS BIGINT), depth + 1 FROM anc WHERE a > 1)
+          |SELECT u AS user_id, count(*) AS n_ancestors, max(depth) AS height,
+          |  CAST(sum(a) AS BIGINT) AS path_sum
+          |FROM anc GROUP BY u ORDER BY u""".stripMargin)
+    }),
+
+    // SQL pipe syntax (|>): the linear dataflow dialect of q29's
+    // filter→aggregate, parsed by the Spark-4 pipe operators
+    "q128_pipe_sql" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_q128_lineitem")
+      s.sql(
+        """FROM graft_q128_lineitem
+          ||> WHERE l_quantity > 10
+          ||> AGGREGATE CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+          |             count(*) AS cnt
+          |   GROUP BY l_returnflag
+          ||> ORDER BY l_returnflag""".stripMargin)
+    })
   )
 
   // ------------------------------------------------------------------
@@ -2793,6 +2871,42 @@ object Queries {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  -1 AS missing,
         |  'OBJECT<k: BIGINT>' AS vschema
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q124_xml" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  event_type AS t, true AS roundtrip_ok
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q125_collation" ->
+      """WITH m AS (SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |                       ELSE event_type END AS mx FROM events)
+        |SELECT lower(mx) AS etype, count(*) AS n,
+        |  count(*) FILTER (WHERE lower(mx) = 'click') AS n_click_ci
+        |FROM m GROUP BY lower(mx) ORDER BY etype""".stripMargin,
+    "q126_lateral" ->
+      """SELECT n.n_name, l.c_custkey, l.bal
+        |FROM nation n
+        |JOIN LATERAL (
+        |  SELECT c_custkey, c_acctbal AS bal
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l ON true
+        |ORDER BY n.n_name, l.c_custkey""".stripMargin,
+    "q127_recursive_cte" ->
+      """WITH RECURSIVE anc(u, a, depth) AS (
+        |  SELECT user_id, user_id, 0
+        |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 32)
+        |  UNION ALL
+        |  SELECT u, CAST(FLOOR(a / 2) AS BIGINT), depth + 1 FROM anc WHERE a > 1)
+        |SELECT u AS user_id, count(*) AS n_ancestors,
+        |  CAST(max(depth) AS INTEGER) AS height,
+        |  CAST(sum(a) AS BIGINT) AS path_sum
+        |FROM anc GROUP BY u ORDER BY u""".stripMargin,
+    "q128_pipe_sql" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
