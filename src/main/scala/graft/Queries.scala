@@ -2068,6 +2068,142 @@ object Queries {
           |             count(*) AS cnt
           |   GROUP BY l_returnflag
           ||> ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // Z-order clustered layout (storage.Layout.zorderWrite): Morton-curve
+    // interleave of (l_orderkey, l_partkey) buckets, range-partitioned on
+    // the z-value — every file covers a tight tile in BOTH dimensions, so
+    // a 2-D box filter reads a handful of files where a 1-D sort layout
+    // reads them all. The box is aligned to the top-3-bit bucket boundary
+    // ([2/8, 3/8) of each dimension's range), so its z-image is one
+    // contiguous quadrant: the gate asserts the box's rows live in ≤ 1/4
+    // of the files, and the box aggregate itself is value-checked by the
+    // oracle on the source table (write → read-back equality included)
+    "q129_zorder_layout" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val path = "/tmp/graft_q129_zorder"
+      graft.storage.Layout.zorderWrite(src, path, "l_orderkey", "l_partkey",
+        bits = 8, files = 16)
+      val r = src.agg(
+        min(col("l_orderkey").cast("double")), max(col("l_orderkey").cast("double")),
+        min(col("l_partkey").cast("double")), max(col("l_partkey").cast("double"))).head()
+      // [lo + range*2/8, lo + range*3/8) in each dimension — double
+      // arithmetic, reproduced bit-identically in the oracle's subqueries
+      val (lo1, hi1) = (r.getDouble(0) + (r.getDouble(1) - r.getDouble(0)) * 2 / 8,
+        r.getDouble(0) + (r.getDouble(1) - r.getDouble(0)) * 3 / 8)
+      val (lo2, hi2) = (r.getDouble(2) + (r.getDouble(3) - r.getDouble(2)) * 2 / 8,
+        r.getDouble(2) + (r.getDouble(3) - r.getDouble(2)) * 3 / 8)
+      val back = s.read.parquet(path)
+      val box = back.filter(
+        col("l_orderkey") >= lo1 && col("l_orderkey") < hi1 &&
+          col("l_partkey") >= lo2 && col("l_partkey") < hi2)
+      val total = graft.storage.Layout.dataFileCount(s, path)
+      val touched = box.select(input_file_name()).distinct().count()
+      val clustered = touched > 0 && touched * 4 <= total
+      box.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity")).cast(LongType)).as("qty"))
+        .withColumn("clustered", lit(clustered))
+        .orderBy("l_suppkey")
+    }),
+
+    // size-targeted small-file compaction (storage.Layout.compact): a
+    // 64-file fragmented drop is rewritten into ceil(bytes/target) files
+    // with a shuffle-free coalesce read+write. Gates: the fragmented
+    // layout was real (64 files), compaction actually collapsed it to the
+    // computed target count, and the full read-back content equals the
+    // source (value-checked by the oracle)
+    "q130_compaction" -> ((s, dir) => {
+      val src = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val fragDir = "/tmp/graft_q130_frag"
+      val compDir = "/tmp/graft_q130_compact"
+      src.repartition(64).write.mode("overwrite").parquet(fragDir)
+      val bytes = graft.storage.Layout.dataBytes(s, fragDir)
+      val target = math.max(1L, bytes / 4) // aim for ~4 files at any sf
+      val (before, after) = graft.storage.Layout.compact(s, fragDir, compDir, target)
+      val expected = math.max(1L, (bytes + target - 1) / target).toInt
+      val ok = before == 64 && after == expected && after < before
+      s.read.parquet(compDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), lit(ok).as("compacted_ok"))
+        .orderBy("event_id")
+    }),
+
+    // runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter): a
+    // selective dimension filter is turned into a bloom filter that prunes
+    // the fact side BEFORE the join shuffle — at 100 TB this cuts the
+    // shuffled fact volume by the dimension's selectivity without any
+    // manual semi-join. Broadcast is disabled for the join (the rewrite
+    // targets shuffled joins) and the scan-size threshold dropped so the
+    // small test table qualifies; the gate asserts might_contain was
+    // actually injected into the fact scan's filters
+    "q131_runtime_filter" -> ((s, dir) => {
+      val keep = Map(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = keep.keys.map(k => k -> s.conf.getOption(k)).toMap
+      keep.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val fact = t(s, dir, "lineitem")
+        val dim = t(s, dir, "orders").filter(col("o_totalprice") < 1000.0)
+        val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("l_quantity")).cast(LongType)).as("qty"))
+        val injected = joined.queryExecution.optimizedPlan.toString
+          .contains("might_contain")
+        joined.withColumn("bloom_injected", lit(injected))
+          .orderBy("o_orderstatus")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // declarative data-quality audit (pipeline.DataQuality): the whole rule
+    // set — row count, completeness, key uniqueness, range/pattern
+    // conformance, min/max — evaluates in ONE aggregate pass (one scan, one
+    // partial-agg shuffle, however many rules), plus referential-integrity
+    // orphan counts via left-anti joins: one against the true dimension
+    // (0 violations) and one against a half-truncated dimension so the
+    // violation branch is live with a real nonzero count
+    "q132_quality_audit" -> ((s, dir) => {
+      import graft.pipeline.DataQuality._
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val base = audit(orders, Seq(
+        rowCount,
+        completeness("o_orderpriority"),
+        uniqueness(Seq("o_orderkey")),
+        inRange("o_totalprice", 1000.0, 400000.0),
+        matchesPattern("o_orderstatus", "^[A-Z]$"),
+        minOf("o_totalprice"),
+        maxOf("o_totalprice")))
+      val halfMax = cust.agg(max("c_custkey")).head().getLong(0) / 2
+      val riTrue = orphanCount(orders, "o_custkey", cust, "c_custkey")
+      val riHalf = orphanCount(orders, "o_custkey",
+        cust.filter(col("c_custkey") <= halfMax), "c_custkey")
+      import s.implicits._
+      base.unionByName(Seq(
+          ("ri_orphans_full_dim", riTrue.toDouble),
+          ("ri_orphans_half_dim", riHalf.toDouble)).toDF("metric", "value"))
+        .orderBy("metric")
+    }),
+
+    // SCD2 dimension history (pipeline.Dimensions.scd2FromChangelog): the
+    // per-customer order changelog becomes versioned [valid_from, valid_to)
+    // rows with an is_current flag — one window over one key shuffle, no
+    // self-join; deterministic within-timestamp ordering via the orderkey
+    // tiebreak
+    "q133_scd2" -> ((s, dir) => {
+      val log = t(s, dir, "orders").filter(col("o_custkey") < 500)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+      graft.pipeline.Dimensions
+        .scd2FromChangelog(log, "o_custkey", "o_orderdate", "o_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
     })
   )
 
@@ -2907,6 +3043,70 @@ object Queries {
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem WHERE l_quantity > 10
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same [2/8, 3/8) box bounds derived with the same double arithmetic
+    // (IEEE-identical across engines), aggregate over the source table —
+    // which the Spark side reaches only through the z-ordered read-back
+    "q129_zorder_layout" ->
+      """WITH r AS (SELECT
+        |    CAST(min(l_orderkey) AS DOUBLE) AS lo1, CAST(max(l_orderkey) AS DOUBLE) AS hi1,
+        |    CAST(min(l_partkey) AS DOUBLE) AS lo2, CAST(max(l_partkey) AS DOUBLE) AS hi2
+        |  FROM lineitem)
+        |SELECT l_suppkey, count(*) AS n,
+        |  CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  true AS clustered
+        |FROM lineitem, r
+        |WHERE l_orderkey >= lo1 + (hi1 - lo1) * 2 / 8 AND l_orderkey < lo1 + (hi1 - lo1) * 3 / 8
+        |  AND l_partkey >= lo2 + (hi2 - lo2) * 2 / 8 AND l_partkey < lo2 + (hi2 - lo2) * 3 / 8
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q130_compaction" ->
+      """SELECT event_id, user_id, event_type, value, true AS compacted_ok
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q131_runtime_filter" ->
+      """SELECT o.o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  true AS bloom_injected
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice < 1000.0
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+
+    // every ratio is one double division of two exact integer aggregates —
+    // bit-identical across engines; min/max carry source doubles raw
+    "q132_quality_audit" ->
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS n_rows,
+        |  CAST(count(o_orderpriority) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS comp,
+        |  CAST(count(DISTINCT o_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS uniq,
+        |  CAST(sum(CASE WHEN o_totalprice >= 1000.0 AND o_totalprice <= 400000.0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rng,
+        |  CAST(sum(CASE WHEN regexp_matches(o_orderstatus, '^[A-Z]$') THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pat,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS mn,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS mx
+        |FROM orders),
+        |ri1 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |ri2 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        |       AND c.c_custkey <= (SELECT max(c_custkey) // 2 FROM customer)))
+        |SELECT metric, value FROM (
+        |  SELECT 'n_rows' AS metric, n_rows AS value FROM m
+        |  UNION ALL SELECT 'completeness_o_orderpriority', comp FROM m
+        |  UNION ALL SELECT 'uniqueness_o_orderkey', uniq FROM m
+        |  UNION ALL SELECT 'in_range_o_totalprice', rng FROM m
+        |  UNION ALL SELECT 'pattern_o_orderstatus', pat FROM m
+        |  UNION ALL SELECT 'min_o_totalprice', mn FROM m
+        |  UNION ALL SELECT 'max_o_totalprice', mx FROM m
+        |  UNION ALL SELECT 'ri_orphans_full_dim', v FROM ri1
+        |  UNION ALL SELECT 'ri_orphans_half_dim', v FROM ri2)
+        |ORDER BY metric""".stripMargin,
+    "q133_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  (lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+        |FROM orders WHERE o_custkey < 500
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,102 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Physical data-layout operators — the storage-side levers that decide
+  * whether a 100-TB scan reads 100 TB or 100 GB.
+  *
+  * The reference persists its corpus as unclustered single-file dumps
+  * (reference ai_powered_financial_analysis.py:296-311); at scale the two
+  * layout problems that dominate are (a) multi-dimensional access — queries
+  * filter on TWO columns but a sort can only cluster one — and (b) small-file
+  * proliferation from incremental appends. `zorderWrite` solves (a) with a
+  * Morton-curve interleave (the technique behind Delta/Iceberg Z-ORDER
+  * clustering); `compact` solves (b) with size-targeted bin-packing.
+  */
+object Layout {
+
+  /** Morton (Z-order) value of two bucket indices, each in [0, 2^bits).
+    * Interleaves the bits — x in even positions, y in odd — so points close
+    * in BOTH dimensions land close on the 1-D curve. Pure column arithmetic
+    * (shifts + masks), stays inside whole-stage codegen.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { k =>
+      shiftright(x, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k)) +
+        shiftright(y, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1))
+    }.reduce(_ + _)
+
+  /** Linear bucketization of a numeric column onto [0, 2^bits) given the
+    * column's [lo, hi] range. Clamped at both ends so out-of-range values
+    * (late data beyond the sampled range) still land in a valid bucket.
+    */
+  def bucketize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val n = (1L << bits).toDouble
+    val span = math.max(hi - lo, Double.MinPositiveValue)
+    least(lit((1L << bits) - 1),
+      greatest(lit(0L), floor((c.cast("double") - lit(lo)) / lit(span) * lit(n)).cast(LongType)))
+  }
+
+  /** Z-order clustered write: bucketize both cluster columns, interleave to
+    * a Morton value, range-partition and sort on it, write parquet. Every
+    * output file then covers a tight (c1, c2) tile, so each file's parquet
+    * min/max footer stats form a small bounding box in BOTH dimensions —
+    * a box filter on either or both columns skips all non-intersecting
+    * files instead of just the files of one sorted dimension.
+    *
+    * The column ranges come from one O(1) aggregate over the input (at real
+    * scale: a sample or table-level stats). `files` sizes the output; at
+    * 100 TB this is total-bytes / target-file-size, not a constant.
+    */
+  def zorderWrite(df: DataFrame, path: String, c1: String, c2: String,
+      bits: Int = 8, files: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    val z = zValue(
+      bucketize(col(c1), r.getDouble(0), r.getDouble(1), bits),
+      bucketize(col(c2), r.getDouble(2), r.getDouble(3), bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Number of data files under `path` (parquet/orc parts, not _SUCCESS). */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith("part-")
+    }
+  }
+
+  /** Total bytes of data files under `path`. */
+  def dataBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+  }
+
+  /** Size-targeted compaction: rewrite a fragmented directory into
+    * ceil(totalBytes / targetBytes) files. Uses coalesce (no shuffle —
+    * input splits are concatenated, never repartitioned) so compaction
+    * cost is one read + one write; at 100 TB this runs per partition of a
+    * date-partitioned table, not over the whole table at once. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): (Int, Int) = {
+    val before = dataFileCount(spark, inPath)
+    val bytes = dataBytes(spark, inPath)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).coalesce(n)
+      .write.mode("overwrite").parquet(outPath)
+    (before, dataFileCount(spark, outPath))
+  }
+}

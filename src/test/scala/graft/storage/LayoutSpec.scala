@@ -1,0 +1,77 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+
+  test("zValue interleaves bits (known Morton values)") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L), (255L, 255L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 8).as("z"))
+    val rows = df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows((0L, 0L)) == 0L)
+    assert(rows((1L, 0L)) == 1L)  // x bits land in even positions
+    assert(rows((0L, 1L)) == 2L)  // y bits land in odd positions
+    assert(rows((1L, 1L)) == 3L)
+    // x=3 (011), y=5 (101): interleave -> y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 39
+    assert(rows((3L, 5L)) == 39L)
+    assert(rows((255L, 255L)) == 65535L)
+  }
+
+  test("bucketize clamps to [0, 2^bits) and is monotone") {
+    import spark.implicits._
+    val df = Seq(-10.0, 0.0, 25.0, 50.0, 99.99, 100.0, 500.0).toDF("v")
+      .select(col("v"), Layout.bucketize(col("v"), 0.0, 100.0, 4).as("b"))
+    val m = df.collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(m(-10.0) == 0L && m(0.0) == 0L)
+    assert(m(100.0) == 15L && m(500.0) == 15L) // clamped at top
+    assert(m(25.0) == 4L && m(50.0) == 8L)
+    assert(m.values.forall(b => b >= 0 && b < 16))
+  }
+
+  test("zorderWrite clusters a 2-D box into few files; content preserved") {
+    import spark.implicits._
+    val n = 20000
+    val rnd = new scala.util.Random(7)
+    val df = (1 to n).map(i => (i.toLong, rnd.nextInt(10000).toLong, rnd.nextDouble()))
+      .toDF("a", "b", "payload").repartition(16)
+    val path = "/tmp/graft_test_zorder"
+    Layout.zorderWrite(df, path, "a", "b", bits = 8, files = 16)
+    val back = spark.read.parquet(path)
+    assert(back.count() == n)
+    // box aligned to the top-3-bit bucket boundary: [2/8, 3/8) of each range
+    val box = back.filter(
+      col("a") >= n * 2 / 8 && col("a") < n * 3 / 8 &&
+        col("b") >= 10000 * 2 / 8 && col("b") < 10000 * 3 / 8)
+    val touched = box.select(input_file_name()).distinct().count()
+    val total = Layout.dataFileCount(spark, path)
+    assert(total == 16, s"expected 16 files, got $total")
+    assert(touched > 0 && touched <= 4, s"box touched $touched of $total files")
+    // an unclustered write spreads the same box over every file
+    val flatPath = "/tmp/graft_test_zorder_flat"
+    df.repartition(16).write.mode("overwrite").parquet(flatPath)
+    val flatTouched = spark.read.parquet(flatPath).filter(
+      col("a") >= n * 2 / 8 && col("a") < n * 3 / 8 &&
+        col("b") >= 10000 * 2 / 8 && col("b") < 10000 * 3 / 8)
+      .select(input_file_name()).distinct().count()
+    assert(flatTouched > touched * 2, s"flat=$flatTouched zorder=$touched")
+  }
+
+  test("compact collapses a fragmented directory and preserves rows") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i, s"v$i")).toDF("id", "v")
+    val frag = "/tmp/graft_test_frag"
+    val out = "/tmp/graft_test_compact"
+    df.repartition(32).write.mode("overwrite").parquet(frag)
+    val bytes = Layout.dataBytes(spark, frag)
+    val (before, after) = Layout.compact(spark, frag, out, math.max(1L, bytes / 2))
+    assert(before == 32)
+    assert(after <= 3 && after >= 1, s"after=$after")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5000)
+    assert(back.agg(sum("id")).head().getLong(0) == 5000L * 5001 / 2)
+  }
+}
