@@ -36,7 +36,7 @@ class DataQualitySpec extends SparkSpec {
     val plan = audit(df, Seq(rowCount, completeness("v"), minOf("v"), maxOf("v")))
       .queryExecution.optimizedPlan.toString
     // all rules fold into one Aggregate node, not one per rule
-    assert(plan.split('\n').count(_.trim.startsWith("Aggregate")) == 1, plan)
+    assert("Aggregate \\[".r.findAllIn(plan).size == 1, plan)
   }
 
   test("orphanCount finds FK violations, ignores null FKs") {
