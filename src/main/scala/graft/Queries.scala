@@ -75,6 +75,17 @@ object Queries {
     candidates.find(p => new java.io.File(p).isDirectory).getOrElse(candidates.head)
   }
 
+  /** WAV fixture dir (tools/make_wav_fixtures.py) — resolved against the
+    * repo root so Spark's binaryFile scan and DuckDB's read_blob see the
+    * same files.
+    */
+  private[graft] val audioFixtureDir: String = {
+    val candidates = Seq(
+      "/root/repo/src/test/resources/audio",
+      new java.io.File("src/test/resources/audio").getAbsolutePath)
+    candidates.find(p => new java.io.File(p).isDirectory).getOrElse(candidates.head)
+  }
+
   /** DuckDB: numeric value of byte `i` (1-indexed) of the hex string `hx`. */
   private def duckByte(i: String): String =
     s"((strpos('0123456789ABCDEF', substring(hx, 2*($i)-1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hx, 2*($i), 1))-1)"
@@ -2204,6 +2215,25 @@ object Queries {
       graft.pipeline.Dimensions
         .scd2FromChangelog(log, "o_custkey", "o_orderdate", "o_orderkey")
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // REAL audio decode end-to-end (the audio analog of q58): binaryFile
+    // scan → multimodal layout → WavCodec (true RIFF chunk walk — one
+    // fixture carries a LIST chunk between fmt and data — then an
+    // integer-exact pass over the PCM-16 samples). The oracle re-derives
+    // every number independently in DuckDB: header fields from the
+    // little-endian bytes, the data chunk located by its ASCII marker,
+    // and peak/abs-sum re-computed sample-by-sample from the hex dump. A
+    // signedness, byte-order, or offset bug changes peak_abs/abs_sum
+    "q134_wav_decode" -> ((s, _) => {
+      val files = graft.ingest.BinaryFileSource(audioFixtureDir, Some("*.wav")).load(s)
+      val mm = Multimodal.fromBinaryFiles(files, "audio")
+      Multimodal.decodeAudioFeatures(mm)
+        .select(
+          regexp_extract(element_at(col("meta"), "path"), "([^/]+)$", 1).as("name"),
+          col("sample_rate"), col("channels"), col("n_frames"),
+          col("peak_abs"), col("abs_sum"))
+        .orderBy("name")
     })
   )
 
@@ -3107,6 +3137,35 @@ object Queries {
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
         |  (lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
         |FROM orders WHERE o_custkey < 500
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // independent WAV re-decode: fmt fields at the canonical offsets (the
+    // fixtures put fmt first with standard size — documented in
+    // tools/make_wav_fixtures.py), the data chunk located by its ASCII
+    // marker '64617461' (verified unique and byte-aligned in every
+    // fixture), and the PCM-16 signal stats re-summed sample-by-sample
+    // with explicit little-endian + two's-complement arithmetic
+    "q134_wav_decode" ->
+      s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS name, hex(content) AS hx, size FROM read_blob('$audioFixtureDir/*.wav')),
+         |p AS (SELECT name, hx,
+         |  (strpos(hx, '64617461') + 1) // 2 AS mkr,
+         |  CAST(${duckByte("23")} + ${duckByte("24")}*256 AS INTEGER) AS channels,
+         |  CAST(${duckU32(24)} AS INTEGER) AS sample_rate
+         |FROM b),
+         |q AS (SELECT name, hx, channels, sample_rate,
+         |  (${duckByte("mkr+4")} + ${duckByte("mkr+5")}*256 + ${duckByte("mkr+6")}*65536 + ${duckByte("mkr+7")}*16777216) AS data_len,
+         |  mkr + 8 AS ds
+         |FROM p),
+         |v AS (SELECT name, channels, sample_rate, data_len,
+         |  list_transform(range(0, data_len // 2), i ->
+         |    CASE WHEN ${duckByte("ds + 2*i")} + ${duckByte("ds + 2*i + 1")}*256 >= 32768
+         |         THEN abs(${duckByte("ds + 2*i")} + ${duckByte("ds + 2*i + 1")}*256 - 65536)
+         |         ELSE ${duckByte("ds + 2*i")} + ${duckByte("ds + 2*i + 1")}*256 END) AS absv
+         |FROM q)
+         |SELECT name, sample_rate, channels,
+         |  CAST(data_len // 2 // channels AS BIGINT) AS n_frames,
+         |  CAST(list_max(absv) AS INTEGER) AS peak_abs,
+         |  CAST(list_sum(absv) AS BIGINT) AS abs_sum
+         |FROM v ORDER BY name""".stripMargin
   )
 }

@@ -125,4 +125,27 @@ object Multimodal {
       col("modality"),
       octet_length(col("payload")).as("n_bytes"),
       md5(col("payload")).as("fp"))
+
+  /** Audio-modality decode (REAL, WavCodec): appends
+    * (sample_rate, channels, n_frames, peak_abs, abs_sum) per row. Same
+    * batched mapPartitions shape as decodeFeatures; integer-exact signal
+    * features so the q134 oracle can re-derive them byte-by-byte. Throws
+    * on non-WAV payloads — an audio pipeline fed video bytes should fail
+    * loudly, not emit stub features.
+    */
+  def decodeAudioFeatures(df: DataFrame): DataFrame = {
+    val outSchema = df.schema
+      .add("sample_rate", IntegerType).add("channels", IntegerType)
+      .add("n_frames", LongType).add("peak_abs", IntegerType)
+      .add("abs_sum", LongType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val a = WavCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(r.toSeq ++
+          Seq[Any](a.sampleRate, a.channels, a.nFrames, a.peakAbs, a.absSum))
+      }
+    }(enc)
+  }
 }
