@@ -2234,6 +2234,47 @@ object Queries {
           col("sample_rate"), col("channels"), col("n_frames"),
           col("peak_abs"), col("abs_sum"))
         .orderBy("name")
+    }),
+
+    // int8 scalar quantization (vector.ScalarQuantizer): the training-free
+    // 4× compression tier — per-vector scale + int8 codes, compressed scan
+    // is one codegen int8×float dot per row, exact rerank on the shortlist
+    // ids only. Same planted-ground-truth recall gate as q51: scaled
+    // near-copies of the probe MUST survive quantization as its top
+    // neighbors (ranking by inner product, the reference's IndexFlatIP)
+    "q135_int8_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val planted = emb.filter(col("vec_id") === 0).select(
+        explode(array((1 to 12).map(i =>
+          struct(lit(offset + i).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(1.0 + i * 0.001)).cast(FloatType))
+              .as("embedding"))): _*)).as("r"))
+        .select("r.*")
+      val pool = emb.filter(col("vec_id") =!= 0)
+        .select("vec_id", "embedding").union(planted)
+      val codesPath = "/tmp/graft_q135_codes"
+      graft.vector.ScalarQuantizer.encode(pool, "embedding", dim = 64)
+        .select("vec_id", "sq")
+        .write.mode("overwrite").parquet(codesPath)
+      val qv = queryVec(s, dir)
+      val ann = graft.vector.ScalarQuantizer.search(
+        s.read.parquet(codesPath), pool.select("vec_id", "embedding"),
+        "vec_id", "embedding", "sq", qv, k = 10, shortlist = 100)
+      val exact = Similarity.topK(pool, "vec_id", "embedding", qv, 10,
+        Similarity.InnerProduct)
+      val annIds = ann.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exactIds = exact.select("vec_id").collect().map(_.getLong(0)).toSet
+      val overlap = annIds.intersect(exactIds).size
+      // the compressed branch must not read the raw vectors
+      val adcScan = s.read.parquet(codesPath)
+        .select(col("vec_id"),
+          graft.vector.ScalarQuantizer.approxIp(col("sq"), qv).as("aip"))
+        .queryExecution.executedPlan.toString
+      val codesOnly = !adcScan.contains("embedding")
+      Seq(("int8", 10, overlap >= 9, codesOnly))
+        .toDF("method", "k", "recall_ok", "codes_only_scan")
     })
   )
 
@@ -3166,6 +3207,9 @@ object Queries {
          |  CAST(data_len // 2 // channels AS BIGINT) AS n_frames,
          |  CAST(list_max(absv) AS INTEGER) AS peak_abs,
          |  CAST(list_sum(absv) AS BIGINT) AS abs_sum
-         |FROM v ORDER BY name""".stripMargin
+         |FROM v ORDER BY name""".stripMargin,
+    "q135_int8_ann" ->
+      ("SELECT 'int8' AS method, CAST(10 AS INTEGER) AS k, " +
+        "true AS recall_ok, true AS codes_only_scan")
   )
 }

@@ -302,6 +302,129 @@ case class HyperplaneSignatures(child: Expression, planes: Array[Array[Array[Flo
     copy(child = newChild)
 }
 
+/** Symmetric per-vector int8 scalar quantization: scale = max|x|/127,
+  * code_i = round(x_i/scale) in [-127, 127]. Output struct
+  * (scale: float, codes: array<byte>) — a 4× footprint cut that, unlike
+  * PQ, needs no training and reconstructs each component independently.
+  * One pass, one output object per row.
+  */
+case class Int8Encode(child: Expression, expectedDim: Int)
+    extends VectorBankExpression {
+  override def prettyName: String = "int8_encode"
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
+  override def dim: Int = expectedDim
+
+  override def nullSafeEval(value: Any): Any = {
+    val a = value.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    checkDim(n)
+    var peak = 0.0f
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i); val m = if (v < 0) -v else v
+      if (m > peak) peak = m
+      i += 1
+    }
+    val scale = peak / 127.0f
+    val codes = new Array[Byte](n)
+    if (peak > 0.0f) {
+      i = 0
+      while (i < n) {
+        val q = Math.round(a.getFloat(i).toDouble / scale).toInt
+        codes(i) = Math.max(-127, Math.min(127, q)).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale, new GenericArrayData(codes))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val peak = ctx.freshName("peak")
+      val v = ctx.freshName("v")
+      val m = ctx.freshName("m")
+      val scale = ctx.freshName("scale")
+      val codes = ctx.freshName("codes")
+      val q = ctx.freshName("q")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $dim) throw new IllegalArgumentException(
+         |  "int8_encode: expected $dim-dim vector, got " + $n);
+         |float $peak = 0.0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $v = $a.getFloat($i);
+         |  float $m = $v < 0 ? -$v : $v;
+         |  if ($m > $peak) $peak = $m;
+         |}
+         |float $scale = $peak / 127.0f;
+         |byte[] $codes = new byte[$n];
+         |if ($peak > 0.0f) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    int $q = (int) Math.round((double) $a.getFloat($i) / (double) $scale);
+         |    $codes[$i] = (byte) Math.max(-127, Math.min(127, $q));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $scale, new org.apache.spark.sql.catalyst.util.GenericArrayData($codes) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Compressed dot product against a fixed float query: sum_i codes[i]*q[i]
+  * — the int8 ADC scan (multiply the result by the row's scale to get the
+  * approximate inner product). Input array<byte>; per-row work is integer
+  * loads and one FMA per component, no float reconstruction pass.
+  */
+case class Int8Dot(child: Expression, query: Array[Float])
+    extends UnaryExpression {
+  override def prettyName: String = "int8_dot"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private val n = query.length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<byte> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(value: Any): Any = {
+    val a = value.asInstanceOf[ArrayData]
+    if (a.numElements() != n) throw new IllegalArgumentException(
+      s"int8_dot: expected $n codes, got ${a.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getByte(i).toDouble * query(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val qRef = ctx.addReferenceObj("query", query, "float[]")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.numElements() != $n) throw new IllegalArgumentException(
+         |  "int8_dot: expected $n codes, got " + $a.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getByte($i) * (double) $qRef[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface. */
 object QuantizerExpressions {
   private def c(e: Expression): Column = GraftBridge.column(e)
@@ -315,4 +438,8 @@ object QuantizerExpressions {
     c(PqAdc(e(code), lut))
   def hyperplaneSigs(vec: Column, planes: Array[Array[Array[Float]]]): Column =
     c(HyperplaneSignatures(e(vec), planes))
+  def int8Encode(vec: Column, dim: Int): Column =
+    c(Int8Encode(e(vec), dim))
+  def int8Dot(codes: Column, query: Array[Float]): Column =
+    c(Int8Dot(e(codes), query))
 }
