@@ -2275,7 +2275,40 @@ object Queries {
       val codesOnly = !adcScan.contains("embedding")
       Seq(("int8", 10, overlap >= 9, codesOnly))
         .toDF("method", "k", "recall_ok", "codes_only_scan")
-    })
+    }),
+
+    // corpus remix to a common per-language budget (TrainingData
+    // .remixToBudget): every language downsampled to the smallest
+    // language's char budget via content-addressed md5 buckets — seedless,
+    // engine-exact (integer DIV threshold), append-stable. The balanced-
+    // mixture step every multi-source training corpus needs
+    "q136_budget_remix" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .remixToBudget(t(s, dir, "documents"), "doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("kept_chars"))
+        .orderBy("lang")),
+
+    // per-document unigram surprisal under an add-1-smoothed corpus LM
+    // (CorpusStats.unigramSurprisal) — the model-free perplexity stand-in
+    // for quality filtering. Per-token surprisal is quantized ONCE to
+    // integer micro-nats (floor), summed exactly as BIGINT (addition
+    // order cannot bend the result), one final double division — the
+    // whole score reproduces bit-identically in the oracle
+    "q137_surprisal" -> ((s, dir) =>
+      graft.text.CorpusStats
+        .unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // total-variation distance between two sources' token distributions
+    // (CorpusStats.tokenTvDistance): ½ Σ|p_a − p_b| computed entirely in
+    // integer space over the common denominator N_a·N_b — the
+    // distribution-drift gate between a new crawl and the reference
+    // corpus, exact to the last bit
+    "q138_tv_distance" -> ((s, dir) =>
+      graft.text.CorpusStats.tokenTvDistance(
+        t(s, dir, "documents"), "source", "text", "src0", "src1"))
   )
 
   // ------------------------------------------------------------------
@@ -3210,6 +3243,47 @@ object Queries {
          |FROM v ORDER BY name""".stripMargin,
     "q135_int8_ann" ->
       ("SELECT 'int8' AS method, CAST(10 AS INTEGER) AS k, " +
-        "true AS recall_ok, true AS codes_only_scan")
+        "true AS recall_ok, true AS codes_only_scan"),
+
+    // md5 hex → bucket via pure string arithmetic (both engines emit
+    // lowercase hex); threshold is exact integer division
+    "q136_budget_remix" -> {
+      val hx = "md5(CAST(doc_id AS VARCHAR))"
+      val s = (i: Int) => s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1)"
+      s"""WITH tot AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total
+         |  FROM documents GROUP BY lang),
+         |tgt AS (SELECT min(total) AS target FROM tot),
+         |thr AS (SELECT lang, target * 65536 // total AS thr FROM tot, tgt),
+         |kept AS (SELECT d.lang, d.n_chars FROM documents d JOIN thr USING (lang)
+         |  WHERE ((${s(1)} * 16 + ${s(2)}) * 16 + ${s(3)}) * 16 + ${s(4)} < thr)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    // same tokenization as q76's mirror; surprisal quantized to integer
+    // micro-nats with floor, summed as BIGINT, one final double division
+    "q137_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cnts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT (SELECT count(*) FROM toks) AS n, (SELECT count(*) FROM cnts) AS v),
+        |s AS (SELECT t.doc_id,
+        |  CAST(floor(1000000.0 * ln(CAST(n + v AS DOUBLE) / CAST(cnt + 1 AS DOUBLE))) AS BIGINT) AS surp
+        |FROM toks t JOIN cnts USING (tok), tot)
+        |SELECT doc_id,
+        |  CAST(sum(surp) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS avg_surprisal,
+        |  count(*) AS n_tokens
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q138_tv_distance" ->
+      """WITH toks AS (SELECT source AS g, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE source IN ('src0', 'src1') AND length(trim(text)) > 0),
+        |pt AS (SELECT tok,
+        |  sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        |FROM toks GROUP BY tok),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pt)
+        |SELECT 'src0' AS group_a, 'src1' AS group_b, na AS n_a, nb AS n_b,
+        |  CAST((SELECT sum(abs(ca * nb - cb * na)) FROM pt, t) AS DOUBLE)
+        |    / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tv
+        |FROM t""".stripMargin
   )
 }

@@ -187,4 +187,36 @@ object TrainingData {
       .filter(col("__rn") === 1)
       .drop("__v", "__rn")
   }
+
+  /** Deterministic per-group downsampling to a common budget — the corpus
+    * REMIX step: every group (language, source, domain) is cut to the
+    * weight budget of the smallest group, so the mixed corpus is balanced
+    * without a seed or a shuffle-order dependence. Membership is content-
+    * addressed (first 4 hex chars of md5(id) → a bucket in [0, 65536);
+    * keep iff bucket < floor(65536 · target / groupTotal), all-integer
+    * arithmetic) — any engine reproduces the exact kept set, and re-runs
+    * are bit-stable. Appends move the data-derived threshold smoothly
+    * (kept membership under a PINNED threshold is fully append-stable —
+    * a doc's bucket never changes).
+    *
+    * Two aggregates over group totals (tiny), one broadcast join back,
+    * then a pure per-row filter — no per-group windows, nothing collected.
+    */
+  def remixToBudget(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String): DataFrame = {
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast(LongType).as("__total"))
+    val target = totals.agg(min(col("__total"))).as("__target")
+      .select(col("min(__total)").as("__target"))
+    val thr = totals.crossJoin(broadcast(target))
+      .select(col(groupCol),
+        // integer DIV keeps the threshold exact at any corpus size (a
+        // double divide would round past 2^53 total weight)
+        expr("__target * 65536 DIV __total").as("__thr"))
+    val bucketHex = substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 4)
+    df.join(broadcast(thr), Seq(groupCol))
+      .withColumn("__bucket", conv(bucketHex, 16, 10).cast(LongType))
+      .filter(col("__bucket") < col("__thr"))
+      .drop("__bucket", "__thr")
+  }
 }
