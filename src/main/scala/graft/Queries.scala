@@ -2308,7 +2308,60 @@ object Queries {
     // corpus, exact to the last bit
     "q138_tv_distance" -> ((s, dir) =>
       graft.text.CorpusStats.tokenTvDistance(
-        t(s, dir, "documents"), "source", "text", "src0", "src1"))
+        t(s, dir, "documents"), "source", "text", "src0", "src1")),
+
+    // parameterized SQL (spark.sql named-parameter binding, Spark 4):
+    // the injection-safe plan-cache-friendly query surface — parameters
+    // bind as typed literals, not string splices; result must equal the
+    // literal-inlined oracle
+    "q139_param_sql" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_q139_orders")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS tot
+          |FROM graft_q139_orders
+          |WHERE o_totalprice < :cap AND o_orderpriority = :prio
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        Map("cap" -> 200000.0, "prio" -> "1-URGENT"))
+    }),
+
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 SQL sugar): every non-aggregate
+    // output expression becomes a grouping key — the analyst surface both
+    // engines resolve identically
+    "q140_group_by_all" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_q140_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+          |FROM graft_q140_lineitem
+          |GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
+    // TABLESAMPLE ... REPEATABLE through the SQL surface: seeded Bernoulli
+    // sampling is engine-specific in its draw sequence, so the gate is
+    // statistical (binomial 5σ envelope) + exact subset containment —
+    // the q88 DataFrame-API gate, at the SQL layer
+    "q141_tablesample" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_q141_lineitem")
+      val n = t(s, dir, "lineitem").count()
+      val f = 0.2
+      val sampled = s.sql(
+        "SELECT l_orderkey, l_linenumber FROM graft_q141_lineitem " +
+          "TABLESAMPLE (20 PERCENT) REPEATABLE (7)")
+      val k = sampled.count()
+      // REPEATABLE must mean repeatable: same seed, same rows
+      val k2 = s.sql(
+        "SELECT l_orderkey, l_linenumber FROM graft_q141_lineitem " +
+          "TABLESAMPLE (20 PERCENT) REPEATABLE (7)").count()
+      val subsetViolations = sampled
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_linenumber"), "left_anti").count()
+      val sigma = math.sqrt(f * (1 - f) * n)
+      val fracOk = math.abs(k - f * n) <= 5 * sigma
+      Seq((n, fracOk, k == k2, subsetViolations == 0L))
+        .toDF("n_source", "frac_ok", "repeatable_ok", "subset_ok")
+    })
   )
 
   // ------------------------------------------------------------------
@@ -3284,6 +3337,19 @@ object Queries {
         |SELECT 'src0' AS group_a, 'src1' AS group_b, na AS n_a, nb AS n_b,
         |  CAST((SELECT sum(abs(ca * nb - cb * na)) FROM pt, t) AS DOUBLE)
         |    / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tv
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    "q139_param_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS tot
+        |FROM orders
+        |WHERE o_totalprice < 200000.0 AND o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q140_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "q141_tablesample" ->
+      ("SELECT (SELECT count(*) FROM lineitem) AS n_source, " +
+        "true AS frac_ok, true AS repeatable_ok, true AS subset_ok")
   )
 }
