@@ -2361,6 +2361,114 @@ object Queries {
       val fracOk = math.abs(k - f * n) <= 5 * sigma
       Seq((n, fracOk, k == k2, subsetViolations == 0L))
         .toDF("n_source", "frac_ok", "repeatable_ok", "subset_ok")
+    }),
+
+    // exponentially-weighted moving average per key — the order-dependent
+    // recursive aggregate (s_i = ½x_i + ½s_{i-1}) that has no built-in.
+    // Expressed as an ordered fold over the per-key event sequence: both
+    // engines run the IDENTICAL IEEE op sequence (multiply by 0.5 is
+    // exact scaling; one rounding add per step) over the same total
+    // (ts, event_id) order, so the raw doubles hash-match bit-for-bit.
+    // At scale the collect_list is bounded per key (session/feature
+    // windows), never a whole table
+    "q142_ewma" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+            .as("seq"))
+        .withColumn("vals", expr("transform(seq, r -> r.value)"))
+        .withColumn("ewma", expr(
+          "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1), " +
+            "(acc, x) -> 0.5D * x + 0.5D * acc)"))
+        .select(col("user_id"), col("n"), col("ewma"))
+        .orderBy("user_id"))
+,
+    // HLL sketch PERSISTENCE + merge (DataSketches, Spark 4): per-group
+    // partial sketches are written to parquet as bytes, re-read, and
+    // hll_union_agg-merged to coarser groups — the incremental-rollup
+    // pattern that makes 100-TB distinct counts a daily delta job instead
+    // of a full rescan (q60 gates the one-shot HLL++ aggregate; this
+    // gates mergeability through storage). Estimate vs exact ≤ 5%
+    "q143_hll_persist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val path = "/tmp/graft_q143_sketches"
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+        .write.mode("overwrite").parquet(path)
+      val merged = s.read.parquet(path)
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_n"))
+      merged.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_n"),
+          (abs(col("est") - col("exact_n")) <= col("exact_n") * 0.05)
+            .as("merged_estimate_ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    // SQL-language scalar function (CREATE FUNCTION ... RETURN, Spark 4):
+    // the catalog-managed UDF surface that stays fully inside Catalyst —
+    // the body inlines into the plan (no black-box lambda), so pushdown
+    // and codegen still apply; result equals the inlined-expression oracle
+    "q144_sql_udf" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_q144_lineitem")
+      // decimal-exact body: the price/discount are 2-dp decimals, so the
+      // product is an exact 4-dp decimal in both engines — per-row double
+      // rounding at 2 dp would land ON half-way points (caught by the
+      // gate: 91628.615 rounded 91628.61 vs 91628.62)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DECIMAL(18,2), d DECIMAL(18,2))
+              |RETURNS DECIMAL(38,4) RETURN p * (CAST(1.00 AS DECIMAL(18,2)) - d)""".stripMargin)
+      s.sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  CAST(graft_disc_price(CAST(l_extendedprice AS DECIMAL(18,2)),
+          |                        CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net
+          |FROM graft_q144_lineitem
+          |WHERE CAST(graft_disc_price(CAST(l_extendedprice AS DECIMAL(18,2)),
+          |                            CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) > 90000.0D
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // AQE skew-join handling: a synthetically hot key (90% of the fact
+    // side) joins a uniform dimension under lowered skew thresholds and
+    // no broadcast; after execution the adaptive plan must show the
+    // skewed partition actually SPLIT (skew=true on the join) — the
+    // runtime answer to the one-reducer-death every 100-TB join with a
+    // power-law key risks. Values are checked against the same synthetic
+    // join in DuckDB
+    "q145_skew_aqe" -> ((s, dir) => {
+      val keep = Map(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = keep.keys.map(k => k -> s.conf.getOption(k)).toMap
+      keep.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        // repartition first: AQE splits a skewed reduce partition by MAP
+        // ranges, so the fact side must come from >1 mapper (a single
+        // parquet file = one map task = nothing to split — found the hard
+        // way; at real scale the fact side always has thousands of maps)
+        val fact = t(s, dir, "events").repartition(16).select(
+          when(col("event_id") % 10 < 9, 0L)
+            .otherwise(col("event_id") % 100).as("k"),
+          col("event_id"), col("props"))
+        val dim = s.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("kv"))
+        val joined = fact.join(dim, "k")
+        joined.collect() // execute THIS plan instance so AQE finalizes it
+        val skewHandled = joined.queryExecution.executedPlan.toString
+          .contains("skew=true")
+        joined.groupBy(col("k"), col("kv"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("skew_split", lit(skewHandled))
+          .orderBy("k")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     })
   )
 
@@ -3350,6 +3458,28 @@ object Queries {
         |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
     "q141_tablesample" ->
       ("SELECT (SELECT count(*) FROM lineitem) AS n_source, " +
-        "true AS frac_ok, true AS repeatable_ok, true AS subset_ok")
+        "true AS frac_ok, true AS repeatable_ok, true AS subset_ok"),
+    "q142_ewma" ->
+      """SELECT user_id, count(*) AS n,
+        |  list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+        |    (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q143_hll_persist" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_n,
+        |  true AS merged_estimate_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q144_sql_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net
+        |FROM lineitem
+        |WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) > 90000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q145_skew_aqe" ->
+      """SELECT k, kv, count(*) AS n, true AS skew_split
+        |FROM (SELECT CASE WHEN e.event_id % 10 < 9 THEN 0 ELSE e.event_id % 100 END AS k,
+        |             e.event_id
+        |      FROM events e) f
+        |JOIN (SELECT range AS k, range * 2 AS kv FROM range(0, 100)) d USING (k)
+        |GROUP BY k, kv ORDER BY k""".stripMargin
   )
 }
