@@ -2469,6 +2469,29 @@ object Queries {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
       }
+    }),
+
+    // tuned parquet write (storage.Layout.writeTunedParquet): zstd codec +
+    // a per-column bloom filter, verified against the actual file footers
+    // (codec name, bloom-filter offset, row-group min/max stats) — then
+    // full read-back content equality. Bloom filters are the row-group
+    // skip mechanism for point lookups on NON-clustered columns, the
+    // complement of q129's z-order min/max story. The filter column must
+    // be high-cardinality: parquet silently DROPS the bloom when every
+    // page stays dictionary-encoded (the dictionary is already an exact
+    // filter) — found the hard way on o_custkey
+    "q146_parquet_tuned" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val path = "/tmp/graft_q146_tuned"
+      graft.storage.Layout.writeTunedParquet(src, path, "o_orderkey")
+      val (codecs, bloom, stats) =
+        graft.storage.Layout.parquetColumnInfo(s, path, "o_orderkey")
+      val ok = codecs == Set("ZSTD") && bloom && stats
+      s.read.parquet(path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(ok).as("tuned_ok"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -3480,6 +3503,9 @@ object Queries {
         |             e.event_id
         |      FROM events e) f
         |JOIN (SELECT range AS k, range * 2 AS kv FROM range(0, 100)) d USING (k)
-        |GROUP BY k, kv ORDER BY k""".stripMargin
+        |GROUP BY k, kv ORDER BY k""".stripMargin,
+    "q146_parquet_tuned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, true AS tuned_ok
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
