@@ -2492,6 +2492,41 @@ object Queries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           lit(ok).as("tuned_ok"))
         .orderBy("o_orderkey")
+    }),
+
+    // stream-stream LEFT OUTER interval join (q83 is the inner form):
+    // matched click→purchase pairs emit immediately; an unmatched click
+    // emits null-padded only when the watermark PROVES no purchase can
+    // still arrive (watermark > click_ts + span). The availableNow run
+    // equals the batch left join restricted to clicks whose match window
+    // closed before the final watermark — the oracle applies exactly that
+    // cutoff (maxTs − 10min), mirroring how q62 pins session finalization
+    "q147_stream_left_join" -> ((s, dir) => {
+      withStatePartitions(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def stream() = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val clicks = stream().filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("purchase_ts"))
+        val joined = graft.streaming.StreamingOps.intervalJoinLeftOuter(
+          clicks, "click_ts", purchases, "purchase_ts",
+          "user_id", "p_user", span = "30 minutes", watermark = "10 minutes")
+        val q = joined.writeStream.format("memory").queryName("graft_q147_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_q147_sink")
+          .select(col("click_id"), col("purchase_id"),
+            col("click_ts").cast(TimestampNTZType).as("click_ts"),
+            col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
+          .orderBy("click_id", "purchase_id")
+      }
     })
   )
 
@@ -3506,6 +3541,27 @@ object Queries {
         |GROUP BY k, kv ORDER BY k""".stripMargin,
     "q146_parquet_tuned" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, true AS tuned_ok
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // matched pairs always emit; null-padded rows only for clicks whose
+    // 30-min match window closed before the final watermark. The final
+    // watermark is min(max click ts, max purchase ts) − 10 min: two
+    // watermarked inputs combine under the default 'min' policy
+    "q147_stream_left_join" ->
+      """WITH wm AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL '10 minutes' AS cutoff)
+        |SELECT c.click_id, p.purchase_id, c.click_ts, p.purchase_ts
+        |FROM (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON p.p_user = c.user_id
+        | AND p.purchase_ts >= c.click_ts
+        | AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+        |, wm
+        |WHERE p.purchase_id IS NOT NULL
+        |   OR c.click_ts + INTERVAL '30 minutes' < wm.cutoff
+        |ORDER BY click_id, purchase_id""".stripMargin
   )
 }

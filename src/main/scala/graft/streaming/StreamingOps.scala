@@ -97,6 +97,29 @@ object StreamingOps {
         col(s"__gr.$rightTs") <= col(s"__gl.$leftTs") + expr(s"INTERVAL $span"))
   }
 
+  /** LEFT OUTER interval join: matched pairs emit immediately (as in the
+    * inner form); an UNMATCHED left row emits null-padded only once the
+    * watermark proves no match can still arrive — i.e. when
+    * watermark > left.ts + span. State cost is identical to the inner
+    * join; the outer semantics only change eviction-time emission. A
+    * terminating (availableNow) run therefore equals the batch LEFT JOIN
+    * restricted to left rows whose match window closed before the final
+    * watermark (maxEventTime − watermark delay) — unmatched rows at the
+    * stream tail are still awaiting proof and correctly do NOT emit.
+    */
+  def intervalJoinLeftOuter(
+      left: DataFrame, leftTs: String, right: DataFrame, rightTs: String,
+      leftKey: String, rightKey: String, span: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("__gl")
+    val r = right.withWatermark(rightTs, watermark).as("__gr")
+    l.join(r,
+      col(s"__gl.$leftKey") === col(s"__gr.$rightKey") &&
+        col(s"__gr.$rightTs") >= col(s"__gl.$leftTs") &&
+        col(s"__gr.$rightTs") <= col(s"__gl.$leftTs") + expr(s"INTERVAL $span"),
+      "left_outer")
+  }
+
   /** Session windows: activity grouped by gaps — events within `gap` of
     * each other merge into one session per key (the sessionization the
     * reference's "real-time" story implies but never implements).

@@ -74,6 +74,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinLeftOuter: matches emit immediately, null-pad waits for watermark proof") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val l = clicks.toDF().toDF("click_id", "user_id", "click_ts")
+    val r = buys.toDF().toDF("buy_id", "buy_user", "buy_ts")
+    val q = StreamingOps.intervalJoinLeftOuter(
+        l, "click_ts", r, "buy_ts", "user_id", "buy_user",
+        span = "10 minutes", watermark = "5 minutes")
+      .select("click_id", "buy_id")
+      .writeStream.format("memory").queryName("iloj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((1L, 7L, ts(0)), (3L, 8L, ts(0)))
+      buys.addData((10L, 7L, ts(5)))
+      q.processAllAvailable()
+      val matched = spark.table("iloj").collect()
+        .map(rr => (rr.getLong(0), rr.get(1))).toSet
+      // match emits without waiting; unmatched click 3 must NOT emit yet —
+      // watermark hasn't proven its 10-min window closed
+      assert(matched == Set((1L, 10L)))
+      // advance event time far past click 3's window (+ watermark delay)
+      clicks.addData((4L, 9L, ts(60)))
+      buys.addData((11L, 9L, ts(61)))
+      q.processAllAvailable()
+      val after = spark.table("iloj").collect()
+        .map(rr => (rr.getLong(0), Option(rr.get(1)))).toSet
+      assert(after.contains((3L, None)), s"null-padded row missing: $after")
+    } finally q.stop()
+  }
+
   test("thresholdCrossings fires once, at the end of the first crossing batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
