@@ -2159,7 +2159,7 @@ object Queries {
       keep.foreach { case (k, v) => s.conf.set(k, v) }
       try {
         val fact = t(s, dir, "lineitem")
-        val dim = t(s, dir, "orders").filter(col("o_totalprice") < 1000.0)
+        val dim = t(s, dir, "orders").filter(col("o_totalprice") < 10000.0)
         val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
@@ -3391,7 +3391,7 @@ object Queries {
         |  CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
         |  true AS bloom_injected
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |WHERE o.o_totalprice < 1000.0
+        |WHERE o.o_totalprice < 10000.0
         |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
 
     // every ratio is one double division of two exact integer aggregates —
