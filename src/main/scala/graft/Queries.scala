@@ -2527,6 +2527,45 @@ object Queries {
             col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
           .orderBy("click_id", "purchase_id")
       }
+    }),
+
+    // bigram collocation counts — the n-gram statistics pass (vocab
+    // induction, collocation mining) over the token stream: adjacent-pair
+    // generation stays a pure array transform (no self-join), then one
+    // grouped count; top-20 with a deterministic tiebreak
+    "q148_bigrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TF.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
+
+    // funnel conversion (first click → first purchase at-or-after it, per
+    // user): two tiny aggregates + one broadcast-friendly join — the
+    // event-sequence analytics shape; conversion latency in exact
+    // microseconds so both engines emit identical integers
+    "q149_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      firstClick
+        .join(purchases,
+          col("user_id") === col("p_user") && col("p_ts") >= col("first_click"),
+          "left")
+        .groupBy(col("user_id"), col("first_click"))
+        .agg(min(col("p_ts")).as("first_purchase"))
+        .select(col("user_id"), col("first_click"), col("first_purchase"),
+          col("first_purchase").isNotNull.as("converted"),
+          (unix_micros(col("first_purchase").cast(TimestampType)) -
+            unix_micros(col("first_click").cast(TimestampType))).as("latency_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -3562,6 +3601,24 @@ object Queries {
         |, wm
         |WHERE p.purchase_id IS NOT NULL
         |   OR c.click_ts + INTERVAL '30 minutes' < wm.cutoff
-        |ORDER BY click_id, purchase_id""".stripMargin
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "q148_bigrams" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+        |  FROM toks WHERE len(l) >= 2)
+        |SELECT bigram, count(*) AS n FROM bg
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q149_funnel" ->
+      """WITH fc AS (SELECT user_id, min(ts) AS first_click FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |j AS (SELECT fc.user_id, fc.first_click, min(p.ts) AS first_purchase
+        |  FROM fc LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |    ON p.user_id = fc.user_id AND p.ts >= fc.first_click
+        |  GROUP BY fc.user_id, fc.first_click)
+        |SELECT user_id, first_click, first_purchase,
+        |  (first_purchase IS NOT NULL) AS converted,
+        |  epoch_us(first_purchase) - epoch_us(first_click) AS latency_us
+        |FROM j ORDER BY user_id""".stripMargin
   )
 }
