@@ -1983,7 +1983,11 @@ object Queries {
             "THEN CAST(event_id AS STRING) ELSE event_type END) AS INT)"),
             lit(-1)).as("safe_int"),
           try_element_at(split(col("event_type"), ""), lit(10)).as("char10"),
-          coalesce(when(col("user_id") > 0,
+          // the overflow branch is live on ~1% of rows: each try_add
+          // overflow throws-and-catches internally (fillInStackTrace per
+          // row), so exercising it on EVERY row billed ~6 s at sf0.1 for
+          // exception plumbing, not data processing
+          coalesce(when(col("user_id") % 100 === 0 && col("user_id") > 0,
               expr("try_add(9223372036854775807L, user_id)"))
             .otherwise(lit(Long.MaxValue)), lit(0L)).as("safe_add"))
         .orderBy("event_id")),
@@ -2566,6 +2570,58 @@ object Queries {
           (unix_micros(col("first_purchase").cast(TimestampType)) -
             unix_micros(col("first_click").cast(TimestampType))).as("latency_us"))
         .orderBy("user_id")
+    }),
+
+    // dynamic partition pruning: a Hive-partitioned fact joined to a
+    // selectively-filtered dimension must scan only the partitions the
+    // dim filter survives — Catalyst injects the dim's build side as a
+    // runtime partition filter (the dominant scan-reduction mechanism on
+    // date-partitioned 100-TB facts). Gate: the fact scan's plan carries
+    // a dynamicpruning PartitionFilter; values checked against the same
+    // join in DuckDB
+    "q150_dpp" -> ((s, dir) => {
+      val path = "/tmp/graft_q150_part"
+      t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      val fact = s.read.parquet(path)
+      val dim = t(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("type_n"))
+        .filter(col("event_type").isin("click", "purchase"))
+      val joined = fact.join(dim, "event_type")
+        .groupBy(col("event_type"), col("type_n"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast(LongType)).as("cents"))
+      val dpp = joined.queryExecution.executedPlan.toString
+        .contains("dynamicpruning")
+      joined.withColumn("dpp_applied", lit(dpp)).orderBy("event_type")
+    }),
+
+    // scan metadata columns (_metadata.file_path, Spark 4): per-file
+    // provenance without a custom source — grouped per partition
+    // directory and value-checked against DuckDB's filename=true read of
+    // the same files (the lineage/debugging surface of a 100-TB lake)
+    "q151_metadata_cols" -> ((s, dir) => {
+      val path = "/tmp/graft_q151_part"
+      t(s, dir, "events").select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      s.read.parquet(path)
+        .select(regexp_extract(col("_metadata.file_path"),
+          "event_type=([^/]+)/", 1).as("part_dir"),
+          col("event_id"))
+        .groupBy("part_dir")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy("part_dir")
+    }),
+
+    // IDENTIFIER clause: table/column names as bound parameters — the
+    // safe dynamic-SQL surface (no string splicing) for multi-tenant /
+    // multi-table pipelines
+    "q152_identifier" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("graft_q152_nation")
+      s.sql(
+        "SELECT n_nationkey, n_name FROM IDENTIFIER(:tbl) " +
+          "WHERE n_regionkey = :rk ORDER BY n_nationkey",
+        Map("tbl" -> "graft_q152_nation", "rk" -> 1))
     })
   )
 
@@ -3361,7 +3417,7 @@ object Queries {
         |  coalesce(TRY_CAST((CASE WHEN user_id % 2 = 0
         |    THEN CAST(event_id AS VARCHAR) ELSE event_type END) AS INTEGER), -1) AS safe_int,
         |  string_split(event_type, '')[10] AS char10,
-        |  CAST(CASE WHEN user_id > 0 THEN 0
+        |  CAST(CASE WHEN user_id % 100 = 0 AND user_id > 0 THEN 0
         |       ELSE 9223372036854775807 END AS BIGINT) AS safe_add
         |FROM events ORDER BY event_id""".stripMargin,
     "q123_variant" ->
@@ -3619,6 +3675,22 @@ object Queries {
         |SELECT user_id, first_click, first_purchase,
         |  (first_purchase IS NOT NULL) AS converted,
         |  epoch_us(first_purchase) - epoch_us(first_click) AS latency_us
-        |FROM j ORDER BY user_id""".stripMargin
+        |FROM j ORDER BY user_id""".stripMargin,
+    "q150_dpp" ->
+      """SELECT f.event_type, d.type_n, count(*) AS n,
+        |  CAST(SUM(CAST(floor(f.value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  true AS dpp_applied
+        |FROM events f
+        |JOIN (SELECT event_type, count(*) AS type_n FROM events
+        |      WHERE event_type IN ('click', 'purchase') GROUP BY event_type) d
+        |  USING (event_type)
+        |GROUP BY f.event_type, d.type_n ORDER BY f.event_type""".stripMargin,
+    "q151_metadata_cols" ->
+      """SELECT event_type AS part_dir, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY event_type ORDER BY part_dir""".stripMargin,
+    "q152_identifier" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey = 1 ORDER BY n_nationkey""".stripMargin
   )
 }
