@@ -2622,6 +2622,60 @@ object Queries {
         "SELECT n_nationkey, n_name FROM IDENTIFIER(:tbl) " +
           "WHERE n_regionkey = :rk ORDER BY n_nationkey",
         Map("tbl" -> "graft_q152_nation", "rk" -> 1))
+    }),
+
+    // join-strategy hints: the per-join physical override (shuffle_hash
+    // beats sort-merge when one side is small-but-over-broadcast-size;
+    // merge is the stable fallback for giant-giant). Both hints are
+    // asserted honored in the executed plans, and the result of the
+    // hinted join is value-checked
+    "q153_join_hints" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val agg = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      val shj = cust.join(agg.hint("shuffle_hash"),
+        col("c_custkey") === col("o_custkey"))
+      val smj = cust.join(agg.hint("merge"),
+        col("c_custkey") === col("o_custkey"))
+      val shjOk = shj.queryExecution.executedPlan.toString.contains("ShuffledHashJoin")
+      val smjOk = smj.queryExecution.executedPlan.toString.contains("SortMergeJoin")
+      shj.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum(col("n_orders")).as("n_orders"))
+        .withColumn("shj_honored", lit(shjOk))
+        .withColumn("smj_honored", lit(smjOk))
+        .orderBy("c_mktsegment")
+    }),
+
+    // BATCH session_window: the same native session-gap grouping the
+    // streaming path uses (q62), run as a plain batch aggregate and
+    // checked against the gaps-and-islands SQL with NO watermark cutoff —
+    // sessionization parity between the two execution modes
+    "q154_batch_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("user_id"), col("n"))
+        .orderBy("user_id", "session_start")),
+
+    // DataFrameStatFunctions surface: exact crosstab (contingency table)
+    // + freqItems under its support guarantee — every item with frequency
+    // > threshold MUST appear in the sketch result (one-sided bound,
+    // gated; exact counts value-checked by the oracle)
+    "q155_stat_functions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("bucket", (col("user_id") % 5).cast(StringType))
+      val ct = ev.stat.crosstab("bucket", "event_type")
+      val items = ev.stat.freqItems(Array("event_type"), 0.2)
+        .head().getSeq[String](0).toSet
+      val mustHave = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+        .filter(col("n") > col("tot") * 0.2)
+        .collect().map(_.getString(0)).toSet
+      val freqOk = mustHave.subsetOf(items)
+      ct.withColumnRenamed("bucket_event_type", "bucket")
+        .withColumn("freq_guarantee_ok", lit(freqOk))
+        .orderBy("bucket")
     })
   )
 
@@ -3691,6 +3745,35 @@ object Queries {
         |FROM events GROUP BY event_type ORDER BY part_dir""".stripMargin,
     "q152_identifier" ->
       """SELECT n_nationkey, n_name FROM nation
-        |WHERE n_regionkey = 1 ORDER BY n_nationkey""".stripMargin
+        |WHERE n_regionkey = 1 ORDER BY n_nationkey""".stripMargin,
+    "q153_join_hints" ->
+      """SELECT c.c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(a.n_orders) AS BIGINT) AS n_orders,
+        |  true AS shj_honored, true AS smj_honored
+        |FROM customer c
+        |JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) a
+        |  ON c.c_custkey = a.o_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q62's gaps-and-islands mirror WITHOUT the watermark cutoff: batch
+    // sessionization sees every session, including the stream-tail ones
+    "q154_batch_session_window" ->
+      """WITH o AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+        |       THEN 1 ELSE 0 END AS brk FROM events),
+        |g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM o),
+        |s AS (SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL '10 minutes' AS session_end, count(*) AS n
+        |      FROM g GROUP BY user_id, grp)
+        |SELECT session_start, session_end, user_id, n FROM s
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q155_stat_functions" ->
+      """SELECT CAST(user_id % 5 AS VARCHAR) AS bucket,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  true AS freq_guarantee_ok
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }
