@@ -18,7 +18,10 @@ object PlanDump {
     "q78_window_range", "q79_exists_subquery", "q81_bucketed_join",
     "q82_salted_join", "q84_ann_join", "q87_asof_exec", "q89_sorted_write",
     "q105_gap_fill", "q107_pack_sequences", "q109_decontam",
-    "q119_batch_sessions", "q120_broadcast_gate")
+    "q119_batch_sessions", "q120_broadcast_gate",
+    "q131_runtime_filter", "q133_scd2", "q137_surprisal",
+    "q138_tv_distance", "q142_ewma", "q148_bigrams", "q149_funnel",
+    "q150_dpp", "q154_batch_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
