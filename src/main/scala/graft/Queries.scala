@@ -2676,6 +2676,137 @@ object Queries {
       ct.withColumnRenamed("bucket_event_type", "bucket")
         .withColumn("freq_guarantee_ok", lit(freqOk))
         .orderBy("bucket")
+    }),
+
+    // incremental materialized view: a streaming foreachBatch MERGES each
+    // micro-batch's per-user delta into a versioned snapshot (new = old +
+    // delta, grouped sum) — the maintenance pattern that replaces daily
+    // full recomputes at 100 TB. The source is pre-split into 4 files and
+    // read with maxFilesPerTrigger=1, so the merge provably runs across
+    // MULTIPLE batches; exact integer cents make the merged totals equal
+    // the one-shot batch aggregate bit-for-bit
+    "q156_incremental_mv" -> ((s, dir) => {
+      withStatePartitions(s) {
+        val srcDir = "/tmp/graft_q156_src"
+        val snapBase = "/tmp/graft_q156_snap"
+        val src = t(s, dir, "events")
+          .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
+        src.repartition(4).write.mode("overwrite").parquet(srcDir)
+        val srcSchema = s.read.parquet(srcDir).schema
+        var version = -1
+        val stream = s.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        var batches = 0
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batches += 1
+            val delta = batch.groupBy("user_id")
+              .agg(count(lit(1)).as("events"), sum(col("cents")).as("total_cents"))
+            val merged =
+              if (version < 0) delta
+              else s.read.parquet(s"$snapBase/v$version").unionByName(delta)
+                .groupBy("user_id")
+                .agg(sum(col("events")).as("events"),
+                  sum(col("total_cents")).as("total_cents"))
+            merged.write.mode("overwrite").parquet(s"$snapBase/v${version + 1}")
+            version += 1
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$snapBase/v$version")
+          .withColumn("multi_batch", lit(batches >= 4))
+          .orderBy("user_id")
+      }
+    }),
+
+    // CDC materialization (Dimensions.applyCdc): collapse an I/U/D change
+    // log to current state — latest change per key wins, deleted keys
+    // disappear. Ops are derived deterministically so every branch is
+    // live; DuckDB mirrors with QUALIFY
+    "q157_cdc_apply" -> ((s, dir) => {
+      val log = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"), col("o_totalprice"),
+          when(col("o_orderkey") % 10 < 8, lit("U")).otherwise(lit("D")).as("op"))
+      graft.pipeline.Dimensions
+        .applyCdc(log, "o_custkey", "o_orderdate", "o_orderkey", "op")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("op"))
+        .orderBy("o_custkey")
+    }),
+
+    // manifest-based file pruning: a (file → min/max) manifest table —
+    // the mechanism behind Iceberg/Delta data skipping — selects the
+    // files a key-range predicate can touch; the query reads ONLY those
+    // files and must equal the full-scan filter, touching a strict
+    // subset of files. The manifest here is built by one scan; a lake
+    // maintains it incrementally at write time
+    "q158_manifest_pruning" -> ((s, dir) => {
+      val path = "/tmp/graft_q158_layout"
+      val src = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      src.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(path)
+      val manifest = s.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        .collect()
+      val r = src.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (loQ, hiQ) = (r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 2 / 8,
+        r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 3 / 8)
+      val chosen = manifest
+        .filter(m => m.getAs[Long]("hi") >= loQ && m.getAs[Long]("lo") < hiQ)
+        .map(_.getAs[String]("f"))
+      val pruned = s.read.parquet(chosen: _*)
+        .filter(col("o_orderkey") >= loQ && col("o_orderkey") < hiQ)
+      val prunedOk = chosen.length < manifest.length && chosen.nonEmpty
+      pruned
+        .groupBy((col("o_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("pruned_subset", lit(prunedOk))
+        .orderBy("bucket")
+    }),
+
+    // SQL scripting (Spark 4: BEGIN/DECLARE/SET blocks): procedural
+    // control flow inside the SQL surface — a session variable computed
+    // from one query parameterizes the next, no driver round-trip
+    "q159_sql_scripting" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_q159_orders")
+      val prev = s.conf.getOption("spark.sql.scripting.enabled")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      try s.sql(
+        """BEGIN
+          |  DECLARE cap DOUBLE DEFAULT 0;
+          |  SET cap = (SELECT max(o_totalprice) / 2 FROM graft_q159_orders);
+          |  SELECT o_orderstatus, count(*) AS n
+          |  FROM graft_q159_orders WHERE o_totalprice < cap
+          |  GROUP BY o_orderstatus ORDER BY o_orderstatus;
+          |END""".stripMargin)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+        case None => s.conf.unset("spark.sql.scripting.enabled")
+      }
+    }),
+
+    // SQL table function (CREATE FUNCTION ... RETURNS TABLE): the
+    // catalog-managed parameterized-view surface — the body stays inside
+    // Catalyst, so the LIMIT pushes into the plan like any view
+    "q160_sql_table_fn" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_q160_orders")
+      // a parameterized LIMIT is unfoldable inside the body — the top-k
+      // is a window-rank filter instead (same plan shape Spark compiles
+      // top-k to anyway)
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_top_orders(k INT)
+          |RETURNS TABLE (o_orderkey BIGINT, o_totalprice DOUBLE)
+          |RETURN SELECT o_orderkey, o_totalprice FROM (
+          |  SELECT o_orderkey, o_totalprice,
+          |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM graft_q160_orders) WHERE rn <= k""".stripMargin)
+      s.sql("SELECT * FROM graft_top_orders(15) ORDER BY o_orderkey")
     })
   )
 
@@ -3774,6 +3905,38 @@ object Queries {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
         |  true AS freq_guarantee_ok
-        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q156_incremental_mv" ->
+      """SELECT user_id, count(*) AS events,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  true AS multi_batch
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q157_cdc_apply" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, op FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |    CASE WHEN o_orderkey % 10 < 8 THEN 'U' ELSE 'D' END AS op,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_custkey""".stripMargin,
+    "q158_manifest_pruning" ->
+      """WITH r AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
+        |SELECT o_custkey % 10 AS bucket, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  true AS pruned_subset
+        |FROM orders, r
+        |WHERE o_orderkey >= lo + (hi - lo) * 2 // 8
+        |  AND o_orderkey < lo + (hi - lo) * 3 // 8
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q159_sql_scripting" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_totalprice < (SELECT max(o_totalprice) / 2 FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q160_sql_table_fn" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 15)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -25,4 +25,20 @@ object Dimensions {
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** CDC materialization (Debezium-style): collapse an I/U/D change log
+    * into the current table state — the latest change per key wins
+    * (deterministic (ts, tiebreak) order), and keys whose latest op is a
+    * delete disappear. One window over one key shuffle; at 100 TB this
+    * runs per changelog batch against a snapshot join rather than over
+    * all history (see TrainingData.upsertLatest for the merge form).
+    */
+  def applyCdc(changelog: DataFrame, key: String, ts: String,
+      tiebreak: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(tiebreak).desc)
+    changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn")
+  }
 }
