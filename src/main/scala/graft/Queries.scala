@@ -2807,6 +2807,69 @@ object Queries {
           |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
           |  FROM graft_q160_orders) WHERE rn <= k""".stripMargin)
       s.sql("SELECT * FROM graft_top_orders(15) ORDER BY o_orderkey")
+    }),
+
+    // typed Aggregator UDAF (functions.udaf + spark.udf.register): the
+    // official custom-aggregate API (q44's TopKAggregate is the lower-
+    // level TypedImperativeAggregate). Exact integer sum-of-squares so
+    // the result hashes identically; used from BOTH the DataFrame and
+    // SQL surfaces in one query
+    "q161_udaf" -> ((s, dir) => {
+      val sumSq = udaf(graft.expressions.SumSqCents)
+      s.udf.register("graft_sumsq_cents", sumSq)
+      t(s, dir, "events").createOrReplaceTempView("graft_q161_events")
+      val sqlSide = s.sql(
+        """SELECT user_id, graft_sumsq_cents(value) AS sumsq_sql
+          |FROM graft_q161_events GROUP BY user_id""".stripMargin)
+      t(s, dir, "events")
+        .groupBy("user_id").agg(sumSq(col("value")).as("sumsq"))
+        .join(sqlSide, "user_id")
+        .withColumn("surfaces_agree", col("sumsq") === col("sumsq_sql"))
+        .select("user_id", "sumsq", "surfaces_agree")
+        .orderBy("user_id")
+    }),
+
+    // streaming checkpoint recovery — the exactly-once restart contract:
+    // a windowed aggregate processes the first half of the source, the
+    // query STOPS, more files land, and a NEW query started from the
+    // SAME checkpoint must resume state (not recount from zero) — its
+    // final complete-mode table equals the batch aggregate over
+    // everything. A lost-state bug shows up as second-half-only counts
+    "q162_stream_restart" -> ((s, dir) => {
+      withStatePartitions(s) {
+        val srcDir = "/tmp/graft_q162_src"
+        val ckpt = "/tmp/graft_q162_ckpt"
+        def rmrf(p: String): Unit = {
+          def rec(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rec)
+            f.delete(); ()
+          }
+          val f = new java.io.File(p); if (f.exists()) rec(f)
+        }
+        rmrf(srcDir); rmrf(ckpt)
+        val src = t(s, dir, "events")
+          .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
+        val halves = src.withColumn("half", col("user_id") % 2)
+        halves.filter(col("half") === 0).drop("half")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        val srcSchema = s.read.parquet(srcDir).schema
+        def runOnce(sink: String): Unit = {
+          val q = s.readStream.schema(srcSchema).parquet(srcDir)
+            .groupBy((col("user_id") % 10).as("bucket"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce("graft_q162_a") // first half only
+        halves.filter(col("half") === 1).drop("half")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        runOnce("graft_q162_b") // restart from the SAME checkpoint
+        s.table("graft_q162_b").orderBy("bucket")
+      }
     })
   )
 
@@ -3937,6 +4000,15 @@ object Queries {
       """SELECT o_orderkey, o_totalprice FROM (
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 15)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q161_udaf" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT) * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sumsq,
+        |  true AS surfaces_agree
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q162_stream_restart" ->
+      """SELECT user_id % 10 AS bucket, count(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }
