@@ -2870,6 +2870,54 @@ object Queries {
         runOnce("graft_q162_b") // restart from the SAME checkpoint
         s.table("graft_q162_b").orderBy("bucket")
       }
+    }),
+
+    // map higher-order functions (q77 covers map basics): transform_keys /
+    // transform_values / map_filter / map_zip_with in one codegen pass —
+    // results serialized as sorted entry strings so map-ordering quirks
+    // can't break the compare
+    "q163_map_hof" -> ((s, dir) => {
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      t(s, dir, "events").select(
+          col("event_id"),
+          array_join(array_sort(transform(
+            map_entries(expr(
+              "map_filter(transform_values(" +
+                "transform_keys(from_json(props, 'map<string,int>'), (k, v) -> upper(k)), " +
+                "(k, v) -> v * 10), (k, v) -> v >= 0)")),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+            .as("entries"),
+          size(m).as("nkeys"))
+        .orderBy("event_id")
+    }),
+
+    // dynamic partition overwrite: INSERT OVERWRITE replaces ONLY the
+    // partitions present in the incoming batch — the daily-partition-
+    // refresh primitive (static mode would wipe the whole table). The
+    // click partition is rewritten with doubled values; every other
+    // partition must survive untouched
+    "q164_dynamic_overwrite" -> ((s, dir) => {
+      val path = "/tmp/graft_q164_table"
+      val keep = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(keep)
+      s.conf.set(keep, "dynamic")
+      try {
+        val src = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            floor(col("value") * 100).cast(LongType).as("cents"), col("event_type"))
+        src.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        // refresh batch: ONLY the click partition, values doubled
+        src.filter(col("event_type") === "click")
+          .withColumn("cents", col("cents") * 2)
+          .write.mode("overwrite").partitionBy("event_type").parquet(path)
+        s.read.parquet(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .orderBy("event_type")
+      } finally prev match {
+        case Some(v) => s.conf.set(keep, v)
+        case None => s.conf.unset(keep)
+      }
     })
   )
 
@@ -4009,6 +4057,20 @@ object Queries {
     "q162_stream_restart" ->
       """SELECT user_id % 10 AS bucket, count(*) AS n,
         |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // mirrors the chained map HOFs on the JSON entries directly: upper
+    // keys, values ×10, non-negative filter, sorted k=v serialization
+    "q163_map_hof" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(list_transform(
+        |    list_filter(json_keys(props), k -> CAST(json_extract(props, '$.' || k) AS INTEGER) * 10 >= 0),
+        |    k -> upper(k) || '=' || CAST(CAST(json_extract(props, '$.' || k) AS INTEGER) * 10 AS VARCHAR))), ',') AS entries,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS nkeys
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q164_dynamic_overwrite" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+        |    * CASE WHEN event_type = 'click' THEN 2 ELSE 1 END) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
