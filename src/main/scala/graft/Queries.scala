@@ -2918,6 +2918,53 @@ object Queries {
         case Some(v) => s.conf.set(keep, v)
         case None => s.conf.unset(keep)
       }
+    }),
+
+    // time-weighted average (TWAP — the finance aggregate the reference's
+    // domain implies): each observation holds until the next one, so the
+    // weight is the gap to the next event. All accumulation is exact
+    // integers (cents × microsecond durations summed as BIGINT), one
+    // final double division — engine-identical at any parallelism
+    "q165_twap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast(TimestampType)).as("t_us"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        .withColumn("next_us", lead(col("t_us"), 1).over(w))
+        .filter(col("next_us").isNotNull) // last observation has no holding period
+        .groupBy("user_id")
+        .agg(
+          sum((col("next_us") - col("t_us")) * col("cents")).as("wsum"),
+          sum(col("next_us") - col("t_us")).as("dur"))
+        .select(col("user_id"),
+          (col("wsum").cast(DoubleType) / col("dur").cast(DoubleType)).as("twap_cents"),
+          col("dur").as("held_us"))
+        .orderBy("user_id")
+    }),
+
+    // OHLC candle bars per hourly bucket (open/high/low/close/volume):
+    // open and close are row_number picks under a total (ts, event_id)
+    // order — deterministic even with simultaneous ticks; high/low/volume
+    // are plain aggregates. The time-series rollup shape every financial
+    // feed lands in
+    "q166_ohlc" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("bar"), col("ts"),
+          col("event_id"), floor(col("value") * 100).cast(LongType).as("cents"))
+      val asc = Window.partitionBy("bar").orderBy(col("ts").asc, col("event_id").asc)
+      val desc = Window.partitionBy("bar").orderBy(col("ts").desc, col("event_id").desc)
+      base
+        .withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy("bar")
+        .agg(
+          max(when(col("rn_a") === 1, col("cents"))).as("open"),
+          max(col("cents")).as("high"),
+          min(col("cents")).as("low"),
+          max(when(col("rn_d") === 1, col("cents"))).as("close"),
+          count(lit(1)).as("volume"))
+        .orderBy("bar")
     })
   )
 
@@ -4071,6 +4118,30 @@ object Queries {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)
         |    * CASE WHEN event_type = 'click' THEN 2 ELSE 1 END) AS BIGINT) AS cents
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q165_twap" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM((next_us - t_us) * cents) AS DOUBLE)
+        |    / CAST(SUM(next_us - t_us) AS DOUBLE) AS twap_cents,
+        |  CAST(SUM(next_us - t_us) AS BIGINT) AS held_us
+        |FROM o WHERE next_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q166_ohlc" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS bar, ts, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts) ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |    row_number() OVER (PARTITION BY date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT bar,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open,
+        |  CAST(max(cents) AS BIGINT) AS high,
+        |  CAST(min(cents) AS BIGINT) AS low,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
+        |  count(*) AS volume
+        |FROM b GROUP BY bar ORDER BY bar""".stripMargin
   )
 }
