@@ -2965,6 +2965,42 @@ object Queries {
           max(when(col("rn_d") === 1, col("cents"))).as("close"),
           count(lit(1)).as("volume"))
         .orderBy("bar")
+    }),
+
+    // overlapping text chunking (TrainingData.chunkText) — the retrieval-
+    // granularity step between curation and embedding: 120-char chunks
+    // with 30 overlap, pure integer arithmetic + one generator explode,
+    // no shuffle; short docs yield exactly one chunk
+    "q167_chunking" -> ((s, dir) =>
+      graft.pipeline.TrainingData
+        .chunkText(t(s, dir, "documents"), "doc_id", "text",
+          chunkChars = 120, overlap = 30)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_chars"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // vocabulary induction + id encoding — the tokenize-to-ids training
+    // prep: top-300 tokens by (count desc, token) become ids 1..300, and
+    // every document re-encodes as its id sequence (OOV → 0). One grouped
+    // count, one window rank, one broadcast-friendly token join, one
+    // ordered re-assembly per doc
+    "q168_vocab_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      val toks = docs.select(col("doc_id"),
+        posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .withColumn("token_id", row_number().over(
+          Window.orderBy(col("n").desc, col("tok"))))
+        .filter(col("token_id") <= 300)
+        .select("tok", "token_id")
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .withColumn("token_id", coalesce(col("token_id"), lit(0)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("token_id")))),
+            e => e.getField("token_id").cast(StringType)), " ").as("ids"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4142,6 +4178,29 @@ object Queries {
         |  CAST(min(cents) AS BIGINT) AS low,
         |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
         |  count(*) AS volume
-        |FROM b GROUP BY bar ORDER BY bar""".stripMargin
+        |FROM b GROUP BY bar ORDER BY bar""".stripMargin,
+    // same chunk geometry in integer arithmetic: chunk i = substr at
+    // i*90+1, length 120; nChunks = 1 + max(0, ceil((len-120)/90))
+    "q167_chunking" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  unnest(range(0, 1 + greatest(0, (len - 120 + 89) // 90))) AS chunk_idx
+        |FROM d)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(length(substr(text, CAST(chunk_idx * 90 + 1 AS INTEGER), 120)) AS INTEGER) AS chunk_chars,
+        |  substr(text, CAST(chunk_idx * 90 + 1 AS INTEGER), 120) AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q168_vocab_encode" ->
+      """WITH toks AS (SELECT doc_id,
+        |    generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |        FROM documents WHERE length(trim(text)) > 0)),
+        |vocab AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS token_id
+        |  FROM toks GROUP BY tok
+        |  QUALIFY token_id <= 300)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  array_to_string(list(CAST(coalesce(v.token_id, 0) AS VARCHAR) ORDER BY t.pos), ' ') AS ids
+        |FROM toks t LEFT JOIN vocab v USING (tok)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   )
 }

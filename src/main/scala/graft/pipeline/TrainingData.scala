@@ -202,6 +202,29 @@ object TrainingData {
     * Two aggregates over group totals (tiny), one broadcast join back,
     * then a pure per-row filter — no per-group windows, nothing collected.
     */
+  /** Overlapping fixed-size text chunking — the retrieval-granularity
+    * step between curation and embedding (a 100-page filing embeds as
+    * ~500-char chunks, not one vector). Pure integer arithmetic + one
+    * generator explode per row, no shuffle: chunk i covers
+    * [i·stride, i·stride + chunkChars) with stride = chunkChars − overlap;
+    * a document shorter than one chunk yields exactly one chunk.
+    */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int = 200, overlap: Int = 50): DataFrame = {
+    require(overlap < chunkChars, s"overlap=$overlap must be < chunkChars=$chunkChars")
+    val stride = chunkChars - overlap
+    // nChunks = 1 + ceil((len - chunkChars)/stride) for len > chunkChars —
+    // exact integer DIV (a double divide would be a needless rounding hazard)
+    val extra = greatest(lit(0L),
+      expr(s"(length($textCol) - $chunkChars + ${stride - 1}) DIV $stride"))
+    df.withColumn("chunk_idx",
+        explode(sequence(lit(0L), extra)))
+      .withColumn("chunk_text",
+        substring(col(textCol), (col("chunk_idx") * stride + 1).cast(IntegerType),
+          lit(chunkChars)))
+      .withColumn("chunk_chars", length(col("chunk_text")))
+  }
+
   def remixToBudget(df: DataFrame, idCol: String, groupCol: String,
       weightCol: String): DataFrame = {
     val totals = df.groupBy(col(groupCol))
