@@ -3001,6 +3001,30 @@ object Queries {
             array_sort(collect_list(struct(col("pos"), col("token_id")))),
             e => e.getField("token_id").cast(StringType)), " ").as("ids"))
         .orderBy("doc_id")
+    }),
+
+    // per-group z-score standardization — the feature-scaling staple,
+    // engineered for cross-engine exactness: group moments (n, Σx, Σx²)
+    // accumulate as exact BIGINTs over integer cents, and the per-row
+    // z-score is ONE identical IEEE expression tree in both engines
+    // (sample std, n·Σx² − (Σx)² form) — no order-dependent double sums
+    "q169_feature_scaling" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+      val moments = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+      ev.join(broadcast(moments), "event_type")
+        .select(col("event_id"), col("event_type"),
+          ((col("cents").cast(DoubleType) -
+            col("sx").cast(DoubleType) / col("n").cast(DoubleType)) /
+            sqrt((col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) /
+              (col("n").cast(DoubleType) * (col("n") - 1).cast(DoubleType))))
+            .as("z"))
+        .orderBy("event_id")
     })
   )
 
@@ -4201,6 +4225,21 @@ object Queries {
         |SELECT t.doc_id, count(*) AS n_tokens,
         |  array_to_string(list(CAST(coalesce(v.token_id, 0) AS VARCHAR) ORDER BY t.pos), ' ') AS ids
         |FROM toks t LEFT JOIN vocab v USING (tok)
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // the IDENTICAL expression tree over the same exact integer moments
+    "q169_feature_scaling" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sx,
+        |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  (CAST(e.cents AS DOUBLE) - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+        |    / sqrt((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+        |        - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+        |      / (CAST(m.n AS DOUBLE) * CAST(m.n - 1 AS DOUBLE))) AS z
+        |FROM e JOIN m USING (event_type)
+        |ORDER BY event_id""".stripMargin
   )
 }
