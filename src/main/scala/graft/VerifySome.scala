@@ -12,6 +12,11 @@ object VerifySome {
     val sfDir = args(0)
     val outDir = args(1)
     val names = args.drop(2).toSet
+    val unknown = names -- SparkEntry.queries.keySet
+    // a typo'd name must fail loudly, not produce a vacuously-green
+    // "oracled 0/0 ok" gate
+    require(unknown.isEmpty,
+      s"VerifySome: unknown queries ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -45,6 +45,10 @@ object WavCodec {
     while (off + 8 <= b.length && (dataOff < 0 || sampleRate < 0)) {
       val id = new String(b.slice(off, off + 4), "US-ASCII")
       val len = u32(b, off + 4)
+      // a corrupt u32 length near 2^32 turns negative in toInt and would
+      // stall or reverse the walk — malformed input must throw, not hang
+      require(len <= Int.MaxValue - 9 && off + 8 + len <= b.length,
+        s"WavCodec: corrupt chunk '$id' length $len at offset $off (payload ${b.length})")
       id match {
         case "fmt " =>
           val fmt = u16(b, off + 8)

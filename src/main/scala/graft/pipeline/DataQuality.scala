@@ -52,13 +52,21 @@ object DataQuality {
   def rowCount: Rule = Rule("n_rows", count(lit(1)).cast(DoubleType))
 
   /** Run all rules in a single aggregate pass; returns tall
-    * (metric: string, value: double) rows sorted by metric.
+    * (metric: string, value: double) rows sorted by metric. Typed-Column
+    * construction throughout — no SQL-string splicing, so rule names with
+    * spaces/quotes (from quoted source columns) can't break the parse.
     */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "DataQuality.audit: no rules given")
     val aggs = rules.map(r => r.agg.as(r.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = rules.map(r => s"'${r.name}', ${r.name}").mkString(", ")
-    wide.selectExpr(s"stack(${rules.size}, $stacked) AS (metric, value)")
+    wide.select(explode(array(rules.map { r =>
+        // backtick-quote, escaping embedded backticks (rule names inherit
+        // whatever characters the source column carried)
+        val quoted = "`" + r.name.replace("`", "``") + "`"
+        struct(lit(r.name).as("metric"), col(quoted).as("value"))
+      }: _*)).as("e"))
+      .select(col("e.metric"), col("e.value"))
       .orderBy("metric")
   }
 

@@ -188,20 +188,6 @@ object TrainingData {
       .drop("__v", "__rn")
   }
 
-  /** Deterministic per-group downsampling to a common budget — the corpus
-    * REMIX step: every group (language, source, domain) is cut to the
-    * weight budget of the smallest group, so the mixed corpus is balanced
-    * without a seed or a shuffle-order dependence. Membership is content-
-    * addressed (first 4 hex chars of md5(id) → a bucket in [0, 65536);
-    * keep iff bucket < floor(65536 · target / groupTotal), all-integer
-    * arithmetic) — any engine reproduces the exact kept set, and re-runs
-    * are bit-stable. Appends move the data-derived threshold smoothly
-    * (kept membership under a PINNED threshold is fully append-stable —
-    * a doc's bucket never changes).
-    *
-    * Two aggregates over group totals (tiny), one broadcast join back,
-    * then a pure per-row filter — no per-group windows, nothing collected.
-    */
   /** Overlapping fixed-size text chunking — the retrieval-granularity
     * step between curation and embedding (a 100-page filing embeds as
     * ~500-char chunks, not one vector). Pure integer arithmetic + one
@@ -225,17 +211,35 @@ object TrainingData {
       .withColumn("chunk_chars", length(col("chunk_text")))
   }
 
+  /** Deterministic per-group downsampling to a common budget — the corpus
+    * REMIX step: every group (language, source, domain) is cut to the
+    * weight budget of the smallest group, so the mixed corpus is balanced
+    * without a seed or a shuffle-order dependence. Membership is content-
+    * addressed (first 4 hex chars of md5(id) → a bucket in [0, 65536);
+    * keep iff bucket < floor(65536 · target / groupTotal), all-integer
+    * arithmetic) — any engine reproduces the exact kept set, and re-runs
+    * are bit-stable. Appends move the data-derived threshold smoothly
+    * (kept membership under a PINNED threshold is fully append-stable —
+    * a doc's bucket never changes). The smallest group's total weight
+    * must stay below 2^63/65536 ≈ 1.4e14 (the threshold multiply is
+    * guarded — beyond that, pre-scale the weight unit).
+    *
+    * Two aggregates over group totals (tiny), one broadcast join back,
+    * then a pure per-row filter — no per-group windows, nothing collected.
+    */
   def remixToBudget(df: DataFrame, idCol: String, groupCol: String,
       weightCol: String): DataFrame = {
     val totals = df.groupBy(col(groupCol))
       .agg(sum(col(weightCol)).cast(LongType).as("__total"))
-    val target = totals.agg(min(col("__total"))).as("__target")
-      .select(col("min(__total)").as("__target"))
+    val target = totals.agg(min(col("__total")).as("__target"))
     val thr = totals.crossJoin(broadcast(target))
       .select(col(groupCol),
-        // integer DIV keeps the threshold exact at any corpus size (a
-        // double divide would round past 2^53 total weight)
-        expr("__target * 65536 DIV __total").as("__thr"))
+        // integer DIV keeps the threshold exact (a double divide would
+        // round past 2^53 total weight); the multiply is overflow-guarded
+        // rather than silently wrapping to a drop-everything threshold
+        expr("CASE WHEN __target > 140737488355327L " + // 2^63 / 65536
+          "THEN CAST(raise_error('remixToBudget: target weight overflows the 65536-bucket threshold; pre-scale weightCol') AS BIGINT) " +
+          "ELSE __target * 65536 DIV __total END").as("__thr"))
     val bucketHex = substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 4)
     df.join(broadcast(thr), Seq(groupCol))
       .withColumn("__bucket", conv(bucketHex, 16, 10).cast(LongType))

@@ -55,6 +55,12 @@ object Layout {
     val r = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input (or all-null cluster columns): write the empty
+      // dataset rather than NPE inside bucket-range derivation
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = zValue(
       bucketize(col(c1), r.getDouble(0), r.getDouble(1), bits),
       bucketize(col(c2), r.getDouble(2), r.getDouble(3), bits), bits)

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Corpus-level statistical text scoring — the model-free analogs of the
   * perplexity/divergence filters an LLM data pipeline runs before
@@ -73,14 +73,22 @@ object CorpusStats {
     try {
       // totals first (tiny aggregate), then the exact integer numerator
       val totals = perTok.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb")).head()
+      require(!totals.isNullAt(0) && totals.getLong(0) > 0,
+        s"tokenTvDistance: group '$groupA' has no tokens")
+      require(!totals.isNullAt(1) && totals.getLong(1) > 0,
+        s"tokenTvDistance: group '$groupB' has no tokens")
       val (na, nb) = (totals.getLong(0), totals.getLong(1))
+      // cross products in DECIMAL(38,0): ca·nb approaches na·nb, which
+      // overflows Long once both corpora pass ~3e9 tokens — silent Long
+      // wrap-around would be exactly the corruption this design rules out
+      val dec = DecimalType(38, 0)
       val num = perTok
-        .agg(sum(abs(col("ca") * lit(nb) - col("cb") * lit(na))))
-        .head().getLong(0)
+        .agg(sum(abs(col("ca").cast(dec) * lit(nb) - col("cb").cast(dec) * lit(na))))
+        .head().getDecimal(0)
       val spark = docs.sparkSession
       import spark.implicits._
       Seq((groupA, groupB, na, nb,
-        num.toDouble / (2.0 * na.toDouble * nb.toDouble)))
+        num.doubleValue() / (2.0 * na.toDouble * nb.toDouble)))
         .toDF("group_a", "group_b", "n_a", "n_b", "tv")
     } finally perTok.unpersist()
   }

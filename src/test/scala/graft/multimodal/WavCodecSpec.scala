@@ -70,6 +70,14 @@ class WavCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavCodec.decode(b))
   }
 
+  test("corrupt chunk length throws instead of hanging the walk") {
+    val b = load("tone_mono_8k.wav").clone()
+    // declare the fmt chunk length as 0xFFFFFFF8: toInt-negative, the
+    // old walk advanced by zero bytes forever
+    b(16) = 0xF8.toByte; b(17) = 0xFF.toByte; b(18) = 0xFF.toByte; b(19) = 0xFF.toByte
+    intercept[IllegalArgumentException](WavCodec.decode(b))
+  }
+
   test("isWav discriminates") {
     assert(WavCodec.isWav(load("noise_stereo_16k.wav")))
     assert(!WavCodec.isWav(Array[Byte](1, 2, 3)))

@@ -39,6 +39,15 @@ class DataQualitySpec extends SparkSpec {
     assert("Aggregate \\[".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("audit handles rule names needing quoting and rejects empty rule sets") {
+    import spark.implicits._
+    val df = Seq((1, 2.0)).toDF("id", "a value")
+    val out = audit(df, Seq(completeness("`a value`"), rowCount))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("n_rows") == 1.0)
+    intercept[IllegalArgumentException](audit(df, Seq.empty))
+  }
+
   test("orphanCount finds FK violations, ignores null FKs") {
     import spark.implicits._
     val fact = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")

@@ -47,4 +47,14 @@ class RemixSpec extends SparkSpec {
     }.map(_.getLong(0)).toSet
     assert(a == expected)
   }
+
+  test("overflow-scale target weight fails loudly instead of dropping everything") {
+    import spark.implicits._
+    val huge = Seq((1L, "g1", 7.5e13.toLong), (2L, "g1", 7.5e13.toLong),
+      (3L, "g2", 2.0e14.toLong)).toDF("id", "g", "w")
+    val ex = intercept[Exception](
+      TrainingData.remixToBudget(huge, "id", "g", "w").collect())
+    assert(ex.getMessage.contains("remixToBudget") ||
+      Option(ex.getCause).exists(_.getMessage.contains("remixToBudget")), ex.getMessage)
+  }
 }

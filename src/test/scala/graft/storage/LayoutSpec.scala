@@ -60,6 +60,14 @@ class LayoutSpec extends SparkSpec {
     assert(flatTouched > touched * 2, s"flat=$flatTouched zorder=$touched")
   }
 
+  test("zorderWrite tolerates an empty input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val path = "/tmp/graft_test_zorder_empty"
+    Layout.zorderWrite(empty, path, "a", "b")
+    assert(spark.read.parquet(path).count() == 0)
+  }
+
   test("compact collapses a fragmented directory and preserves rows") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i, s"v$i")).toDF("id", "v")

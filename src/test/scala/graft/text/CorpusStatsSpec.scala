@@ -33,6 +33,13 @@ class CorpusStatsSpec extends SparkSpec {
     assert(tvDisj == 1.0)
   }
 
+  test("tokenTvDistance fails loudly on an empty group") {
+    import spark.implicits._
+    val docs = Seq(("a", "x y")).toDF("g", "text")
+    intercept[IllegalArgumentException](
+      CorpusStats.tokenTvDistance(docs, "g", "text", "a", "nope"))
+  }
+
   test("tokenTvDistance hand-case is exact") {
     import spark.implicits._
     // a: {x:2, y:1} N=3;  b: {x:1, y:2} N=3
