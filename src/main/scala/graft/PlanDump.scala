@@ -21,7 +21,9 @@ object PlanDump {
     "q119_batch_sessions", "q120_broadcast_gate",
     "q131_runtime_filter", "q133_scd2", "q137_surprisal",
     "q138_tv_distance", "q142_ewma", "q148_bigrams", "q149_funnel",
-    "q150_dpp", "q154_batch_session_window")
+    "q150_dpp", "q154_batch_session_window", "q157_cdc_apply",
+    "q165_twap", "q166_ohlc", "q167_chunking", "q168_vocab_encode",
+    "q169_feature_scaling")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
