@@ -3025,6 +3025,57 @@ object Queries {
               (col("n").cast(DoubleType) * (col("n") - 1).cast(DoubleType))))
             .as("z"))
         .orderBy("event_id")
+    }),
+
+    // atomic commit protocol (storage.Layout.CommitLog — the transaction-
+    // log kernel under Delta/Iceberg): versions become visible only via
+    // their O(1) marker create, so a TORN write (data directory present,
+    // marker absent — the job died mid-write) is invisible to readers
+    // instead of half-read. The gate commits v0 and v1, plants a torn v2
+    // data directory with garbage rows, and asserts readers see exactly
+    // v1's content
+    "q170_commit_log" -> ((s, dir) => {
+      import graft.storage.Layout.CommitLog
+      val table = "/tmp/graft_q170_table"
+      def rmrf(p: String): Unit = {
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rec)
+          f.delete(); ()
+        }
+        val f = new java.io.File(p); if (f.exists()) rec(f)
+      }
+      rmrf(table)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      CommitLog.commit(s, table, orders.filter(col("o_orderkey") % 3 === 0))
+      val v1 = CommitLog.commit(s, table,
+        orders.withColumn("o_totalprice", col("o_totalprice") + 1.0))
+      // torn write: data lands, the marker never does
+      orders.limit(7).withColumn("o_custkey", lit(-999L))
+        .write.mode("overwrite").parquet(s"$table/v${v1 + 1}")
+      val seen = CommitLog.latestVersion(s, table).contains(v1)
+      CommitLog.readLatest(s, table)
+        .withColumn("torn_invisible", lit(seen))
+        .orderBy("o_orderkey")
+    }),
+
+    // schema evolution on read (mergeSchema): an old-schema batch and a
+    // new-schema batch (extra column) coexist in one dataset; the merged
+    // read presents the superset schema with nulls for pre-evolution rows
+    // — the append-only reality of a long-lived 100-TB table
+    "q171_schema_evolution" -> ((s, dir) => {
+      val path = "/tmp/graft_q171_evo"
+      val orders = t(s, dir, "orders")
+      new java.io.File(path).mkdirs()
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(path)
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -4240,6 +4291,15 @@ object Queries {
         |        - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
         |      / (CAST(m.n AS DOUBLE) * CAST(m.n - 1 AS DOUBLE))) AS z
         |FROM e JOIN m USING (event_type)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // readers must see exactly v1: every order with price+1, torn v2 invisible
+    "q170_commit_log" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+        |  true AS torn_invisible
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q171_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -134,6 +134,52 @@ object Layout {
     } finally reader.close()
   }
 
+  /** Minimal atomic commit protocol — the transaction-log kernel under
+    * Delta/Iceberg, reduced to its essence: data lands in a per-version
+    * directory, and the version becomes VISIBLE only when its marker file
+    * appears in `_commits/` (an O(1) atomic create, after all data files
+    * are fully written). Readers list markers, not data directories — a
+    * torn write (data present, marker absent: job died mid-write) is
+    * invisible rather than half-read. No compare-and-swap store exists on
+    * plain filesystems, so concurrent writers need an external lock; the
+    * reader-side atomicity is what this provides.
+    */
+  object CommitLog {
+
+    private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Write `df` as the next version; returns the committed version. */
+    def commit(spark: SparkSession, table: String, df: DataFrame): Int = {
+      val next = latestVersion(spark, table).getOrElse(-1) + 1
+      df.write.mode("overwrite").parquet(s"$table/v$next")
+      val marker = new org.apache.hadoop.fs.Path(s"$table/_commits/$next")
+      val f = fs(spark, marker)
+      f.mkdirs(marker.getParent)
+      val out = f.create(marker, false) // atomic create-if-absent
+      out.close()
+      next
+    }
+
+    /** Highest committed version, None before the first commit. */
+    def latestVersion(spark: SparkSession, table: String): Option[Int] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$table/_commits")
+      val f = fs(spark, dir)
+      if (!f.exists(dir)) None
+      else f.listStatus(dir).map(_.getPath.getName.toInt)
+        .reduceOption(_ max _)
+    }
+
+    /** Read the latest COMMITTED version (uncommitted data dirs are
+      * invisible). Throws if nothing was ever committed.
+      */
+    def readLatest(spark: SparkSession, table: String): DataFrame = {
+      val v = latestVersion(spark, table).getOrElse(
+        throw new IllegalStateException(s"CommitLog: no committed version in $table"))
+      spark.read.parquet(s"$table/v$v")
+    }
+  }
+
   /** Size-targeted compaction: rewrite a fragmented directory into
     * ceil(totalBytes / targetBytes) files. Uses coalesce (no shuffle —
     * input splits are concatenated, never repartitioned) so compaction

@@ -68,6 +68,29 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 0)
   }
 
+  test("CommitLog: versions visible only after their marker; torn writes invisible") {
+    import spark.implicits._
+    import Layout.CommitLog
+    val table = "/tmp/graft_test_commitlog"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(table))
+    intercept[IllegalStateException](CommitLog.readLatest(spark, table))
+    val v0 = CommitLog.commit(spark, table, Seq((1, "a")).toDF("id", "v"))
+    assert(v0 == 0)
+    val v1 = CommitLog.commit(spark, table, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(v1 == 1)
+    assert(CommitLog.readLatest(spark, table).count() == 2)
+    // torn write: data dir without marker must stay invisible
+    Seq((99, "junk")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$table/v2")
+    assert(CommitLog.latestVersion(spark, table).contains(1))
+    assert(CommitLog.readLatest(spark, table)
+      .collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
   test("compact collapses a fragmented directory and preserves rows") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i, s"v$i")).toDF("id", "v")
