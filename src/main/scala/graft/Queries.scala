@@ -388,10 +388,25 @@ object Queries {
         .toDF("method", "precision_ok", "recall_ok", "truth_nonempty")
     }),
 
-    // SimHash signatures (rows-only)
-    "q34_simhash" -> ((s, dir) =>
-      Dedup.simhash(t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
-        .orderBy("doc_id")),
+    // SimHash signature integrity as a HARD gate (was rows-only): the
+    // codegen kernel's 64-bit signature must equal an INDEPENDENT
+    // in-engine recomputation through the explode + 64-conditional-sum
+    // aggregate form — two disjoint code paths over the same tokens. A
+    // kernel bit-order, hash, or vote bug flips sig_match and fails the
+    // driver hash; the signature VALUES stay non-oracle-expressible, but
+    // their integrity no longer is
+    "q34_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val kernel = Dedup.simhash(docs, "doc_id", "text")
+      val indep = Dedup.simhashAgg(docs, "doc_id", "text")
+        .withColumnRenamed("simhash", "sim2")
+      kernel.join(indep, "doc_id")
+        .select(col("doc_id"),
+          (col("simhash") === col("sim2")).as("sig_match"),
+          (bit_count(col("simhash")) >= 0 && bit_count(col("simhash")) <= 64)
+            .as("pop_in_range"))
+        .orderBy("doc_id")
+    }),
 
     // IVF approximate top-k as a HARD recall gate: ANN top-10 must overlap
     // the exact top-10 in ≥9 ids (recall ≥ 0.9). The boolean is oracled —
@@ -4292,6 +4307,9 @@ object Queries {
         |      / (CAST(m.n AS DOUBLE) * CAST(m.n - 1 AS DOUBLE))) AS z
         |FROM e JOIN m USING (event_type)
         |ORDER BY event_id""".stripMargin,
+    "q34_simhash" ->
+      """SELECT doc_id, true AS sig_match, true AS pop_in_range
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // readers must see exactly v1: every order with price+1, torn v2 invisible
     "q170_commit_log" ->
       """SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,

@@ -24,12 +24,11 @@ class QueriesSpec extends SparkSpec {
     assert(Queries.oracles.keySet.subsetOf(Queries.all.keySet))
   }
 
-  test("every query is oracled except the documented rows-only exceptions") {
-    // q34: simhash signature listing — the 64-bit vote signature isn't
-    // DuckDB-expressible and its banding mechanism is exactly gated by q56.
-    // Anything else missing an oracle is an unregistered-correctness bug.
-    val documentedRowsOnly = Set("q34_simhash")
-    assert(Queries.all.keySet -- Queries.oracles.keySet == documentedRowsOnly)
+  test("every registered query is oracled") {
+    // q34 (the last rows-only query) is now hard-gated too: the codegen
+    // simhash kernel must equal an independent in-engine recomputation.
+    // Anything missing an oracle is an unregistered-correctness bug.
+    assert(Queries.all.keySet -- Queries.oracles.keySet == Set.empty[String])
   }
 
   test("entry returns rows on sf0.001 (driver smoke contract)") {
