@@ -3091,6 +3091,32 @@ object Queries {
       s.read.option("mergeSchema", "true").parquet(path)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    }),
+
+    // sequential event-pattern match (CEP-lite, the 3-step extension of
+    // q149's funnel): click → purchase → error in STRICT temporal order,
+    // resolved greedily (earliest click, then earliest purchase after it,
+    // then earliest error after that) — three aggregates and two
+    // broadcast-friendly joins, no per-user state machine; timestamps
+    // compare raw so the greedy chain is exact in both engines
+    "q172_event_pattern" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def typed(tp: String, ts: String, user: String) =
+        ev.filter(col("event_type") === tp)
+          .select(col("user_id").as(user), col("ts").as(ts))
+      val c1 = typed("click", "c_ts", "user_id")
+        .groupBy("user_id").agg(min(col("c_ts")).as("first_click"))
+      val p1 = c1.join(typed("purchase", "p_ts", "pu"),
+          col("pu") === col("user_id") && col("p_ts") > col("first_click"), "left")
+        .groupBy(col("user_id"), col("first_click"))
+        .agg(min(col("p_ts")).as("first_purchase"))
+      val e1 = p1.join(typed("error", "e_ts", "eu"),
+          col("eu") === col("user_id") && col("e_ts") > col("first_purchase"), "left")
+        .groupBy(col("user_id"), col("first_click"), col("first_purchase"))
+        .agg(min(col("e_ts")).as("first_error"))
+      e1.select(col("user_id"), col("first_click"), col("first_purchase"),
+          col("first_error"), col("first_error").isNotNull.as("full_pattern"))
+        .orderBy("user_id")
     })
   )
 
@@ -4318,6 +4344,20 @@ object Queries {
     "q171_schema_evolution" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q172_event_pattern" ->
+      """WITH c AS (SELECT user_id, min(ts) AS first_click FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT c.user_id, c.first_click, min(e.ts) AS first_purchase
+        |  FROM c LEFT JOIN events e
+        |    ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.first_click
+        |  GROUP BY c.user_id, c.first_click),
+        |r AS (SELECT p.user_id, p.first_click, p.first_purchase, min(e.ts) AS first_error
+        |  FROM p LEFT JOIN events e
+        |    ON e.user_id = p.user_id AND e.event_type = 'error' AND e.ts > p.first_purchase
+        |  GROUP BY p.user_id, p.first_click, p.first_purchase)
+        |SELECT user_id, first_click, first_purchase, first_error,
+        |  (first_error IS NOT NULL) AS full_pattern
+        |FROM r ORDER BY user_id""".stripMargin
   )
 }
