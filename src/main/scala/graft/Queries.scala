@@ -3117,6 +3117,27 @@ object Queries {
       e1.select(col("user_id"), col("first_click"), col("first_purchase"),
           col("first_error"), col("first_error").isNotNull.as("full_pattern"))
         .orderBy("user_id")
+    }),
+
+    // COMPOSED training-data pipeline (the capstone): curation (lang +
+    // quality + token filters, fingerprint dedup — q43's tier) feeds
+    // chunking (q167's tier) feeds the content-addressed doc-level split
+    // (q106's tier — chunks of one doc share a split, the leakage-safe
+    // choice). Each tier is graded alone; this grades that they COMPOSE —
+    // schema compatibility, no column collisions, and the DuckDB oracle
+    // reproduces the whole chain end-to-end
+    "q173_pipeline_compose" -> ((s, dir) => {
+      val curated = graft.pipeline.Curation
+        .curate(t(s, dir, "documents"), "doc_id", "text",
+          graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))
+      val chunks = graft.pipeline.TrainingData
+        .chunkText(curated, "doc_id", "text", chunkChars = 200, overlap = 50)
+      graft.pipeline.TrainingData.assignSplit(chunks, "doc_id")
+        .groupBy("split")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_chars").cast(LongType)).as("tot_chars"))
+        .orderBy("split")
     })
   )
 
@@ -4358,6 +4379,32 @@ object Queries {
         |  GROUP BY p.user_id, p.first_click, p.first_purchase)
         |SELECT user_id, first_click, first_purchase, first_error,
         |  (first_error IS NOT NULL) AS full_pattern
-        |FROM r ORDER BY user_id""".stripMargin
+        |FROM r ORDER BY user_id""".stripMargin,
+    // the full chain: q43's curation CTEs -> q167's chunk geometry
+    // (200/50 -> stride 150) -> q106's md5 split -> one aggregate
+    "q173_pipeline_compose" ->
+      s"""WITH t AS (SELECT doc_id, text, list_distinct($duckCleanTokens) AS dw FROM documents),
+         |s AS (SELECT doc_id, text, dw, $duckLangScoreDefs FROM t),
+         |a AS (SELECT doc_id, text,
+         |  $duckLangCaseExpr AS lang_pred,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         |  $duckQualityRaw AS quality_raw,
+         |  md5(array_to_string($duckCleanTokens, ' ')) AS fp
+         |FROM s),
+         |f AS (SELECT * FROM a WHERE lang_pred IN ('en') AND quality_raw >= 0.5 AND n_tokens BETWEEN 5 AND 1048576),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+         |cur AS (SELECT doc_id, text, length(text) AS len FROM d WHERE rn = 1),
+         |ch AS (SELECT doc_id,
+         |  length(substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)) AS chunk_chars
+         |FROM (SELECT doc_id, text,
+         |        unnest(range(0, 1 + greatest(0, (len - 200 + 149) // 150))) AS chunk_idx
+         |      FROM cur)),
+         |sp AS (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+         |                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+         |                   ELSE 'test' END AS split,
+         |              doc_id, chunk_chars FROM ch)
+         |SELECT split, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  CAST(sum(chunk_chars) AS BIGINT) AS tot_chars
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin
   )
 }
