@@ -27,6 +27,9 @@ object PlanDump {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    // optional trailing args: restrict the dump to the named queries
+    val only = args.drop(1).toSet
+    val selected = if (only.isEmpty) headline else headline.filter(only)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -38,7 +41,7 @@ object PlanDump {
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    headline.foreach { name =>
+    selected.foreach { name =>
       println(s"\n## $name\n")
       println("```")
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -2959,25 +2959,27 @@ object Queries {
     }),
 
     // OHLC candle bars per hourly bucket (open/high/low/close/volume):
-    // open and close are row_number picks under a total (ts, event_id)
-    // order — deterministic even with simultaneous ticks; high/low/volume
-    // are plain aggregates. The time-series rollup shape every financial
-    // feed lands in
+    // open/close are min_by/max_by picks under a total (ts, event_id)
+    // order — deterministic even with simultaneous ticks — so the whole
+    // candle folds into ONE hash aggregate with map-side partials: no
+    // window, no sort, one shuffle. (The previous double-row_number form
+    // forced two sorts under one exchange just to pick endpoints.) The
+    // order key packs (t_us, event_id) lexicographically into a
+    // DECIMAL(38,0) — fixed-width, so the aggregate stays a HashAggregate
+    // (a struct key forces SortAggregate + per-side sorts); exact for any
+    // event_id in [0, 1e18) and any timestamp out to year ~59000.
     "q166_ohlc" -> ((s, dir) => {
-      val base = t(s, dir, "events")
+      val ord = unix_micros(col("ts").cast(TimestampType)).cast(DecimalType(20, 0)) *
+        lit(1000000000000000000L) + col("event_id")
+      t(s, dir, "events")
         .select(date_trunc("hour", col("ts")).as("bar"), col("ts"),
           col("event_id"), floor(col("value") * 100).cast(LongType).as("cents"))
-      val asc = Window.partitionBy("bar").orderBy(col("ts").asc, col("event_id").asc)
-      val desc = Window.partitionBy("bar").orderBy(col("ts").desc, col("event_id").desc)
-      base
-        .withColumn("rn_a", row_number().over(asc))
-        .withColumn("rn_d", row_number().over(desc))
         .groupBy("bar")
         .agg(
-          max(when(col("rn_a") === 1, col("cents"))).as("open"),
+          min_by(col("cents"), ord).as("open"),
           max(col("cents")).as("high"),
           min(col("cents")).as("low"),
-          max(when(col("rn_d") === 1, col("cents"))).as("close"),
+          max_by(col("cents"), ord).as("close"),
           count(lit(1)).as("volume"))
         .orderBy("bar")
     }),

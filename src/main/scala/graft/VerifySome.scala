@@ -27,12 +27,19 @@ object VerifySome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.filter(kv => names.contains(kv._1)).foreach { case (name, fn) =>
+      // drop any stale dump first — a failed query must not be graded
+      // green off a previous run's parquet in a reused outDir
+      val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(stale, true)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify-some] $name failed: ${e.getMessage}")
         e.printStackTrace()
+        failed ::= name
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -51,5 +58,9 @@ object VerifySome {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify-some] FAILED: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -51,6 +51,9 @@ object WavCodec {
         s"WavCodec: corrupt chunk '$id' length $len at offset $off (payload ${b.length})")
       id match {
         case "fmt " =>
+          // the PCM fmt block is 16 bytes; a shorter chunk would make the
+          // field reads below spill into the next chunk's bytes
+          require(len >= 16, s"WavCodec: fmt chunk too short ($len)")
           val fmt = u16(b, off + 8)
           require(fmt == 1, s"WavCodec: unsupported audio format $fmt (PCM only)")
           channels = u16(b, off + 10)

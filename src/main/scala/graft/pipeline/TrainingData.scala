@@ -200,9 +200,14 @@ object TrainingData {
     require(overlap < chunkChars, s"overlap=$overlap must be < chunkChars=$chunkChars")
     val stride = chunkChars - overlap
     // nChunks = 1 + ceil((len - chunkChars)/stride) for len > chunkChars —
-    // exact integer DIV (a double divide would be a needless rounding hazard)
+    // typed Columns (no SQL-string splicing, so column names needing
+    // backtick quoting work). Column `/` is a double divide, then the Long
+    // cast truncates: exact here because the numerator < 2^31 << 2^52 and
+    // a non-multiple quotient sits ≥ 1/stride from any integer while the
+    // division's rounding error is < numerator·2^-52
     val extra = greatest(lit(0L),
-      expr(s"(length($textCol) - $chunkChars + ${stride - 1}) DIV $stride"))
+      ((length(col(textCol)).cast(LongType) - chunkChars + (stride - 1))
+        / stride).cast(LongType))
     df.withColumn("chunk_idx",
         explode(sequence(lit(0L), extra)))
       .withColumn("chunk_text",

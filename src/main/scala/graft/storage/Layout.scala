@@ -22,11 +22,15 @@ object Layout {
     * in BOTH dimensions land close on the 1-D curve. Pure column arithmetic
     * (shifts + masks), stays inside whole-stage codegen.
     */
-  def zValue(x: Column, y: Column, bits: Int): Column =
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    // interleave weight 1L << (2*k + 1) reaches the Long sign bit at
+    // k = 31 — beyond 31 bits per dimension the curve silently corrupts
+    require(bits >= 1 && bits <= 31, s"zValue: bits=$bits must be in [1, 31]")
     (0 until bits).map { k =>
       shiftright(x, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k)) +
         shiftright(y, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1))
     }.reduce(_ + _)
+  }
 
   /** Linear bucketization of a numeric column onto [0, 2^bits) given the
     * column's [lo, hi] range. Clamped at both ends so out-of-range values

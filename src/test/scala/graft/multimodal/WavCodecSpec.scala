@@ -78,6 +78,15 @@ class WavCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavCodec.decode(b))
   }
 
+  test("short fmt chunk throws instead of reading the next chunk's bytes") {
+    val b = load("tone_mono_8k.wav").clone()
+    // declare the fmt chunk as 12 bytes — shorter than the 16-byte PCM
+    // block whose fields the decoder reads
+    b(16) = 12; b(17) = 0; b(18) = 0; b(19) = 0
+    val e = intercept[IllegalArgumentException](WavCodec.decode(b))
+    assert(e.getMessage.contains("fmt chunk too short"))
+  }
+
   test("isWav discriminates") {
     assert(WavCodec.isWav(load("noise_stereo_16k.wav")))
     assert(!WavCodec.isWav(Array[Byte](1, 2, 3)))

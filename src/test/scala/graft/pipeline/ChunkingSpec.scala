@@ -37,6 +37,15 @@ class ChunkingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("column names needing backtick quoting work (no SQL-string splicing)") {
+    import spark.implicits._
+    val df = Seq((1L, "z" * 180)).toDF("id", "doc text") // space in the name
+    val out = TrainingData.chunkText(df, "id", "doc text", chunkChars = 100, overlap = 20)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("chunk_text") == "z" * 100)
+  }
+
   test("rejects overlap >= chunkChars") {
     import spark.implicits._
     val df = Seq((1L, "abc")).toDF("id", "text")

@@ -21,6 +21,16 @@ class LayoutSpec extends SparkSpec {
     assert(rows((255L, 255L)) == 65535L)
   }
 
+  test("zValue rejects bits outside [1, 31] (Long sign-bit overflow guard)") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("x", "y")
+    intercept[IllegalArgumentException](Layout.zValue(col("x"), col("y"), 32))
+    intercept[IllegalArgumentException](Layout.zValue(col("x"), col("y"), 0))
+    // the max legal width keeps every interleave weight and the sum positive
+    val z = df.select(Layout.zValue(col("x"), col("y"), 31).as("z")).head().getLong(0)
+    assert(z == 3L)
+  }
+
   test("bucketize clamps to [0, 2^bits) and is monotone") {
     import spark.implicits._
     val df = Seq(-10.0, 0.0, 25.0, 50.0, 99.99, 100.0, 500.0).toDF("v")
