@@ -144,25 +144,51 @@ object Layout {
     * appears in `_commits/` (an O(1) atomic create, after all data files
     * are fully written). Readers list markers, not data directories — a
     * torn write (data present, marker absent: job died mid-write) is
-    * invisible rather than half-read. No compare-and-swap store exists on
-    * plain filesystems, so concurrent writers need an external lock; the
-    * reader-side atomicity is what this provides.
+    * invisible rather than half-read.
+    *
+    * Concurrent writers are serialized by a per-version CAS: each writer
+    * stages its data in a unique temp dir, then claims a version number
+    * with an exclusive `_claims/<v>` create (O_CREAT|O_EXCL — the one
+    * atomic test-and-set plain filesystems offer; Hadoop `rename` is NOT
+    * a CAS on local disks, it silently overwrites). A loser bumps to the
+    * next version and re-claims — its data is never rewritten, only the
+    * final metadata rename moves. A writer that dies after claiming
+    * leaves a gap in the version sequence (claim without marker), which
+    * readers never see because visibility comes from `_commits/` alone.
     */
   object CommitLog {
 
     private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    /** Write `df` as the next version; returns the committed version. */
+    /** Write `df` as the next free version; returns the committed
+      * version. Safe under concurrent committers — no external lock.
+      */
     def commit(spark: SparkSession, table: String, df: DataFrame): Int = {
-      val next = latestVersion(spark, table).getOrElse(-1) + 1
-      df.write.mode("overwrite").parquet(s"$table/v$next")
-      val marker = new org.apache.hadoop.fs.Path(s"$table/_commits/$next")
-      val f = fs(spark, marker)
+      import org.apache.hadoop.fs.Path
+      val tmp = new Path(table, s"_tmp-${java.util.UUID.randomUUID}")
+      val f = fs(spark, tmp)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      f.mkdirs(new Path(table, "_claims"))
+      var v = latestVersion(spark, table).getOrElse(-1) + 1
+      var claimed = false
+      while (!claimed) {
+        try { f.create(new Path(s"$table/_claims/$v"), false).close(); claimed = true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                     _: java.nio.file.FileAlreadyExistsException =>
+          v += 1 // lost the race for this version — try the next slot
+        }
+      }
+      val dest = new Path(s"$table/v$v")
+      // a pre-CAS-era torn write could have left an unmarked data dir at
+      // this version; it was never visible, and we own the claim — clear
+      // it so the rename lands at dest instead of nesting inside it
+      if (f.exists(dest)) f.delete(dest, true)
+      require(f.rename(tmp, dest), s"CommitLog: rename $tmp -> $dest failed")
+      val marker = new Path(s"$table/_commits/$v")
       f.mkdirs(marker.getParent)
-      val out = f.create(marker, false) // atomic create-if-absent
-      out.close()
-      next
+      f.create(marker, false).close() // publish: version becomes visible
+      v
     }
 
     /** Highest committed version, None before the first commit. */

@@ -101,6 +101,50 @@ class LayoutSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet == Set(1, 2))
   }
 
+  test("CommitLog: concurrent committers land distinct versions, no torn reads") {
+    import spark.implicits._
+    import Layout.CommitLog
+    val table = "/tmp/graft_test_commitlog_cas"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(table))
+    val perThread = 3
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // two writers, no shared lock: every (writer, i) dataset has a
+    // distinct row count so a version's content identifies its committer
+    def writer(name: String, base: Int): Thread = new Thread(() =>
+      try {
+        for (i <- 0 until perThread) {
+          barrier.await() // line both writers up on each round's race
+          val df = (1 to base + i).map(k => (k, name)).toDF("id", "who")
+          results.add(name -> CommitLog.commit(spark, table, df))
+        }
+      } catch { case t: Throwable => errs.add(t); barrier.reset() })
+    val a = writer("a", 10)
+    val b = writer("b", 20)
+    a.start(); b.start(); a.join(60000); b.join(60000)
+    assert(errs.isEmpty, s"commit threw: ${errs.peek()}")
+    val vs = results.toArray(Array.empty[(String, Int)]).toSeq
+    assert(vs.size == 2 * perThread)
+    // every commit got its own version — the CAS never double-assigned
+    assert(vs.map(_._2).distinct.size == 2 * perThread, s"versions: $vs")
+    assert(CommitLog.latestVersion(spark, table).contains(vs.map(_._2).max))
+    // each committed version is complete and matches exactly what its
+    // winner wrote (readers can never observe a half-renamed dataset)
+    for ((who, v) <- vs) {
+      val df = spark.read.parquet(s"$table/v$v")
+      val whos = df.select("who").distinct().collect().map(_.getString(0)).toSeq
+      assert(whos == Seq(who), s"v$v mixed content: $whos")
+      val n = df.count()
+      val expected = if (who == "a") (10 until 10 + perThread) else (20 until 20 + perThread)
+      assert(expected.map(_.toLong).contains(n), s"v$v count $n")
+    }
+  }
+
   test("compact collapses a fragmented directory and preserves rows") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i, s"v$i")).toDF("id", "v")
