@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.TextFunctions
 import graft.operators.Similarity
-import graft.vector.Featurizer
+import graft.vector.TextEmbedder
 
 /** Retrieval + extractive answering (SURVEY.md §2.1 O31-O32, O35-O37, §3.3).
   *
@@ -21,7 +21,7 @@ import graft.vector.Featurizer
   */
 final class QueryEngine(
     corpus: DataFrame,          // (id, text, embedding) — VectorStore layout
-    featurizer: Featurizer,
+    featurizer: TextEmbedder,
     idCol: String = "doc_id",
     textCol: String = "text",
     vecCol: String = "embedding",

@@ -23,7 +23,7 @@ import graft.functions.TextFunctions
   * aggregate over the corpus; transform is a pure map — no shuffle in the
   * embed pass.
   */
-final class Featurizer(val dim: Int = 384) extends Serializable {
+final class Featurizer(val dim: Int = 384) extends TextEmbedder {
 
   @transient private var idfModel: IDFModel = _
 
@@ -42,7 +42,7 @@ final class Featurizer(val dim: Int = 384) extends Serializable {
   }
 
   /** Embed `textCol` into `outCol: array<float>` (L2-normalized). */
-  def transform(df: DataFrame, textCol: String, outCol: String = "embedding"): DataFrame = {
+  def transform(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     require(idfModel != null, "Featurizer.fit must run before transform")
     val scored = idfModel.transform(tf(df, textCol))
     val normed = new Normalizer().setInputCol("__tfidf").setOutputCol("__n").setP(2.0)
