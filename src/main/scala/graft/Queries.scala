@@ -3140,6 +3140,32 @@ object Queries {
           count(lit(1)).as("n_chunks"),
           sum(col("chunk_chars").cast(LongType)).as("tot_chars"))
         .orderBy("split")
+    }),
+
+    // real executor-side HTTP fetch (O4 with actual sockets): a loopback
+    // server serves the CNBC/Reddit article fixtures plus failure
+    // endpoints (404, read-timeout stall, Content-Length truncation); the
+    // fetch runs distributed with a 500 ms read timeout, every failure
+    // drops to None (the reference's py:54-70 contract), and the three
+    // complete articles parse to (path, title, content length). Eagerly
+    // materialized (localCheckpoint) so the server can stop before the
+    // frame is consumed; the port is ephemeral, so urls are reduced to
+    // their server-independent paths
+    "q174_http_fetch" -> ((s, dir) => {
+      val (server, base) = graft.ingest.FixtureHttpServer.start()
+      try {
+        val urls = (graft.ingest.FixtureHttpServer.articles.map(_._1) ++
+          Seq("/missing", "/slow", "/truncated")).map(base + _)
+        val cfg = graft.ingest.FetchConfig(connectTimeoutMs = 1000,
+          readTimeoutMs = 500, maxBytes = 1 << 20)
+        graft.ingest.HttpFetcher.fetchPages(s, urls, cfg, slices = 6)
+          .toDF().localCheckpoint(true)
+          .select(
+            regexp_replace(col("url"), "^http://[^/]+", "").as("path"),
+            get_json_object(col("body"), "$.title").as("title"),
+            length(get_json_object(col("body"), "$.content")).as("content_chars"))
+          .orderBy("path")
+      } finally server.stop(0)
     })
   )
 
@@ -4407,6 +4433,18 @@ object Queries {
          |              doc_id, chunk_chars FROM ch)
          |SELECT split, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
          |  CAST(sum(chunk_chars) AS BIGINT) AS tot_chars
-         |FROM sp GROUP BY split ORDER BY split""".stripMargin
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    // q174: the oracle restates the expected survivors independently —
+    // exactly the three complete articles (FixtureHttpServer.articles),
+    // parsed title and content length; the 404/timeout/truncated fetches
+    // must have dropped. A fetch path that leaks a failure row, returns a
+    // truncated body, or mangles the bytes breaks rows or hash.
+    "q174_http_fetch" ->
+      """SELECT * FROM (VALUES
+        |  ('/articles/cnbc-1.json', 'Fed holds rates steady', CAST(113 AS INTEGER)),
+        |  ('/articles/cnbc-2.json', 'Chipmakers rally on AI demand', CAST(105 AS INTEGER)),
+        |  ('/articles/reddit-1.json', 'To all you excited boneheads', CAST(69 AS INTEGER))
+        |) AS t(path, title, content_chars) ORDER BY path""".stripMargin
   )
 }
