@@ -71,8 +71,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val rep = replayed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // build-once/query-many retrieval (the reference's real usage shape);
+    // reported separately so index construction stops masking serving
+    // latency — see ServingBench
+    val serving =
+      try {
+        val (build, mean, max, n) = ServingBench.run(spark, sfDir)
+        s"""{"build_sec":$build,"warm_query_mean_sec":$mean,"warm_query_max_sec":$max,"n_calls":$n}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] serving failed: ${e.getMessage}")
+        "null"
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"serving":$serving}"""
     println(line)
     // the driver's stdout tail-capture lexicographically truncated r06's
     // record (parsed:null, q100+ dropped) — persist the full line to a

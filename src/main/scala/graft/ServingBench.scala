@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.query.QueryEngine
+import graft.vector.{Featurizer, VectorStore}
+
+/** Build-once / query-many retrieval bench — the serving shape the
+  * reference actually runs (its FAISS index is built once at startup,
+  * reference ai_powered_financial_analysis.py:428-438; every user query
+  * reuses it). The per-round bench otherwise charges index construction
+  * to every retrieval query (r06 verdict: q36's 3.3 s is ~90% one-time
+  * build), so this measures the two phases separately:
+  *
+  *   build  — fit featurizer, embed corpus, persist VectorStore + IDF
+  *   warm   — load both once, pin the corpus in executor memory, then run
+  *            repeated topK calls (distinct queries + exact repeats, so
+  *            the embedding memo's hit path is exercised too)
+  *
+  * Reported: build seconds, mean/max warm per-query seconds over all
+  * calls. Baseline for warm: the reference's ~2.3 s retrieval-only
+  * latency (BASELINE.md).
+  */
+object ServingBench {
+
+  /** Standalone entry for local iteration: ServingBench <sfDir> [cpus]. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = if (args.length > 1) args(1) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (build, mean, max, n) = run(spark, sfDir)
+    println(f"""{"build_sec":$build%.3f,"warm_query_mean_sec":$mean%.4f,"warm_query_max_sec":$max%.4f,"n_calls":$n}""")
+    spark.stop()
+  }
+
+  private val queries = Seq(
+    "quarterly revenue growth outlook",
+    "federal reserve interest rate decision",
+    "supply chain disruption shipping costs",
+    "artificial intelligence chip demand",
+    "consumer spending retail sales",
+    "energy prices crude oil futures",
+    "merger acquisition deal announcement",
+    "labor market unemployment claims",
+    "housing starts mortgage rates",
+    "earnings beat analyst estimates")
+
+  /** Returns (build_sec, warm_mean_sec, warm_max_sec, n_calls). */
+  def run(spark: SparkSession, sfDir: String): (Double, Double, Double, Int) = {
+    val vecPath = "/tmp/graft_bench_vecstore"
+    val idfPath = "/tmp/graft_bench_idf"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    val t0 = System.nanoTime()
+    val fz = new Featurizer(dim = 384).fit(docs, "text")
+    VectorStore.save(
+      fz.transform(docs, "text").select("doc_id", "text", "embedding"), vecPath)
+    fz.save(idfPath)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    // serving process: load the persisted state, pin the corpus (a query
+    // service holds its index in RAM — re-scanning parquet per query
+    // would measure the filesystem, not retrieval)
+    val served = VectorStore.load(spark, vecPath).cache()
+    served.count()
+    val engine = new QueryEngine(served, Featurizer.load(spark, idfPath))
+
+    // untimed warm-up: first call pays whole-stage codegen compilation,
+    // which a serving process amortizes over its lifetime
+    engine.topK("warm up", k = 5).collect()
+    // 2 passes over 10 distinct queries: pass 2 repeats pass 1 verbatim,
+    // so its embeds are memo hits; retrieval dominates either way
+    val times = (queries ++ queries).map { q =>
+      val s0 = System.nanoTime()
+      val n = engine.topK(q, k = 5).collect().length
+      require(n == 5, s"serving topK returned $n rows")
+      (System.nanoTime() - s0) / 1e9
+    }
+    served.unpersist(blocking = false)
+    (buildSec, times.sum / times.size, times.max, times.size)
+  }
+}
