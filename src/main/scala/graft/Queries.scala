@@ -3010,13 +3010,21 @@ object Queries {
           Window.orderBy(col("n").desc, col("tok"))))
         .filter(col("token_id") <= 300)
         .select("tok", "token_id")
-      toks.join(broadcast(vocab), Seq("tok"), "left")
+      val joined = toks.join(broadcast(vocab), Seq("tok"), "left")
+      // a 300-token vocab is broadcastable by construction — assert it
+      // stayed a BroadcastHashJoin in the executed plan (like q120: a
+      // silent fallback to a shuffled join would re-shuffle every token
+      // of the corpus at 100 TB) and let the oracle pin the flag true
+      val bcast = joined.queryExecution.executedPlan.toString
+        .linesIterator.exists(_.contains("BroadcastHashJoin"))
+      joined
         .withColumn("token_id", coalesce(col("token_id"), lit(0)))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("token_id")))),
             e => e.getField("token_id").cast(StringType)), " ").as("ids"))
+        .withColumn("vocab_bcast", lit(bcast))
         .orderBy("doc_id")
     }),
 
@@ -4364,7 +4372,8 @@ object Queries {
         |  FROM toks GROUP BY tok
         |  QUALIFY token_id <= 300)
         |SELECT t.doc_id, count(*) AS n_tokens,
-        |  array_to_string(list(CAST(coalesce(v.token_id, 0) AS VARCHAR) ORDER BY t.pos), ' ') AS ids
+        |  array_to_string(list(CAST(coalesce(v.token_id, 0) AS VARCHAR) ORDER BY t.pos), ' ') AS ids,
+        |  TRUE AS vocab_bcast
         |FROM toks t LEFT JOIN vocab v USING (tok)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // the IDENTICAL expression tree over the same exact integer moments
