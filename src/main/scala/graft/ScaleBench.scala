@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Ann, Dedup, Similarity}
+
+/** Headline-operator scaling harness (round-6 verdict, next-round item 1):
+  * runs the six 100-TB-claim workloads — MinHash+LSH dedup, the composed
+  * curation→chunk→split pipeline, the IVF cosine near-dup join, sequence
+  * packing, Z-order write, int8-SQ ANN — at FULL table size on a given
+  * data dir, so the same command on sf0.1 and the ScaleData-generated sf1
+  * yields the wall-time ratio table in SCALE.md. The registered bench
+  * queries are unsuitable for this (several pin fixed-subset filters or
+  * gate computations sized for the oracle); these are the raw operators
+  * at whatever scale the dir holds.
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val label = if (args.length > 1) args(1) else dir
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def docs = spark.read.parquet(s"$dir/documents.parquet")
+    def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+
+    def timed(name: String)(work: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = work
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.err.println(f"[scale] $name%-18s $sec%8.2f s  (result rows: $n)")
+      (name, sec, n)
+    }
+
+    val results = Seq(
+      timed("minhash_neardups") {
+        Dedup.minhashNearDups(docs, "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, minJaccard = 0.5).count()
+      },
+      timed("curation_pipeline") {
+        val curated = graft.pipeline.Curation.curate(docs, "doc_id", "text",
+          graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))
+        val chunks = graft.pipeline.TrainingData
+          .chunkText(curated, "doc_id", "text", chunkChars = 200, overlap = 50)
+        graft.pipeline.TrainingData.assignSplit(chunks, "doc_id")
+          .groupBy("split").agg(count(lit(1)).as("n")).count()
+      },
+      timed("ivf_neardup_join") {
+        Ann.ivfNearDupJoin(emb.select("vec_id", "embedding"),
+          "vec_id", "embedding", minCos = 0.9, seed = 42L).count()
+      },
+      timed("pack_sequences") {
+        val d = docs.select(col("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        graft.pipeline.TrainingData
+          .packSequences(d, "doc_id", "lang", "n_tokens", capTokens = 256L).count()
+      },
+      timed("zorder_write") {
+        graft.storage.Layout.zorderWrite(lineitem, "/tmp/graft_scale_zorder",
+          "l_orderkey", "l_partkey", bits = 8, files = 16)
+        graft.storage.Layout.dataFileCount(spark, "/tmp/graft_scale_zorder").toLong
+      },
+      timed("sq_int8_ann") {
+        val pool = emb.select("vec_id", "embedding")
+        val codesPath = "/tmp/graft_scale_codes"
+        graft.vector.ScalarQuantizer.encode(pool, "embedding", dim = 64)
+          .select("vec_id", "sq").write.mode("overwrite").parquet(codesPath)
+        val qv = pool.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+        graft.vector.ScalarQuantizer.search(
+          spark.read.parquet(codesPath), pool, "vec_id", "embedding", "sq",
+          qv, k = 10, shortlist = 100).count()
+      })
+
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rows = results.map { case (k, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    println(s"""{"label":"$label","dir":"$dir","times":$qs,"rows":$rows}""")
+    spark.stop()
+  }
+}

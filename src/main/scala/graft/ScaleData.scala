@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Scale-up generator for the sf1 scaling proof (round-6 verdict, next-
+  * round item 1): replicates the sf0.1 tables N× with per-replica
+  * transforms chosen so each workload's STRUCTURE scales linearly instead
+  * of degenerating — naive replication would make every document an exact
+  * 10-way duplicate and every vector a 10-way cos=1.0 near-dup, exploding
+  * candidate pairs quadratically and measuring the wrong thing.
+  *
+  *   documents — replica r≥1 Caesar-ciphers the letters of every token
+  *     EXCEPT stopwords and language-marker words. A cipher is a bijection
+  *     on words, so within-replica duplicate/near-dup structure, token
+  *     counts, word lengths, frequency shape, stopword ratio, and langId
+  *     are preserved exactly, while cross-replica shingle overlap drops to
+  *     stopword-only n-grams (below any LSH threshold).
+  *   embeddings — replica r cyclically shifts vector coordinates by 7·r:
+  *     norms and ALL within-replica dot products are invariant (shift is
+  *     orthogonal), so each replica reproduces the original neighborhood
+  *     graph; cross-replica cosines decorrelate.
+  *   lineitem — key-shifted (l_orderkey += r·(max+1)); value columns
+  *     untouched so the Z-order value distribution just widens one axis.
+  *
+  * Writes to outDir; tables not needed by the headline scale workloads
+  * are not generated. This is a test-data TOOL: the per-row cipher runs
+  * in a UDF by design — it is not an engine operator, and keeping it
+  * simple beats keeping it codegen'd.
+  */
+object ScaleData {
+
+  /** Words whose identity carries signal for quality/langId scoring —
+    * exempt from the cipher so those distributions survive replication.
+    */
+  private val exempt: Set[String] =
+    TF.stopwords.toSet ++ TF.langMarkers.flatMap(_._2)
+
+  /** Per-replica letter rotation; digits/punct unchanged; bijective. */
+  private[graft] def cipher(text: String, r: Int): String = {
+    if (r == 0 || text == null) return text
+    val shift = (7 * r) % 26
+    val sb = new java.lang.StringBuilder(text.length)
+    // word-at-a-time so exempt words pass through untouched
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      var j = i
+      while (j < n && !text.charAt(j).isWhitespace) j += 1
+      val word = text.substring(i, j)
+      if (exempt.contains(word.toLowerCase)) sb.append(word)
+      else {
+        var k = 0
+        while (k < word.length) {
+          val c = word.charAt(k)
+          sb.append(
+            if (c >= 'a' && c <= 'z') (((c - 'a' + shift) % 26) + 'a').toChar
+            else if (c >= 'A' && c <= 'Z') (((c - 'A' + shift) % 26) + 'A').toChar
+            else c)
+          k += 1
+        }
+      }
+      while (j < n && text.charAt(j).isWhitespace) { sb.append(text.charAt(j)); j += 1 }
+      i = j
+    }
+    sb.toString
+  }
+
+  def scaleDocuments(df: DataFrame, replicas: Int): DataFrame = {
+    val maxId = df.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val cipherUdf = udf((t: String, r: Int) => cipher(t, r))
+    (0 until replicas).map { r =>
+      df.select((col("doc_id") + lit(r * maxId)).as("doc_id"),
+        cipherUdf(col("text"), lit(r)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+  }
+
+  def scaleEmbeddings(df: DataFrame, replicas: Int): DataFrame = {
+    val maxId = df.agg(max(col("vec_id"))).head().getLong(0) + 1
+    (0 until replicas).map { r =>
+      val dim = 64
+      val shift = (7 * r) % dim
+      val shifted =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dim - shift),
+          slice(col("embedding"), 1, shift))
+      df.select((col("vec_id") + lit(r * maxId)).as("vec_id"),
+        shifted.as("embedding"), col("label"))
+    }.reduce(_ union _)
+  }
+
+  def scaleLineitem(df: DataFrame, replicas: Int): DataFrame = {
+    val maxKey = df.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    (0 until replicas).map { r =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(r * maxKey))
+    }.reduce(_ union _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    scaleDocuments(read("documents"), replicas)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    scaleEmbeddings(read("embeddings"), replicas)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    scaleLineitem(read("lineitem"), replicas)
+      .repartition(16).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    println(s"""{"out":"$outDir","replicas":$replicas}""")
+    spark.stop()
+  }
+}
