@@ -38,10 +38,23 @@ object ScaleData {
   private val exempt: Set[String] =
     TF.stopwords.toSet ++ TF.langMarkers.flatMap(_._2)
 
-  /** Per-replica letter rotation; digits/punct unchanged; bijective. */
+  /** Multipliers coprime to 26 — each (a, b) pair below is a distinct
+    * affine bijection on the alphabet, giving 12·26 = 312 distinct
+    * ciphers before the sequence repeats. A plain Caesar shift has period
+    * 26: at 100 replicas, replicas r and r+26 would carry IDENTICAL text
+    * and re-introduce exactly the cross-replica duplicate blowup the
+    * cipher exists to prevent (observed: 819k near-dup pairs instead of
+    * the expected 25.6k at 100×).
+    */
+  private val affineA = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Per-replica affine letter substitution c → a·c + b (mod 26);
+    * digits/punct unchanged; bijective for every replica < 312.
+    */
   private[graft] def cipher(text: String, r: Int): String = {
     if (r == 0 || text == null) return text
-    val shift = (7 * r) % 26
+    val a = affineA((r / 26) % affineA.length)
+    val b = (7 * r) % 26
     val sb = new java.lang.StringBuilder(text.length)
     // word-at-a-time so exempt words pass through untouched
     var i = 0
@@ -56,8 +69,8 @@ object ScaleData {
         while (k < word.length) {
           val c = word.charAt(k)
           sb.append(
-            if (c >= 'a' && c <= 'z') (((c - 'a' + shift) % 26) + 'a').toChar
-            else if (c >= 'A' && c <= 'Z') (((c - 'A' + shift) % 26) + 'A').toChar
+            if (c >= 'a' && c <= 'z') (((a * (c - 'a') + b) % 26) + 'a').toChar
+            else if (c >= 'A' && c <= 'Z') (((a * (c - 'A') + b) % 26) + 'A').toChar
             else c)
           k += 1
         }
@@ -81,14 +94,21 @@ object ScaleData {
   def scaleEmbeddings(df: DataFrame, replicas: Int): DataFrame = {
     val maxId = df.agg(max(col("vec_id"))).head().getLong(0) + 1
     (0 until replicas).map { r =>
+      // shift alone has period 64 — compose with a global sign flip for
+      // r ≥ 64 (also orthogonal) so all replicas < 128 are distinct and
+      // cross-replica cosines can never hit ±duplicates of each other
+      // at the 100-replica scale point
       val dim = 64
       val shift = (7 * r) % dim
       val shifted =
         if (shift == 0) col("embedding")
         else concat(slice(col("embedding"), shift + 1, dim - shift),
           slice(col("embedding"), 1, shift))
+      val signed =
+        if (r < 64) shifted
+        else transform(shifted, x => (-x).cast(org.apache.spark.sql.types.FloatType))
       df.select((col("vec_id") + lit(r * maxId)).as("vec_id"),
-        shifted.as("embedding"), col("label"))
+        signed.as("embedding"), col("label"))
     }.reduce(_ union _)
   }
 
