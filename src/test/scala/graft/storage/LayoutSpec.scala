@@ -145,6 +145,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("CommitLog: a dead claimer's orphan slot is skipped, readers unaffected") {
+    import spark.implicits._
+    import Layout.CommitLog
+    val table = "/tmp/graft_test_commitlog_gap"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(table))
+    assert(CommitLog.commit(spark, table, Seq((1, "a")).toDF("id", "v")) == 0)
+    // a writer that died after claiming v1: claim exists, no marker, and
+    // possibly torn data — all invisible
+    new java.io.File(s"$table/_claims").mkdirs()
+    new java.io.File(s"$table/_claims/1").createNewFile()
+    Seq((9, "torn")).toDF("id", "v").write.mode("overwrite").parquet(s"$table/v1")
+    val v = CommitLog.commit(spark, table, Seq((2, "b"), (3, "c")).toDF("id", "v"))
+    assert(v == 2, s"expected the orphan slot 1 skipped, got $v")
+    assert(CommitLog.latestVersion(spark, table).contains(2))
+    assert(CommitLog.readLatest(spark, table).count() == 2)
+  }
+
   test("compact collapses a fragmented directory and preserves rows") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i, s"v$i")).toDF("id", "v")

@@ -73,6 +73,25 @@ class ModelEmbedderSpec extends SparkSpec {
     assert(out.length == 8)
   }
 
+  test("QueryEngine composes over the seam: retrieval + answer on ModelEmbedder") {
+    import spark.implicits._
+    val me = synthetic(32, 512)
+    val docs = Seq(
+      (1L, "The quarterly report showed rising revenue and stable margins."),
+      (2L, "Chip demand surged as AI accelerators sold out for the year."),
+      (3L, "Weather was mild across the plains with light winds.")
+    ).toDF("doc_id", "text")
+    val corpus = me.fit(docs, "text").transform(docs, "text")
+    val engine = new graft.query.QueryEngine(corpus, me)
+    val hits = engine.topK("chip AI demand", k = 2).collect()
+    assert(hits.length == 2)
+    // driver/executor bit-parity makes the self-match exact: the doc
+    // containing the query terms must rank first
+    assert(hits.head.getLong(0) == 2L)
+    val ans = engine.answer("chip AI demand", k = 2, maxSentences = 1)
+    assert(ans.nonEmpty)
+  }
+
   test("Embedders.default falls back to Featurizer when no weights file exists") {
     // zero-egress build: the canonical path has no model file
     if (!Files.exists(Paths.get(Embedders.weightsPath))) {
