@@ -17,6 +17,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any stale dump first: on a reused outDir, a failed query
+      // must surface as a missing dump (driver records err), never grade
+      // green off a previous run's parquet
+      val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(stale, true)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
