@@ -22,6 +22,11 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val label = if (args.length > 1) args(1) else dir
+    // optional trailing args: run only the named workloads. GRAFT_SCALE_NLIST
+    // overrides the IVF join's auto √n quantizer sizing (the SCALE.md
+    // assignment-vs-candidate tradeoff experiment).
+    val only = args.drop(2).toSet
+    val nlistOverride = sys.env.get("GRAFT_SCALE_NLIST").map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -46,35 +51,33 @@ object ScaleBench {
       (name, sec, n)
     }
 
-    val results = Seq(
-      timed("minhash_neardups") {
+    val all: Seq[(String, () => Long)] = Seq(
+      "minhash_neardups" -> (() =>
         Dedup.minhashNearDups(docs, "doc_id", "text",
-          n = 3, numHashes = 32, bands = 8, minJaccard = 0.5).count()
-      },
-      timed("curation_pipeline") {
+          n = 3, numHashes = 32, bands = 8, minJaccard = 0.5).count()),
+      "curation_pipeline" -> (() => {
         val curated = graft.pipeline.Curation.curate(docs, "doc_id", "text",
           graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))
         val chunks = graft.pipeline.TrainingData
           .chunkText(curated, "doc_id", "text", chunkChars = 200, overlap = 50)
         graft.pipeline.TrainingData.assignSplit(chunks, "doc_id")
           .groupBy("split").agg(count(lit(1)).as("n")).count()
-      },
-      timed("ivf_neardup_join") {
+      }),
+      "ivf_neardup_join" -> (() =>
         Ann.ivfNearDupJoin(emb.select("vec_id", "embedding"),
-          "vec_id", "embedding", minCos = 0.9, seed = 42L).count()
-      },
-      timed("pack_sequences") {
+          "vec_id", "embedding", minCos = 0.9, nlist = nlistOverride, seed = 42L).count()),
+      "pack_sequences" -> (() => {
         val d = docs.select(col("doc_id"), col("lang"),
           TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))
         graft.pipeline.TrainingData
           .packSequences(d, "doc_id", "lang", "n_tokens", capTokens = 256L).count()
-      },
-      timed("zorder_write") {
+      }),
+      "zorder_write" -> (() => {
         graft.storage.Layout.zorderWrite(lineitem, "/tmp/graft_scale_zorder",
           "l_orderkey", "l_partkey", bits = 8, files = 16)
         graft.storage.Layout.dataFileCount(spark, "/tmp/graft_scale_zorder").toLong
-      },
-      timed("sq_int8_ann") {
+      }),
+      "sq_int8_ann" -> (() => {
         val pool = emb.select("vec_id", "embedding")
         val codesPath = "/tmp/graft_scale_codes"
         graft.vector.ScalarQuantizer.encode(pool, "embedding", dim = 64)
@@ -83,7 +86,10 @@ object ScaleBench {
         graft.vector.ScalarQuantizer.search(
           spark.read.parquet(codesPath), pool, "vec_id", "embedding", "sq",
           qv, k = 10, shortlist = 100).count()
-      })
+      }))
+    val results = all
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, work) => timed(name)(work()) }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rows = results.map { case (k, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
