@@ -63,6 +63,14 @@ object ScaleBench {
         graft.pipeline.TrainingData.assignSplit(chunks, "doc_id")
           .groupBy("split").agg(count(lit(1)).as("n")).count()
       }),
+      // not one of the six timed headliners — a sanity workload whose
+      // RESULT (surviving doc count) must scale exactly N× under
+      // ScaleData replication, proving the cipher preserved the
+      // lang/quality/dedup distributions it claims to
+      "curation_count" -> (() =>
+        graft.pipeline.Curation.curate(docs, "doc_id", "text",
+          graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))
+          .count()),
       "ivf_neardup_join" -> (() =>
         Ann.ivfNearDupJoin(emb.select("vec_id", "embedding"),
           "vec_id", "embedding", minCos = 0.9, nlist = nlistOverride, seed = 42L).count()),

@@ -63,7 +63,13 @@ object ScaleData {
       var j = i
       while (j < n && !text.charAt(j).isWhitespace) j += 1
       val word = text.substring(i, j)
-      if (exempt.contains(word.toLowerCase)) sb.append(word)
+      // exemption must see the word as the cleaners do — adjacent
+      // punctuation ("the," / "el.") would otherwise defeat it and let
+      // stopwords/lang markers get ciphered, shifting quality and langId
+      // distributions across replicas
+      val core = word.toLowerCase.dropWhile(!_.isLetterOrDigit)
+        .reverse.dropWhile(!_.isLetterOrDigit).reverse
+      if (exempt.contains(core)) sb.append(word)
       else {
         var k = 0
         while (k < word.length) {

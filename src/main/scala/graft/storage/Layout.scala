@@ -161,6 +161,25 @@ object Layout {
     private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    /** Atomic create-if-absent, true iff THIS caller created the file.
+      * On HDFS-like stores `create(p, overwrite=false)` is atomic at the
+      * namenode; on the local filesystem Hadoop's implementation is an
+      * exists()-then-open check-then-act with a TOCTOU window, so local
+      * paths go through NIO `Files.createFile` (O_CREAT|O_EXCL — a real
+      * kernel-level CAS). Without this split, two same-host committers
+      * racing inside the window could both "win" the same version.
+      */
+    private def tryExclusiveCreate(f: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Boolean =
+      if (f.getScheme == "file") {
+        try { java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { f.create(p, false).close(); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                     _: java.nio.file.FileAlreadyExistsException => false }
+      }
+
     /** Write `df` as the next free version; returns the committed
       * version. Safe under concurrent committers — no external lock.
       */
@@ -171,13 +190,8 @@ object Layout {
       df.write.mode("overwrite").parquet(tmp.toString)
       f.mkdirs(new Path(table, "_claims"))
       var v = latestVersion(spark, table).getOrElse(-1) + 1
-      var claimed = false
-      while (!claimed) {
-        try { f.create(new Path(s"$table/_claims/$v"), false).close(); claimed = true }
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                     _: java.nio.file.FileAlreadyExistsException =>
-          v += 1 // lost the race for this version — try the next slot
-        }
+      while (!tryExclusiveCreate(f, new Path(s"$table/_claims/$v"))) {
+        v += 1 // lost the race for this version — try the next slot
       }
       val dest = new Path(s"$table/v$v")
       // a pre-CAS-era torn write could have left an unmarked data dir at

@@ -122,12 +122,17 @@ object ModelEmbedder {
     new ModelEmbedder(dim, buckets, w)
   }
 
+  // shared per bucket count: indexOf is a pure murmur3-mod, and allocating
+  // a transformer per ROW inside the embed UDF would churn millions of
+  // short-lived objects on the map-only pass
+  private val htfCache = new java.util.concurrent.ConcurrentHashMap[Int, HashingTF]()
+
   /** Mean-pool the weight columns of the hashed tokens, L2-normalize,
     * narrow to float32. Shared verbatim by driver and executor paths.
     */
   private[vector] def pool(w: Array[Float], dim: Int, buckets: Int,
       toks: Seq[String]): Array[Float] = {
-    val htf = new HashingTF().setNumFeatures(buckets)
+    val htf = htfCache.computeIfAbsent(buckets, b => new HashingTF().setNumFeatures(b))
     val acc = new Array[Double](dim)
     var n = 0
     toks.foreach { t =>
@@ -161,7 +166,12 @@ object Embedders {
   def weightsPath: String =
     sys.env.getOrElse("GRAFT_EMBED_WEIGHTS", DefaultWeightsPath)
 
-  def default(dim: Int = 384): TextEmbedder =
+  /** `fallbackDim` sizes the hash featurizer ONLY; a present weights file
+    * wins and its own dimensionality governs (the model is the truth —
+    * callers must not assume the returned embedder has `fallbackDim`;
+    * read `.dim` and size stores/indexes from it).
+    */
+  def default(fallbackDim: Int = 384): TextEmbedder =
     if (Files.exists(Paths.get(weightsPath))) ModelEmbedder.load(weightsPath)
-    else new Featurizer(dim)
+    else new Featurizer(fallbackDim)
 }
