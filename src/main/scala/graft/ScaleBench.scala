@@ -94,6 +94,25 @@ object ScaleBench {
         graft.vector.ScalarQuantizer.search(
           spark.read.parquet(codesPath), pool, "vec_id", "embedding", "sq",
           qv, k = 10, shortlist = 100).count()
+      }),
+      // sanity workload (graded by its RESULT, not its time): recall@10 of
+      // the int8 path vs the exact inner-product top-10 at whatever scale
+      // the dir holds — compression quality must not decay as the corpus
+      // grows, not just stay fast. Result value IS the overlap (10 = perfect).
+      "sq_recall" -> (() => {
+        val pool = emb.select("vec_id", "embedding")
+        val codesPath = "/tmp/graft_scale_codes_r"
+        graft.vector.ScalarQuantizer.encode(pool, "embedding", dim = 64)
+          .select("vec_id", "sq").write.mode("overwrite").parquet(codesPath)
+        val qv = pool.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+        val ann = graft.vector.ScalarQuantizer.search(
+          spark.read.parquet(codesPath), pool, "vec_id", "embedding", "sq",
+          qv, k = 10, shortlist = 100)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val exact = Similarity.topK(pool, "vec_id", "embedding", qv, 10,
+          Similarity.InnerProduct)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        ann.intersect(exact).size.toLong
       }))
     val results = all
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
