@@ -36,6 +36,35 @@ object RuleNer {
     "trump" -> "PER", "musk" -> "PER", "powell" -> "PER"
   )
 
+  /** Load a gazetteer from a TSV file — `token<TAB>TYPE` per line, `#`
+    * comments and blanks skipped, tokens lowercased. The pretrained-NER
+    * seam (reference uses `recognize_entities_dl`, py:348-352): a large
+    * exported entity list drops in as data, no code change — same
+    * activation pattern as the embedding weights (Embedders.default).
+    */
+  def loadGazetteer(path: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+          s"RuleNer.loadGazetteer: malformed line '$l' in $path")
+        parts(0).toLowerCase -> parts(1)
+      }.toMap
+  }
+
+  val DefaultGazetteerPath = "models/gazetteer.tsv"
+
+  /** The gazetteer in force: a local TSV at `GRAFT_NER_GAZETTEER` (or the
+    * default path) wins; absent, the built-in financial-domain list.
+    */
+  def activeGazetteer: Map[String, String] = {
+    val p = sys.env.getOrElse("GRAFT_NER_GAZETTEER", DefaultGazetteerPath)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) loadGazetteer(p)
+    else defaultGazetteer
+  }
+
   private val moneyRe = """\$\d[\d,]*(\.\d+)?([mMbB]illion|[kKmMbB])?""".r
   private val pctRe = """\d+(\.\d+)?%""".r
   private val capRunRe = """\b[A-Z][a-z]+(\s+[A-Z][a-z]+)*\b""".r

@@ -39,4 +39,25 @@ class RuleNerSpec extends SparkSpec {
     assert(out.length >= 3)
     assert(out.forall(_.getLong(0) == 1L))
   }
+
+  test("loadGazetteer: TSV roundtrip, comments skipped, malformed lines throw") {
+    val p = "/tmp/graft_test_gazetteer.tsv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "# exported entities\nacme\tORG\nRuritania\tLOC\n\nsmith\tPER\n")
+    val gaz = RuleNer.loadGazetteer(p)
+    assert(gaz == Map("acme" -> "ORG", "ruritania" -> "LOC", "smith" -> "PER"))
+    // the loaded gazetteer drives extraction exactly like the built-in one
+    val ents = RuleNer.extract(1L, "Acme hired Smith in Ruritania", gaz)
+    assert(ents.map(e => (e.entity, e.entity_type)).toSet ==
+      Set(("Acme", "ORG"), ("Smith", "PER"), ("Ruritania", "LOC")))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "acme ORG no tab\n")
+    intercept[IllegalArgumentException](RuleNer.loadGazetteer(p))
+  }
+
+  test("activeGazetteer falls back to the built-in list when no file exists") {
+    val p = sys.env.getOrElse("GRAFT_NER_GAZETTEER", RuleNer.DefaultGazetteerPath)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      assert(RuleNer.activeGazetteer == RuleNer.defaultGazetteer)
+    else assert(RuleNer.activeGazetteer.nonEmpty)
+  }
 }
