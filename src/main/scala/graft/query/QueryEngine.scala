@@ -8,6 +8,42 @@ import graft.functions.TextFunctions
 import graft.operators.Similarity
 import graft.vector.TextEmbedder
 
+/** The generation seam — the reference's FLAN-T5 `text2text-generation`
+  * step (reference ai_powered_financial_analysis.py:446-487) reduced to
+  * its contract: overlap-ranked context sentences in, answer string out.
+  * The zero-egress default composes extractively; a real generator (local
+  * ONNX seq2seq, a serving endpoint) implements the same method and every
+  * retrieval/grading path upstream is untouched.
+  */
+trait Synthesizer extends Serializable {
+  /** `ranked`: candidate sentences best-first (already query-relevant). */
+  def synthesize(query: String, ranked: Seq[String], maxSentences: Int): String
+}
+
+/** Deterministic extractive synthesis: greedy MMR-style pick over the
+  * ranked candidates — a candidate that mostly repeats already-selected
+  * sentences is skipped in favor of new information.
+  */
+object ExtractiveSynthesizer extends Synthesizer {
+  private def terms(s: String): Set[String] =
+    s.toLowerCase.replaceAll("[^a-z0-9\\s]", "").split("\\s+").filter(_.nonEmpty).toSet
+
+  def synthesize(query: String, ranked: Seq[String], maxSentences: Int): String = {
+    val picked = ranked.foldLeft(Vector.empty[String]) { (acc, s) =>
+      if (acc.size >= maxSentences) acc
+      else {
+        val st = terms(s)
+        val redundant = st.nonEmpty && acc.exists { p =>
+          val pt = terms(p)
+          st.intersect(pt).size.toDouble / st.size > 0.8
+        }
+        if (redundant) acc else acc :+ s
+      }
+    }
+    if (picked.isEmpty) "No relevant context found." else picked.mkString(". ") + "."
+  }
+}
+
 /** Retrieval + extractive answering (SURVEY.md §2.1 O31-O32, O35-O37, §3.3).
   *
   * The reference's RAG path is: embed query → FAISS top-k → 1000-char
@@ -25,7 +61,8 @@ final class QueryEngine(
     idCol: String = "doc_id",
     textCol: String = "text",
     vecCol: String = "embedding",
-    memoSize: Int = 1000) extends Serializable {
+    memoSize: Int = 1000,
+    synthesizer: Synthesizer = ExtractiveSynthesizer) extends Serializable {
 
   private val spark: SparkSession = corpus.sparkSession
 
@@ -81,21 +118,8 @@ final class QueryEngine(
       .filter(col("overlap") > 0)
       .orderBy(col("overlap").desc, col("score").desc, col(idCol).asc, col("pos").asc)
       .limit(maxSentences * 4) // shortlist for the diversity pass
-    val cands = ranked.select("sentence").collect().map(_.getString(0))
-    def terms(s: String): Set[String] =
-      s.toLowerCase.replaceAll("[^a-z0-9\\s]", "").split("\\s+").filter(_.nonEmpty).toSet
-    val picked = cands.foldLeft(Vector.empty[String]) { (acc, s) =>
-      if (acc.size >= maxSentences) acc
-      else {
-        val st = terms(s)
-        val redundant = st.nonEmpty && acc.exists { p =>
-          val pt = terms(p)
-          st.intersect(pt).size.toDouble / st.size > 0.8
-        }
-        if (redundant) acc else acc :+ s
-      }
-    }
-    if (picked.isEmpty) "No relevant context found." else picked.mkString(". ") + "."
+    val cands = ranked.select("sentence").collect().map(_.getString(0)).toSeq
+    synthesizer.synthesize(query, cands, maxSentences)
   }
 
   /** O37 — the reference's response-evaluation heuristics (py:579-594):

@@ -55,6 +55,23 @@ class QueryEngineSpec extends SparkSpec {
     assert(a == "No relevant context found.")
   }
 
+  test("a custom Synthesizer replaces the generation step only") {
+    import spark.implicits._
+    val docs = Seq((1L, "Spark joins merge tables. Shuffle cost dominates."))
+      .toDF("doc_id", "text")
+    val f = new graft.vector.Featurizer(dim = 64).fit(docs, "text")
+    val corpus = f.transform(docs, "text").cache()
+    val probe = new Synthesizer {
+      def synthesize(q: String, ranked: Seq[String], max: Int): String =
+        s"[$q|${ranked.size} cands]"
+    }
+    val e = new QueryEngine(corpus, f, synthesizer = probe)
+    // retrieval and sentence ranking ran as usual; only composition swapped
+    val out = e.answer("spark joins", k = 1, maxSentences = 2)
+    assert(out.startsWith("[spark joins|") && out.endsWith(" cands]"), out)
+    corpus.unpersist()
+  }
+
   test("evaluate heuristics (O37): accuracy/clarity/grounding in [0,1]") {
     val m = engine.evaluate("spark joins", "Spark plans broadcast joins automatically",
       Seq("Broadcast joins avoid shuffles. Spark plans them automatically."))
