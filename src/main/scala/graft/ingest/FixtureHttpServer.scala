@@ -47,6 +47,13 @@ object FixtureHttpServer {
     }
     server.createContext("/missing", (ex: HttpExchange) =>
       reply(ex, 404, "not here".getBytes(StandardCharsets.UTF_8)))
+    // 302 to the first article — same-protocol redirects must be followed
+    // (news URLs redirect constantly; a fetcher that drops them loses
+    // live coverage, reference py:54-70 follows via requests/newspaper)
+    server.createContext("/moved", (ex: HttpExchange) => {
+      ex.getResponseHeaders.set("Location", articles.head._1)
+      reply(ex, 302, Array.emptyByteArray)
+    })
     server.createContext("/slow", (ex: HttpExchange) => {
       Thread.sleep(5000)
       reply(ex, 200, "finally".getBytes(StandardCharsets.UTF_8))

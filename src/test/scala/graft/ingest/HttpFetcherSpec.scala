@@ -27,6 +27,12 @@ class HttpFetcherSpec extends SparkSpec {
     assert(HttpFetcher.fetch(base + "/missing", cfg).isEmpty)
   }
 
+  test("302 redirect is followed to the target body") {
+    val got = HttpFetcher.fetch(base + "/moved", cfg)
+    assert(got.isDefined)
+    assert(got.get.body == FixtureHttpServer.articles.head._2)
+  }
+
   test("read timeout drops to None (stalled server never hangs the task)") {
     val t0 = System.nanoTime()
     assert(HttpFetcher.fetch(base + "/slow", cfg).isEmpty)
