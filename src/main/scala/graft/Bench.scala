@@ -76,8 +76,8 @@ object Bench {
     // latency — see ServingBench
     val serving =
       try {
-        val (build, mean, max, n) = ServingBench.run(spark, sfDir)
-        s"""{"build_sec":$build,"warm_query_mean_sec":$mean,"warm_query_max_sec":$max,"n_calls":$n}"""
+        val (build, mean, max, n, annMean, annMax) = ServingBench.run(spark, sfDir)
+        s"""{"build_sec":$build,"warm_query_mean_sec":$mean,"warm_query_max_sec":$max,"n_calls":$n,"ann_warm_mean_sec":$annMean,"ann_warm_max_sec":$annMax}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] serving failed: ${e.getMessage}")
         "null"

@@ -37,8 +37,8 @@ object ServingBench {
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (build, mean, max, n) = run(spark, sfDir)
-    println(f"""{"build_sec":$build%.3f,"warm_query_mean_sec":$mean%.4f,"warm_query_max_sec":$max%.4f,"n_calls":$n}""")
+    val (build, mean, max, n, annMean, annMax) = run(spark, sfDir)
+    println(f"""{"build_sec":$build%.3f,"warm_query_mean_sec":$mean%.4f,"warm_query_max_sec":$max%.4f,"n_calls":$n,"ann_warm_mean_sec":$annMean%.4f,"ann_warm_max_sec":$annMax%.4f}""")
     spark.stop()
   }
 
@@ -54,17 +54,32 @@ object ServingBench {
     "housing starts mortgage rates",
     "earnings beat analyst estimates")
 
-  /** Returns (build_sec, warm_mean_sec, warm_max_sec, n_calls). */
-  def run(spark: SparkSession, sfDir: String): (Double, Double, Double, Int) = {
+  /** Returns (build_sec, warm_mean_sec, warm_max_sec, n_calls,
+    * ann_warm_mean_sec, ann_warm_max_sec).
+    *
+    * Two warm paths: exact full-scan topK (fine while the pinned corpus
+    * fits executor memory) and the partition-pruned IVF probe — the shape
+    * that stays bounded at 100 TB, reading ~nprobe/nlist of the corpus
+    * from a cluster-partitioned layout instead of all of it.
+    */
+  def run(spark: SparkSession, sfDir: String): (Double, Double, Double, Int, Double, Double) = {
     val vecPath = "/tmp/graft_bench_vecstore"
     val idfPath = "/tmp/graft_bench_idf"
+    val ivfPath = "/tmp/graft_bench_ivf"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
     val t0 = System.nanoTime()
     val fz = new Featurizer(dim = 384).fit(docs, "text")
-    VectorStore.save(
-      fz.transform(docs, "text").select("doc_id", "text", "embedding"), vecPath)
+    val embedded = fz.transform(docs, "text").select("doc_id", "text", "embedding")
+    VectorStore.save(embedded, vecPath)
     fz.save(idfPath)
+    // IVF layout: assignments written partitioned by cluster, so a probe
+    // reads only its nprobe partitions (the q67 contract)
+    val idx = graft.operators.Ann.ivfBuild(
+      VectorStore.load(spark, vecPath), "doc_id", "embedding",
+      nlist = 64, seed = 42L, maxIter = 10)
+    idx.assigned.write.mode("overwrite").partitionBy("cluster").parquet(ivfPath)
+    val centers = idx.centers
     val buildSec = (System.nanoTime() - t0) / 1e9
 
     // serving process: load the persisted state, pin the corpus (a query
@@ -86,6 +101,28 @@ object ServingBench {
       (System.nanoTime() - s0) / 1e9
     }
     served.unpersist(blocking = false)
-    (buildSec, times.sum / times.size, times.max, times.size)
+
+    // ANN warm path: embed on the driver, rank centroids driver-side,
+    // exact top-k inside the 8 nearest of 64 partitions — per query the
+    // scan touches ~1/8 of the corpus off the partitioned layout
+    val ivf = spark.read.parquet(ivfPath)
+    graft.operators.Similarity.topK(
+      ivf.filter(col("cluster").isin(
+        graft.operators.Ann.rankClusters(centers, engine.embed("warm up")).take(8): _*)),
+      "doc_id", "embedding", engine.embed("warm up"), 5,
+      graft.operators.Similarity.Cosine).collect()
+    val annTimes = (queries ++ queries).map { q =>
+      val s0 = System.nanoTime()
+      val qv = engine.embed(q)
+      val probes = graft.operators.Ann.rankClusters(centers, qv).take(8)
+      val n = graft.operators.Similarity.topK(
+        ivf.filter(col("cluster").isin(probes: _*)),
+        "doc_id", "embedding", qv, 5, graft.operators.Similarity.Cosine)
+        .collect().length
+      require(n == 5, s"serving ANN topK returned $n rows")
+      (System.nanoTime() - s0) / 1e9
+    }
+    (buildSec, times.sum / times.size, times.max, times.size,
+      annTimes.sum / annTimes.size, annTimes.max)
   }
 }
