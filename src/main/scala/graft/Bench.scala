@@ -7,6 +7,19 @@ import org.apache.spark.sql.SparkSession
   * the projected work and flatter the numbers (round-1 verdict item 7).
   */
 object Bench {
+
+  /** Replay cutoff: max(2× median of successful first-pass times, 2 s).
+    * The 2 s floor keeps small-SF runs (median ~0.1 s) from replaying
+    * every structurally-slower query for sub-second stakes; -1 failure
+    * sentinels are excluded from the median. Returns +∞ when nothing
+    * succeeded (nothing is worth replaying into a broken run).
+    */
+  def replayThreshold(firstPass: Seq[Double]): Double = {
+    val ok = firstPass.filter(_ >= 0).sorted
+    if (ok.isEmpty) Double.PositiveInfinity
+    else math.max(2.0 * ok(ok.size / 2), 2.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,17 +64,13 @@ object Bench {
     // the machine for a minute) inflates whichever queries it overlaps and
     // fabricates phantom regressions (r06: five queries 1.5-3x slower in
     // the official record, all at normal speed on same-night replays).
-    // Any query slower than 2x the median of successful times gets one
-    // untimed-warm replay; report the min of the two observations —
-    // a noisy reading can only be corrected downward, never invented.
-    // The 2s floor keeps small-SF runs (median ~0.1s) from replaying
-    // every structurally-slower query for sub-second stakes.
-    val okTimes = firstPass.map(_._2).filter(_ >= 0).sorted
-    val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-    val threshold = math.max(2.0 * median, 2.0)
+    // Any query slower than the replay cutoff gets one untimed-warm
+    // replay; report the min of the two observations — a noisy reading
+    // can only be corrected downward, never invented.
+    val threshold = replayThreshold(firstPass.map(_._2))
     val replayed = scala.collection.mutable.ListBuffer.empty[String]
     val results = firstPass.map { case (name, t) =>
-      if (t > threshold && median > 0) {
+      if (t > threshold) {
         replayed += name
         val t2 = run(name, SparkEntry.queries(name))
         name -> (if (t2 >= 0) math.min(t, t2) else t)
