@@ -126,6 +126,34 @@ object Multimodal {
       octet_length(col("payload")).as("n_bytes"),
       md5(col("payload")).as("fp"))
 
+  /** Video-modality frame sampling (REAL, Y4mCodec): explodes every
+    * `stride`-th frame of each Y4M payload into a row with the stream
+    * header fields and integer-exact luma features — the 1 video → n
+    * frames shape with an actual container walk behind it (fixed frame
+    * size ⇒ sampling seeks by arithmetic, skipped frames untouched).
+    * Throws on malformed payloads, like the audio/image decoders.
+    */
+  def sampleVideoFrames(df: DataFrame, stride: Int): DataFrame = {
+    val outSchema = df.schema
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("fps_num", IntegerType).add("fps_den", IntegerType)
+      .add("n_frames", IntegerType).add("frame_idx", IntegerType)
+      .add("luma_sum", LongType).add("luma_min", IntegerType)
+      .add("luma_max", IntegerType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.getAs[Array[Byte]](payloadIdx)
+        val v = Y4mCodec.decode(b)
+        Y4mCodec.sampleFrames(b, stride).map { f =>
+          Row.fromSeq(r.toSeq ++ Seq[Any](v.width, v.height, v.fpsNum,
+            v.fpsDen, v.nFrames, f.idx, f.lumaSum, f.lumaMin, f.lumaMax))
+        }
+      }
+    }(enc)
+  }
+
   /** Audio-modality decode (REAL, WavCodec): appends
     * (sample_rate, channels, n_frames, peak_abs, abs_sum) per row. Same
     * batched mapPartitions shape as decodeFeatures; integer-exact signal

@@ -34,6 +34,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Array[Byte]]("payload").length == 5) // 11 bytes -> 5
   }
 
+  test("sampleVideoFrames: real Y4M walk, distributed, stride honored") {
+    import spark.implicits._
+    val dir = Seq("/root/repo/src/test/resources/video",
+      new java.io.File("src/test/resources/video").getAbsolutePath)
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))).get
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "clip_4x4_5f_tagged.y4m"))
+    val df = Seq((1L, "video", bytes, Map.empty[String, String]))
+      .toDF("id", "modality", "payload", "meta")
+    val frames = Multimodal.sampleVideoFrames(df, stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.getAs[Int]("n_frames") == 5))
+    assert(frames.forall(r => r.getAs[Int]("width") == 4 && r.getAs[Int]("fps_num") == 30000))
+    // executor-side features equal the driver-side codec on the same bytes
+    val direct = Y4mCodec.sampleFrames(bytes, 2)
+    assert(frames.map(_.getAs[Long]("luma_sum")).toSeq == direct.map(_.lumaSum))
+    // malformed video payloads fail the task loudly, like audio/image
+    val junk = Seq((2L, "video", "garbage".getBytes, Map.empty[String, String]))
+      .toDF("id", "modality", "payload", "meta")
+    intercept[Exception](Multimodal.sampleVideoFrames(junk, 1).collect())
+  }
+
   test("frameSampleStub explodes n frame rows per payload with indexed slices") {
     val frames = Multimodal.frameSampleStub(mm.filter("id = 1"), 3).collect()
     assert(frames.length == 3)
