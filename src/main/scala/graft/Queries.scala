@@ -86,6 +86,17 @@ object Queries {
     candidates.find(p => new java.io.File(p).isDirectory).getOrElse(candidates.head)
   }
 
+  /** Y4M fixture dir (tools/make_y4m_fixtures.py) — resolved against the
+    * repo root so Spark's binaryFile scan and DuckDB's read_blob see the
+    * same files.
+    */
+  private[graft] val videoFixtureDir: String = {
+    val candidates = Seq(
+      "/root/repo/src/test/resources/video",
+      new java.io.File("src/test/resources/video").getAbsolutePath)
+    candidates.find(p => new java.io.File(p).isDirectory).getOrElse(candidates.head)
+  }
+
   /** DuckDB: numeric value of byte `i` (1-indexed) of the hex string `hx`. */
   private def duckByte(i: String): String =
     s"((strpos('0123456789ABCDEF', substring(hx, 2*($i)-1, 1))-1)*16 + strpos('0123456789ABCDEF', substring(hx, 2*($i), 1))-1)"
@@ -3207,6 +3218,24 @@ object Queries {
       val fromWarmAgain = hits(warm) // second call embeds via the memo
       Seq((5, fromWarm.size, fromWarm == fromBuilt, fromWarmAgain == fromWarm))
         .toDF("k", "n_results", "roundtrip_identical", "memo_stable")
+    }),
+
+    // real video frame sampling (Y4mCodec over the YUV4MPEG2 fixtures):
+    // every 2nd frame's header fields + integer-exact luma features. The
+    // oracle re-derives the same numbers byte-by-byte in DuckDB hex
+    // arithmetic at the generator-documented offsets (header 30/60 B,
+    // marker 6/18 B, fixed 4:2:0 frame blocks) — a marker-walk, seek, or
+    // plane-extent bug anywhere in the codec breaks the hash
+    "q176_video_frames" -> ((s, dir) => {
+      val mm = graft.multimodal.Multimodal.fromBinaryFiles(
+        s.read.format("binaryFile").option("pathGlobFilter", "*.y4m")
+          .load(videoFixtureDir), "video")
+      graft.multimodal.Multimodal.sampleVideoFrames(mm, stride = 2)
+        .select(regexp_extract(element_at(col("meta"), "path"), "([^/]+)$", 1).as("name"),
+          col("width"), col("height"), col("fps_num"), col("fps_den"),
+          col("n_frames"), col("frame_idx"), col("luma_sum"),
+          col("luma_min"), col("luma_max"))
+        .orderBy("name", "frame_idx")
     })
   )
 
@@ -4494,6 +4523,34 @@ object Queries {
     // the persisted-vs-built and warm-vs-warm hit sets, pinned true
     "q175_serving_roundtrip" ->
       """SELECT CAST(5 AS INTEGER) AS k, CAST(5 AS INTEGER) AS n_results,
-        |  TRUE AS roundtrip_identical, TRUE AS memo_stable""".stripMargin
+        |  TRUE AS roundtrip_identical, TRUE AS memo_stable""".stripMargin,
+
+    // q176: independent byte-level re-derivation of the sampled luma
+    // features. Offsets are the generator's documented fixture geometry
+    // (tools/make_y4m_fixtures.py): clip_8x6_3f = 30 B header + per frame
+    // (6 B marker + 48 B luma + 24 B chroma); clip_4x4_5f_tagged = 60 B
+    // header + per frame (18 B marker + 16 B luma + 8 B chroma). Frame i
+    // luma starts at header + i*block + marker (0-based); duckByte is
+    // 1-indexed, hence the +1.
+    "q176_video_frames" ->
+      s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS name, hex(content) AS hx
+         |  FROM read_blob('$videoFixtureDir/*.y4m')),
+         |fr AS (
+         |  SELECT name, hx, 8 AS width, 6 AS height, 25 AS fps_num, 1 AS fps_den,
+         |    3 AS n_frames, unnest([0, 2]) AS frame_idx, 36 AS base, 78 AS blk, 48 AS luma
+         |  FROM b WHERE name = 'clip_8x6_3f.y4m'
+         |  UNION ALL
+         |  SELECT name, hx, 4, 4, 30000, 1001, 5, unnest([0, 2, 4]), 78, 42, 16
+         |  FROM b WHERE name = 'clip_4x4_5f_tagged.y4m'),
+         |v AS (SELECT name, width, height, fps_num, fps_den, n_frames, frame_idx,
+         |  list_transform(range(0, luma), i -> ${duckByte("base + blk*frame_idx + i + 1")}) AS pix
+         |FROM fr)
+         |SELECT name, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+         |  CAST(fps_num AS INTEGER) AS fps_num, CAST(fps_den AS INTEGER) AS fps_den,
+         |  CAST(n_frames AS INTEGER) AS n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
+         |  CAST(list_sum(pix) AS BIGINT) AS luma_sum,
+         |  CAST(list_min(pix) AS INTEGER) AS luma_min,
+         |  CAST(list_max(pix) AS INTEGER) AS luma_max
+         |FROM v ORDER BY name, frame_idx""".stripMargin
   )
 }
