@@ -87,4 +87,93 @@ class PropertySpec extends AnyFunSuite {
       (z(x1, y1, 8) == z(x2, y2, 8)) == (x1 == x2 && y1 == y2)
     })
   }
+
+  // ------------------------------------------------ codec roundtrips
+
+  /** Build a YUV4MPEG2 stream from generated geometry + plane bytes. */
+  private def buildY4m(w: Int, h: Int, frames: Seq[Array[Byte]],
+      frameParams: String = ""): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1\n".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      out.write(s"FRAME$frameParams\n".getBytes("US-ASCII"))
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  test("Y4mCodec roundtrip: construct-then-decode recovers geometry and luma features") {
+    import graft.multimodal.Y4mCodec
+    val geom = for {
+      w <- Gen.choose(1, 16).map(_ * 2) // even dims
+      h <- Gen.choose(1, 16).map(_ * 2)
+      n <- Gen.choose(1, 6)
+      params <- Gen.oneOf("", " Xt=1")
+      seed <- Gen.choose(0, 10000)
+    } yield (w, h, n, params, seed)
+    check(forAll(geom) { case (w, h, n, params, seed) =>
+      val frameBytes = w * h + 2 * ((w / 2) * (h / 2))
+      val frames = (0 until n).map { i =>
+        Array.tabulate(frameBytes)(j => ((seed + 31 * i + j) % 256).toByte)
+      }
+      val b = buildY4m(w, h, frames, params)
+      val v = Y4mCodec.decode(b)
+      val feats = Y4mCodec.sampleFrames(b, 1)
+      val lumaOk = feats.zipWithIndex.forall { case (f, i) =>
+        val luma = frames(i).take(w * h).map(_ & 0xFF)
+        f.lumaSum == luma.map(_.toLong).sum && f.lumaMin == luma.min && f.lumaMax == luma.max
+      }
+      v.width == w && v.height == h && v.nFrames == n && feats.size == n && lumaOk
+    })
+  }
+
+  test("Y4mCodec sampleFrames: stride selects exactly the multiples") {
+    import graft.multimodal.Y4mCodec
+    val geom = Gen.zip(Gen.choose(1, 8), Gen.choose(1, 5))
+    check(forAll(geom) { case (n, stride) =>
+      val frames = (0 until n).map(_ => Array.fill(2 * 2 + 2)(7.toByte))
+      val idx = Y4mCodec.sampleFrames(buildY4m(2, 2, frames), stride).map(_.idx)
+      idx == (0 until n by stride).toSeq
+    })
+  }
+
+  test("Y4mCodec: any truncation of the plane bytes throws, never mis-decodes") {
+    import graft.multimodal.Y4mCodec
+    val cut = Gen.choose(1, 11) // strictly inside the final 12-byte frame
+    check(forAll(cut) { c =>
+      val b = buildY4m(2, 2, Seq(Array.fill(6)(1.toByte), Array.fill(6)(2.toByte)))
+      Prop.throws(classOf[IllegalArgumentException])(Y4mCodec.decode(b.dropRight(c)))
+    })
+  }
+
+  /** Build a canonical RIFF/WAVE PCM-16 from generated samples. */
+  private def buildWav(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 2 * samples.length); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+    bb.putInt(rate * channels * 2); bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(2 * samples.length)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("WavCodec roundtrip: construct-then-decode recovers header and signal features") {
+    import graft.multimodal.WavCodec
+    val gen = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      channels <- Gen.choose(1, 2)
+      n <- Gen.choose(1, 50).map(_ * channels) // whole frames
+      samples <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield (rate, channels, samples.toArray)
+    check(forAll(gen) { case (rate, channels, samples) =>
+      val a = WavCodec.decode(buildWav(rate, channels, samples))
+      val abs = samples.map(s => math.abs(s.toLong))
+      a.sampleRate == rate && a.channels == channels &&
+        a.nFrames == samples.length / channels &&
+        a.peakAbs == abs.max && a.absSum == abs.sum
+    })
+  }
 }
