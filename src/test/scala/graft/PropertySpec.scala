@@ -146,6 +146,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  /** Build a canonical 24-bit BI_RGB BMP with the mandated row padding. */
+  private def buildBmp(w: Int, h: Int, pix: (Int, Int) => Int,
+      padByte: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(54 + stride * h)
+    bb.putInt(0); bb.putInt(54) // reserved, pixel offset
+    bb.putInt(40); bb.putInt(w); bb.putInt(h) // BITMAPINFOHEADER
+    bb.putShort(1); bb.putShort(24); bb.putInt(0) // planes, bpp, BI_RGB
+    bb.putInt(stride * h); bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    for (y <- 0 until h) {
+      for (x <- 0 until w * 3) bb.put((pix(x, y) & 0xFF).toByte)
+      for (_ <- w * 3 until stride) bb.put((padByte & 0xFF).toByte)
+    }
+    bb.array()
+  }
+
+  test("BmpCodec roundtrip: pixel sum excludes padding regardless of its content") {
+    import graft.multimodal.BmpCodec
+    val gen = for {
+      w <- Gen.choose(1, 9) // odd widths force nonzero padding
+      h <- Gen.choose(1, 6)
+      seed <- Gen.choose(0, 10000)
+      pad <- Gen.oneOf(0, 0xFF) // pad bytes must never leak into the sum
+    } yield (w, h, seed, pad)
+    check(forAll(gen) { case (w, h, seed, pad) =>
+      def pix(x: Int, y: Int): Int = (seed + 7 * x + 13 * y) % 256
+      val img = BmpCodec.decode(buildBmp(w, h, pix, pad))
+      val expected = (for (y <- 0 until h; x <- 0 until w * 3) yield pix(x, y).toLong).sum
+      img.width == w && img.height == h && img.pixelSum == expected
+    })
+  }
+
   /** Build a canonical RIFF/WAVE PCM-16 from generated samples. */
   private def buildWav(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     val bb = java.nio.ByteBuffer
