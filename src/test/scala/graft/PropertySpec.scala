@@ -88,6 +88,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("RuleNer: every emitted entity's offsets slice back to exactly its text") {
+    import graft.text.RuleNer
+    // mixed soup of gazetteer hits, capitalized runs, money, percents,
+    // plain words — the O29 offset-preserving contract must hold on all
+    val token = Gen.oneOf(
+      Gen.oneOf("apple", "Tesla", "nasdaq", "America"),
+      Gen.oneOf("$1,200", "$5", "42%", "7.5%"),
+      Gen.oneOf("Federal Reserve", "Quarterly Report"),
+      word)
+    val text = Gen.listOfN(10, token).map(_.mkString(" "))
+    check(forAll(text) { t =>
+      RuleNer.extract(1L, t).forall(e =>
+        e.begin >= 0 && e.end <= t.length &&
+          t.substring(e.begin, e.end) == e.entity)
+    })
+  }
+
   // ------------------------------------------------ codec roundtrips
 
   /** Build a YUV4MPEG2 stream from generated geometry + plane bytes. */
