@@ -99,19 +99,23 @@ object ScaleData {
 
   def scaleEmbeddings(df: DataFrame, replicas: Int): DataFrame = {
     val maxId = df.agg(max(col("vec_id"))).head().getLong(0) + 1
+    // derive dim from the data — a hardcoded dim with slice() would
+    // silently truncate mismatched fixtures instead of failing loudly
+    val dim = df.select(size(col("embedding"))).head().getInt(0)
+    val badDim = df.filter(size(col("embedding")) =!= dim).count()
+    require(badDim == 0, s"scaleEmbeddings: $badDim rows with dim != $dim")
     (0 until replicas).map { r =>
-      // shift alone has period 64 — compose with a global sign flip for
-      // r ≥ 64 (also orthogonal) so all replicas < 128 are distinct and
+      // shift alone has period dim — compose with a global sign flip for
+      // r ≥ dim (also orthogonal) so all replicas < 2·dim are distinct and
       // cross-replica cosines can never hit ±duplicates of each other
       // at the 100-replica scale point
-      val dim = 64
       val shift = (7 * r) % dim
       val shifted =
         if (shift == 0) col("embedding")
         else concat(slice(col("embedding"), shift + 1, dim - shift),
           slice(col("embedding"), 1, shift))
       val signed =
-        if (r < 64) shifted
+        if (r < dim) shifted
         else transform(shifted, x => (-x).cast(org.apache.spark.sql.types.FloatType))
       df.select((col("vec_id") + lit(r * maxId)).as("vec_id"),
         signed.as("embedding"), col("label"))

@@ -145,8 +145,10 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val b = r.getAs[Array[Byte]](payloadIdx)
-        val v = Y4mCodec.decode(b)
-        Y4mCodec.sampleFrames(b, stride).map { f =>
+        // one container walk yields both the validated header and the
+        // sampled features — decode-then-sample would scan each payload twice
+        val (v, frames) = Y4mCodec.decodeAndSample(b, stride)
+        frames.map { f =>
           Row.fromSeq(r.toSeq ++ Seq[Any](v.width, v.height, v.fpsNum,
             v.fpsDen, v.nFrames, f.idx, f.lumaSum, f.lumaMin, f.lumaMax))
         }

@@ -54,8 +54,12 @@ object Y4mCodec {
         case 'W' => w = p.substring(1).toInt
         case 'H' => h = p.substring(1).toInt
         case 'F' =>
-          val Array(n, d) = p.substring(1).split(':')
-          fn = n.toInt; fd = d.toInt
+          // require-then-assign: destructuring a malformed rate (e.g.
+          // "F25") would raise MatchError, not the contract's
+          // IllegalArgumentException
+          val parts = p.substring(1).split(':')
+          require(parts.length == 2, s"Y4mCodec: bad frame rate '$p'")
+          fn = parts(0).toInt; fd = parts(1).toInt
         case 'C' => cs = p.substring(1)
         case _   => () // I (interlace), A (aspect), X (extension): ignored
       }
@@ -99,7 +103,15 @@ object Y4mCodec {
     * 2·stride, …) — the frame-sampling primitive. Seeks by arithmetic:
     * skipped frames are never touched beyond their marker line.
     */
-  def sampleFrames(b: Array[Byte], stride: Int): Seq[Y4mFrameFeatures] = {
+  def sampleFrames(b: Array[Byte], stride: Int): Seq[Y4mFrameFeatures] =
+    decodeAndSample(b, stride)._2
+
+  /** One-walk combined entry point: the fully-validated stream header
+    * (with total frame count) AND the sampled luma features. Callers
+    * needing both (Multimodal.sampleVideoFrames) would otherwise scan
+    * every payload twice — once for decode, once for sampling.
+    */
+  def decodeAndSample(b: Array[Byte], stride: Int): (Y4mVideo, Seq[Y4mFrameFeatures]) = {
     require(stride >= 1, s"Y4mCodec: stride must be >= 1, got $stride")
     val (v, start, frameBytes) = header(b)
     val luma = v.width * v.height
@@ -125,6 +137,6 @@ object Y4mCodec {
       off = data + frameBytes
       idx += 1
     }
-    out.result()
+    (v.copy(nFrames = idx), out.result())
   }
 }

@@ -135,18 +135,31 @@ object Ann {
     * non-identical pairs raise `nlist` granularity or fall back to the
     * multi-table LSH path.
     *
-    * `nlist <= 0` sizes the quantizer automatically as ~sqrt(n) (FAISS
-    * guidance) so cell population — and with it the quadratic candidate
-    * cost — stays ~sqrt(n) as the corpus grows.
+    * `nlist <= 0` sizes the quantizer automatically and SCALE-AWARE.
+    * FAISS's √n guidance optimizes single-query probe cost, but for a
+    * JOIN the per-candidate cost (shuffle + exact verify) outweighs the
+    * per-assignment cost (n·nlist·dim flops), so √n — which lets cell
+    * population grow as √n and candidate volume as n^1.5 — goes
+    * super-linear at scale (measured: 88.7× wall at 100× data, SCALE.md).
+    * The default therefore also bounds the expected cell population at
+    * `targetCellPop`: nlist = max(√n, n/targetCellPop), which keeps
+    * candidate volume ~n·targetCellPop (linear) once n exceeds
+    * targetCellPop², while small corpora keep the √n behavior the
+    * q84/q35-scale recall gates pin. Capped at maxFitPoints/8 so the
+    * Lloyd fit always sees ≥8 sample points per centroid.
     */
   def ivfNearDupJoin(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nlist: Int = 0, seed: Long = 42L, maxIter: Int = 10,
-      maxFitPoints: Int = 1 << 14): DataFrame = {
+      maxFitPoints: Int = 1 << 14, targetCellPop: Int = 128): DataFrame = {
     import graft.functions.VectorFunctions
     val k =
       if (nlist > 0) nlist
-      else math.max(16, math.sqrt(corpus.count().toDouble).toInt)
+      else {
+        val n = corpus.count().toDouble
+        val auto = math.max(math.sqrt(n), n / targetCellPop).toInt
+        math.min(math.max(16, auto), maxFitPoints / 8)
+      }
     // __n is materialized as its own column so the per-element lambda only
     // reads an attribute (an interpreted HOF re-evaluates non-lambda
     // subtrees per element — a norm recompute per element would be O(dim²))

@@ -202,7 +202,43 @@ object Layout {
       val marker = new Path(s"$table/_commits/$v")
       f.mkdirs(marker.getParent)
       f.create(marker, false).close() // publish: version becomes visible
+      // opportunistic, non-fatal: a commit is the natural moment to sweep
+      // the garbage contention leaves behind, and GC failure must never
+      // fail a successful commit
+      try gc(f, new Path(table), v, TmpTtlMs) catch { case _: java.io.IOException => () }
       v
+    }
+
+    /** Stale-staging TTL: a live writer's `_tmp-*` dir has its mtime
+      * refreshed every time a task commits a file into it, so an hour of
+      * silence means the writer is dead (a hung one past the TTL fails
+      * its rename loudly rather than corrupting anything).
+      */
+    private val TmpTtlMs: Long = 60L * 60 * 1000
+
+    /** Sweep commit-protocol garbage that is invisible to readers:
+      *  - `_claims/<v>` for v ≤ the latest committed version — future
+      *    writers probe from latestVersion+1, so these slots are never
+      *    consulted again (a live pre-marker writer holding such a claim
+      *    is unaffected: its rename + marker publish don't re-read it);
+      *  - `_tmp-*` staging dirs idle past `ttlMs` — writers that died
+      *    before their rename.
+      * Without this, claims/tmp dirs accumulate forever and the commit
+      * CAS probe degrades to a linear scan under long-lived contention.
+      */
+    private[storage] def gc(f: org.apache.hadoop.fs.FileSystem,
+        table: org.apache.hadoop.fs.Path, latestCommitted: Int, ttlMs: Long): Unit = {
+      import org.apache.hadoop.fs.Path
+      val claims = new Path(table, "_claims")
+      if (f.exists(claims)) f.listStatus(claims).foreach { st =>
+        val v = st.getPath.getName.toIntOption.getOrElse(-1)
+        if (v >= 0 && v <= latestCommitted) f.delete(st.getPath, false)
+      }
+      val cutoff = System.currentTimeMillis() - ttlMs
+      f.listStatus(table).foreach { st =>
+        if (st.getPath.getName.startsWith("_tmp-") && st.getModificationTime < cutoff)
+          f.delete(st.getPath, true)
+      }
     }
 
     /** Highest committed version, None before the first commit. */

@@ -71,8 +71,19 @@ final class ModelEmbedder private[vector] (
   /** Pretrained — fitting is a no-op by design. */
   def fit(corpus: DataFrame, textCol: String): this.type = this
 
+  // one broadcast per embedder instance, not per transform call: the
+  // ~50 MB matrix would otherwise accumulate un-destroyed copies on the
+  // driver and executors over a long serving session
+  @transient private var bcCache: org.apache.spark.broadcast.Broadcast[Array[Float]] = _
+
+  private def broadcastWeights(df: DataFrame) = synchronized {
+    if (bcCache == null)
+      bcCache = df.sparkSession.sparkContext.broadcast(weights)
+    bcCache
+  }
+
   def transform(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(weights)
+    val bc = broadcastWeights(df)
     val d = dim; val nb = buckets
     val embed = udf { (toks: Seq[String]) => ModelEmbedder.pool(bc.value, d, nb, toks) }
     df.withColumn(outCol, embed(
