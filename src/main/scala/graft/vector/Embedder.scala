@@ -174,8 +174,12 @@ object ModelEmbedder {
 object Embedders {
   val DefaultWeightsPath = "models/embedder.gftw"
 
+  // system property first (settable in-process — tests activate against a
+  // generated fixture), then environment, then the canonical drop-in path
   def weightsPath: String =
-    sys.env.getOrElse("GRAFT_EMBED_WEIGHTS", DefaultWeightsPath)
+    sys.props.get("graft.embed.weights")
+      .orElse(sys.env.get("GRAFT_EMBED_WEIGHTS"))
+      .getOrElse(DefaultWeightsPath)
 
   /** `fallbackDim` sizes the hash featurizer ONLY; a present weights file
     * wins and its own dimensionality governs (the model is the truth —

@@ -102,13 +102,31 @@ class ModelEmbedderSpec extends SparkSpec {
   }
 
   test("Embedders.default activates ModelEmbedder when weights are present") {
-    // skipped unless a real model file exists at the canonical path —
-    // the activation itself is covered via an explicit load above
-    assume(Files.exists(Paths.get(Embedders.weightsPath)),
-      s"no local model at ${Embedders.weightsPath}")
-    val me = Embedders.default()
-    assert(me.isInstanceOf[ModelEmbedder])
-    val v = me.embedQuery(spark, "activation check")
-    assert(v.length == me.dim)
+    // the drop-a-file activation path, exercised against a generated
+    // fixture: save a tiny valid GFTW file into a temp dir, point the
+    // weights-path override at it, and the default() selection must flip
+    // from Featurizer to ModelEmbedder with the FILE's dimensionality
+    // winning over the fallback dim
+    val dir = Files.createTempDirectory("graft_gftw")
+    val path = dir.resolve("embedder.gftw").toString
+    synthetic(24, 128).save(path)
+    System.setProperty("graft.embed.weights", path)
+    try {
+      val me = Embedders.default(fallbackDim = 32)
+      assert(me.isInstanceOf[ModelEmbedder])
+      assert(me.dim == 24, "the model file's dim governs, not fallbackDim")
+      val v = me.embedQuery(spark, "activation check")
+      assert(v.length == 24)
+      assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+      // the activated embedder must serve the full QueryEngine composition
+      import spark.implicits._
+      val docs = Seq((1L, "bond yields fell"), (2L, "chip supply tightened")).toDF("doc_id", "text")
+      val corpus = me.fit(docs, "text").transform(docs, "text")
+      val hits = new graft.query.QueryEngine(corpus, me).topK("chip supply", k = 1).collect()
+      assert(hits.length == 1 && hits.head.getLong(0) == 2L)
+    } finally {
+      System.clearProperty("graft.embed.weights")
+      Files.deleteIfExists(Paths.get(path)); Files.deleteIfExists(dir)
+    }
   }
 }
