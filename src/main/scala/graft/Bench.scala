@@ -78,6 +78,19 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // stdout gets a COMPACT per-query map — the driver's stdout capture
+    // truncated round 7's record mid-queries-object (only ~50 of 176
+    // survived), so the line is shrunk two ways: keys drop to their
+    // unique qNN prefix and times round to ms precision. Full names +
+    // full precision live in BENCH_full.json.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val shortKeys = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val compactKeyed =
+      if (shortKeys.values.toSet.size == results.size) results.map { case (k, v) => shortKeys(k) -> v }
+      else results // prefix collision: fall back to full names rather than drop data
+    val qsCompact = compactKeyed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val rep = replayed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // build-once/query-many retrieval (the reference's real usage shape);
@@ -92,13 +105,15 @@ object Bench {
         "null"
       }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"serving":$serving}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","replayed":$rep,"serving":$serving}"""
     println(line)
-    // the driver's stdout tail-capture lexicographically truncated r06's
-    // record (parsed:null, q100+ dropped) — persist the full line to a
-    // file as well so no per-query timing is ever lost
+    // the driver's stdout capture truncated both r06's and r07's records —
+    // persist the FULL-fidelity line (full query names, full precision) to
+    // a file so no per-query timing is ever lost
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"serving":$serving}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
