@@ -3236,6 +3236,64 @@ object Queries {
           col("n_frames"), col("frame_idx"), col("luma_sum"),
           col("luma_min"), col("luma_max"))
         .orderBy("name", "frame_idx")
+    }),
+
+    // serving freshness (VectorStore ∘ CommitLog — the incremental-refresh
+    // half of build-once/query-many): an index rebuild is a VERSIONED
+    // commit, atomically published, so a reader resolving "latest" while a
+    // rebuild is in flight always loads a complete version — never a torn
+    // index (plain save() overwrites the live dir in place). A writer
+    // thread publishes three rebuilds concurrently with a reader loop;
+    // every read must satisfy the per-version completeness invariant
+    // (count == (v+1)·100 with a single idx_version tag) and versions must
+    // only move forward. The final published version must then serve
+    // retrieval bit-identically to the corpus it was built from.
+    "q177_versioned_serving" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val fz = new graft.vector.Featurizer(dim = 64).fit(docs, "text")
+      // deterministic 400-doc corpus at every graded SF (documents >= 500)
+      val corpus = fz.transform(docs, "text")
+        .select("doc_id", "text", "embedding")
+        .orderBy("doc_id").limit(400).cache()
+      corpus.count()
+      val table = "/tmp/graft_q177_vstore"
+      val tp = new org.apache.hadoop.fs.Path(table)
+      // fresh table per run: stale versions from a previous run must not
+      // satisfy this run's invariants
+      tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
+      def versionDf(v: Int) =
+        corpus.limit((v + 1) * 100).withColumn("idx_version", lit(v))
+      graft.vector.VectorStore.commitVersion(s, table, versionDf(0))
+      @volatile var writerError: Throwable = null
+      val writer = new Thread(() => {
+        try (1 to 3).foreach(v =>
+          graft.vector.VectorStore.commitVersion(s, table, versionDf(v)))
+        catch { case e: Throwable => writerError = e }
+      })
+      writer.start()
+      var lastSeen = 0; var readsComplete = true; var monotonic = true; var reads = 0
+      while (lastSeen < 3 && reads < 500 && writerError == null) {
+        val (v, df) = graft.vector.VectorStore.loadLatest(s, table)
+        val agg = df.agg(count(lit(1)), min("idx_version"), max("idx_version")).head()
+        readsComplete &&= agg.getLong(0) == (v + 1) * 100L &&
+          agg.getInt(1) == v && agg.getInt(2) == v
+        monotonic &&= v >= lastSeen
+        lastSeen = v; reads += 1
+      }
+      writer.join()
+      require(writerError == null, s"q177 writer failed: $writerError")
+      val (finalV, served) = graft.vector.VectorStore.loadLatest(s, table)
+      val query = "quarterly market analysis report"
+      def hits(c: org.apache.spark.sql.DataFrame) =
+        graft.operators.Similarity.topK(c, "doc_id", "embedding",
+          fz.embedQuery(s, query), 5, graft.operators.Similarity.Cosine)
+          .select("doc_id", "score").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val identical = hits(served) == hits(versionDf(3))
+      corpus.unpersist(false)
+      Seq((4, readsComplete, monotonic, finalV, identical)).toDF(
+        "n_commits", "reads_complete", "monotonic", "final_version", "topk_identical")
     })
   )
 
@@ -4551,6 +4609,16 @@ object Queries {
          |  CAST(list_sum(pix) AS BIGINT) AS luma_sum,
          |  CAST(list_min(pix) AS INTEGER) AS luma_min,
          |  CAST(list_max(pix) AS INTEGER) AS luma_max
-         |FROM v ORDER BY name, frame_idx""".stripMargin
+         |FROM v ORDER BY name, frame_idx""".stripMargin,
+
+    // q177: commit count and final version are structural (three rebuilds
+    // after v0); the three invariants — every concurrent read complete,
+    // version monotonicity, served-vs-built top-k identity — are
+    // engine-computed booleans pinned true. A torn read, a backwards
+    // "latest", or an in-place overwrite during rebuild breaks the hash.
+    "q177_versioned_serving" ->
+      """SELECT CAST(4 AS INTEGER) AS n_commits, TRUE AS reads_complete,
+        |  TRUE AS monotonic, CAST(3 AS INTEGER) AS final_version,
+        |  TRUE AS topk_identical""".stripMargin
   )
 }

@@ -113,4 +113,37 @@ object VectorStore {
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // ------------------------------------------------- versioned serving
+  // Incremental index refresh composed over Layout.CommitLog (the serving
+  // half of build-once/query-many): a rebuild stages its data in a fresh
+  // per-version directory and becomes visible ATOMICALLY when the commit
+  // marker publishes, so a reader resolving "latest" during a concurrent
+  // rebuild always loads a complete version — never a torn, half-written,
+  // or in-place-overwritten index (plain save() overwrites the live dir,
+  // which a concurrent reader can see half-replaced). Version dirs are
+  // immutable after publish, so a resolved (version, DataFrame) pair stays
+  // valid for the reader's whole query lifetime.
+
+  /** Publish `df` as the next index version; returns the version. */
+  def commitVersion(spark: SparkSession, table: String, df: DataFrame): Int =
+    graft.storage.Layout.CommitLog.commit(spark, table, df)
+
+  /** Highest published version, None before the first commit. */
+  def latestVersion(spark: SparkSession, table: String): Option[Int] =
+    graft.storage.Layout.CommitLog.latestVersion(spark, table)
+
+  /** Load one immutable published version. */
+  def loadVersion(spark: SparkSession, table: String, v: Int): DataFrame =
+    spark.read.parquet(s"$table/v$v")
+
+  /** Resolve-and-load the latest published version. The returned frame is
+    * pinned to the resolved version dir — a refresh landing after this
+    * call never mutates what this reader scans.
+    */
+  def loadLatest(spark: SparkSession, table: String): (Int, DataFrame) = {
+    val v = latestVersion(spark, table).getOrElse(throw new IllegalStateException(
+      s"VectorStore: no published version in $table"))
+    (v, loadVersion(spark, table, v))
+  }
 }
