@@ -71,6 +71,19 @@ object ScaleBench {
         graft.pipeline.Curation.curate(docs, "doc_id", "text",
           graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))
           .count()),
+      // profiling sub-workload (not a timed headliner): curate → chunk with
+      // the chunk text MATERIALIZED (sum of chunk lengths defeats column
+      // pruning), so sf10 deltas attribute curation_pipeline's cost across
+      // its stages: curate = curation_count, chunking = this − that,
+      // split+agg = pipeline − this. Result value is the chunk count.
+      "curation_chunk" -> (() => {
+        val curated = graft.pipeline.Curation.curate(docs, "doc_id", "text",
+          graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))
+        val chunks = graft.pipeline.TrainingData
+          .chunkText(curated, "doc_id", "text", chunkChars = 200, overlap = 50)
+        chunks.agg(count(lit(1)).as("n"), sum(col("chunk_chars")).as("c"))
+          .head().getLong(0)
+      }),
       "ivf_neardup_join" -> (() =>
         Ann.ivfNearDupJoin(emb.select("vec_id", "embedding"),
           "vec_id", "embedding", minCos = 0.9, nlist = nlistOverride, seed = 42L).count()),

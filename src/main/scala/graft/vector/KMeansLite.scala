@@ -36,20 +36,39 @@ object KMeansLite {
       s
     }
 
+    // The two O(n·k·d) loops below (seeding distance refresh, Lloyd
+    // assignment) parallelize over point ranges: every parallel write
+    // lands in its own slot and every floating-point ACCUMULATION stays
+    // in sequential index order, so the result is bit-identical to the
+    // single-threaded form at any thread count — determinism is part of
+    // this trainer's contract (recall gates pin behavior downstream).
+    // Matters since the scale-aware nlist default: k grows to ~n/cellPop,
+    // and a 1562-centroid fit is ~16 GFLOPs — seconds single-threaded.
+    def parRanges(work: (Int, Int) => Unit): Unit = {
+      val block = 2048
+      val nb = (n + block - 1) / block
+      if (nb <= 1) work(0, n)
+      else java.util.stream.IntStream.range(0, nb).parallel()
+        .forEach(b => work(b * block, math.min(n, (b + 1) * block)))
+    }
+
     // ---- k-means++ seeding
     val centers = Array.ofDim[Double](k, d)
     Array.copy(points(rnd.nextInt(n)), 0, centers(0), 0, d)
     val minD = Array.fill(n)(Double.MaxValue)
     var c = 1
     while (c < k) {
-      var i = 0
-      var total = 0.0
-      while (i < n) {
-        val dd = l2sq(points(i), centers(c - 1))
-        if (dd < minD(i)) minD(i) = dd
-        total += minD(i)
-        i += 1
+      parRanges { (from, until) =>
+        var i = from
+        while (i < until) {
+          val dd = l2sq(points(i), centers(c - 1))
+          if (dd < minD(i)) minD(i) = dd
+          i += 1
+        }
       }
+      var total = 0.0
+      var i = 0
+      while (i < n) { total += minD(i); i += 1 }
       val pick =
         if (total <= 0.0) rnd.nextInt(n) // fewer distinct points than k
         else {
@@ -69,21 +88,25 @@ object KMeansLite {
     var iter = 0
     var changed = true
     while (iter < maxIter && changed) {
-      changed = false
-      var i = 0
-      while (i < n) {
-        var best = 0
-        var bestD = l2sq(points(i), centers(0))
-        var j = 1
-        while (j < k) {
-          val dd = l2sq(points(i), centers(j))
-          if (dd < bestD) { bestD = dd; best = j }
-          j += 1
+      val changedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      parRanges { (from, until) =>
+        var i = from
+        while (i < until) {
+          var best = 0
+          var bestD = l2sq(points(i), centers(0))
+          var j = 1
+          while (j < k) {
+            val dd = l2sq(points(i), centers(j))
+            if (dd < bestD) { bestD = dd; best = j }
+            j += 1
+          }
+          if (assign(i) != best) { assign(i) = best; changedFlag.set(true) }
+          i += 1
         }
-        if (assign(i) != best) { assign(i) = best; changed = true }
-        i += 1
       }
+      changed = changedFlag.get()
       if (changed) {
+        var i = 0
         var j = 0
         while (j < k) {
           java.util.Arrays.fill(sums(j), 0.0); counts(j) = 0
