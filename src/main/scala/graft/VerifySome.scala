@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Dev harness: Verify for a SUBSET of queries (args), same dump + oracle
@@ -18,13 +17,10 @@ object VerifySome {
     require(unknown.isEmpty,
       s"VerifySome: unknown queries ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-      .getOrCreate()
+    // master-aware (SPARK_GRAFT_MASTER → local-cluster): GraftSession.
+    // The chaos harness (tools/run_chaos.sh) relies on this to run a
+    // query subset with separate executor JVMs it can kill mid-job.
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
