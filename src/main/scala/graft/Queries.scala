@@ -868,12 +868,17 @@ object Queries {
         .orderBy(col("qid"), col("score").desc, col("vec_id"))
     }),
 
-    // exact interpolated percentiles per group (ordered-statistics agg)
-    "q47_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-        dec(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        dec(expr("percentile(l_extendedprice, 0.95)")).as("p95"))
-        .orderBy("l_returnflag")),
+    // exact interpolated percentiles per group — the spill-safe sort-based
+    // form (external-sort window rank + tiny interpolation aggregate),
+    // replacing the built-in `percentile` whose per-group value buffer is
+    // the one memory-unbounded aggregate shape at 100-TB group sizes
+    "q47_percentile" -> ((s, dir) => {
+      val p = graft.operators.OrderedStats.exactPercentiles(
+        t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      p.select(col("l_returnflag"), dec(col("p50")).as("p50"), dec(col("p95")).as("p95"))
+        .orderBy("l_returnflag")
+    }),
 
     // hierarchical aggregation (ROLLUP): subtotals + grand total in one pass
     "q48_rollup" -> ((s, dir) =>
