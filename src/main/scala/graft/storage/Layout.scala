@@ -183,15 +183,36 @@ object Layout {
     /** Write `df` as the next free version; returns the committed
       * version. Safe under concurrent committers — no external lock.
       */
-    def commit(spark: SparkSession, table: String, df: DataFrame): Int = {
+    def commit(spark: SparkSession, table: String, df: DataFrame): Int =
+      commitFrom(spark, table, df, None)
+
+    /** [[commit]] with an injectable starting probe version — the version
+      * a writer believes is next after its (possibly stale) read of
+      * `latestVersion`. Tests use the override to deterministically
+      * reproduce a writer whose read raced a concurrent publish.
+      */
+    private[storage] def commitFrom(spark: SparkSession, table: String,
+        df: DataFrame, startVersion: Option[Int]): Int = {
       import org.apache.hadoop.fs.Path
       val tmp = new Path(table, s"_tmp-${java.util.UUID.randomUUID}")
       val f = fs(spark, tmp)
       df.write.mode("overwrite").parquet(tmp.toString)
       f.mkdirs(new Path(table, "_claims"))
-      var v = latestVersion(spark, table).getOrElse(-1) + 1
-      while (!tryExclusiveCreate(f, new Path(s"$table/_claims/$v"))) {
-        v += 1 // lost the race for this version — try the next slot
+      var v = startVersion.getOrElse(latestVersion(spark, table).getOrElse(-1) + 1)
+      var claimed = false
+      while (!claimed) {
+        if (!tryExclusiveCreate(f, new Path(s"$table/_claims/$v"))) {
+          v += 1 // lost the race for this version — try the next slot
+        } else if (f.exists(new Path(s"$table/_commits/$v"))) {
+          // Won the claim file, but the version is already PUBLISHED: the
+          // original claim was GC-reaped after its marker appeared, and
+          // this writer's latestVersion read predates that marker. The
+          // marker — not the claim — is the immutability source of truth;
+          // touching dest here would tear a visible version. Bump past it.
+          // (Our resurrected claim file stays behind as marker-backed
+          // garbage for a later TTL'd sweep.)
+          v += 1
+        } else claimed = true
       }
       val dest = new Path(s"$table/v$v")
       // a pre-CAS-era torn write could have left an unmarked data dir at
@@ -209,34 +230,60 @@ object Layout {
       v
     }
 
-    /** Stale-staging TTL: a live writer's `_tmp-*` dir has its mtime
-      * refreshed every time a task commits a file into it, so an hour of
-      * silence means the writer is dead (a hung one past the TTL fails
-      * its rename loudly rather than corrupting anything).
+    /** Stale-staging TTL: liveness is judged by the NEWEST mtime anywhere
+      * under a `_tmp-*` tree (task commits land files under
+      * `_temporary/...`, so the top-level dir's own mtime stays at job
+      * start) — an hour with no file activity anywhere in the tree means
+      * the writer is dead (a hung one past the TTL fails its rename
+      * loudly rather than corrupting anything). The same TTL age-gates
+      * marker-backed claim reaping.
       */
     private val TmpTtlMs: Long = 60L * 60 * 1000
 
+    /** Newest modification time anywhere in the tree rooted at `p` —
+      * the liveness signal for a staging dir whose writes land in nested
+      * `_temporary` task dirs, not at the top level.
+      */
+    private def treeMaxMtime(f: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Long =
+      try {
+        val self = f.getFileStatus(p).getModificationTime
+        f.listStatus(p).foldLeft(self) { (acc, st) =>
+          math.max(acc,
+            if (st.isDirectory) treeMaxMtime(f, st.getPath) else st.getModificationTime)
+        }
+      } catch { // raced with the writer's own rename/cleanup: treat as live
+        case _: java.io.FileNotFoundException => System.currentTimeMillis()
+      }
+
     /** Sweep commit-protocol garbage that is invisible to readers:
-      *  - `_claims/<v>` for v ≤ the latest committed version — future
-      *    writers probe from latestVersion+1, so these slots are never
-      *    consulted again (a live pre-marker writer holding such a claim
-      *    is unaffected: its rename + marker publish don't re-read it);
-      *  - `_tmp-*` staging dirs idle past `ttlMs` — writers that died
-      *    before their rename.
+      *  - `_claims/<v>` whose version is PUBLISHED (its `_commits/<v>`
+      *    marker exists) and whose claim file is older than `ttlMs`. The
+      *    marker requirement keeps a live pre-publish writer's claim safe;
+      *    the TTL keeps the slot occupied long enough that any racer whose
+      *    `latestVersion` read predated the marker has already probed past
+      *    it (and commit()'s marker re-check backstops even that).
+      *    Markerless claims are NEVER reaped — they are either a live
+      *    writer mid-commit or a dead claimer's permanent tombstone, and a
+      *    tombstone is exactly what keeps that torn slot unreachable.
+      *  - `_tmp-*` staging dirs whose whole TREE is idle past `ttlMs` —
+      *    writers that died before their rename.
       * Without this, claims/tmp dirs accumulate forever and the commit
       * CAS probe degrades to a linear scan under long-lived contention.
       */
     private[storage] def gc(f: org.apache.hadoop.fs.FileSystem,
         table: org.apache.hadoop.fs.Path, latestCommitted: Int, ttlMs: Long): Unit = {
       import org.apache.hadoop.fs.Path
+      val cutoff = System.currentTimeMillis() - ttlMs
       val claims = new Path(table, "_claims")
       if (f.exists(claims)) f.listStatus(claims).foreach { st =>
         val v = st.getPath.getName.toIntOption.getOrElse(-1)
-        if (v >= 0 && v <= latestCommitted) f.delete(st.getPath, false)
+        if (v >= 0 && v <= latestCommitted && st.getModificationTime < cutoff &&
+            f.exists(new Path(table, s"_commits/$v")))
+          f.delete(st.getPath, false)
       }
-      val cutoff = System.currentTimeMillis() - ttlMs
       f.listStatus(table).foreach { st =>
-        if (st.getPath.getName.startsWith("_tmp-") && st.getModificationTime < cutoff)
+        if (st.getPath.getName.startsWith("_tmp-") && treeMaxMtime(f, st.getPath) < cutoff)
           f.delete(st.getPath, true)
       }
     }

@@ -166,6 +166,96 @@ class LayoutSpec extends SparkSpec {
     assert(CommitLog.readLatest(spark, table).count() == 2)
   }
 
+  test("CommitLog: stale-read writer + GC-freed claim slot cannot mutate a published version") {
+    import spark.implicits._
+    import Layout.CommitLog
+    val table = "/tmp/graft_test_commitlog_resurrect"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(table))
+    assert(CommitLog.commit(spark, table, Seq((1, "v0")).toDF("id", "who")) == 0)
+    assert(CommitLog.commit(spark, table, Seq((1, "v1"), (2, "v1")).toDF("id", "who")) == 1)
+    // the dangerous state: v1 is published AND its claim file was reaped
+    // (as an over-eager GC would), so the CAS slot for 1 is free again
+    new java.io.File(s"$table/_claims/1").delete()
+    // a writer whose latestVersion read raced v1's publish believes the
+    // next free slot is 1 — it wins the resurrected claim file, and before
+    // the fix would delete the published v1 dir and rename over it
+    val v = CommitLog.commitFrom(spark, table,
+      Seq((9, "late")).toDF("id", "who"), startVersion = Some(1))
+    assert(v == 2, s"stale writer must bump past the published slot, landed at $v")
+    // published v1 is byte-for-byte untouched
+    val v1 = spark.read.parquet(s"$table/v1").collect().map(_.getString(1)).toSet
+    assert(v1 == Set("v1"), s"published v1 mutated: $v1")
+    assert(CommitLog.readLatest(spark, table).collect().map(_.getString(1)).toSet == Set("late"))
+  }
+
+  test("CommitLog.gc: claims reaped only when marker-backed AND past TTL; markerless kept") {
+    import spark.implicits._
+    import Layout.CommitLog
+    val table = "/tmp/graft_test_commitlog_gcgate"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(table))
+    assert(CommitLog.commit(spark, table, Seq((1, "a")).toDF("id", "v")) == 0)
+    assert(CommitLog.commit(spark, table, Seq((2, "b")).toDF("id", "v")) == 1)
+    // markerless claim at 2 — a live (or dead) pre-publish writer
+    new java.io.File(s"$table/_claims/2").createNewFile()
+    val old = System.currentTimeMillis() - 3 * 60 * 60 * 1000
+    Seq(0, 1, 2).foreach(v => new java.io.File(s"$table/_claims/$v").setLastModified(old))
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommitLog.gc(fsys, p, latestCommitted = 1, ttlMs = 60 * 60 * 1000)
+    assert(!new java.io.File(s"$table/_claims/0").exists(), "old marker-backed claim 0 reaped")
+    assert(!new java.io.File(s"$table/_claims/1").exists(), "old marker-backed claim 1 reaped")
+    assert(new java.io.File(s"$table/_claims/2").exists(),
+      "markerless claim must survive GC — it is the tombstone keeping its slot unreachable")
+    // fresh marker-backed claim: inside TTL, must survive
+    assert(CommitLog.commit(spark, table, Seq((3, "c")).toDF("id", "v")) == 3)
+    CommitLog.gc(fsys, p, latestCommitted = 3, ttlMs = 60 * 60 * 1000)
+    assert(new java.io.File(s"$table/_claims/3").exists(),
+      "claim younger than TTL must survive even with its marker present")
+  }
+
+  test("CommitLog.gc: staging liveness is the tree max mtime, not the top-level dir") {
+    import Layout.CommitLog
+    val table = "/tmp/graft_test_commitlog_tmpttl"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(table))
+    new java.io.File(table).mkdirs()
+    val old = System.currentTimeMillis() - 3 * 60 * 60 * 1000
+    // live long-running write: top-level dir mtime is stale (set at job
+    // start) but a task just committed a file deep under _temporary/
+    val live = new java.io.File(s"$table/_tmp-live/_temporary/0/task_0")
+    live.mkdirs()
+    val fresh = new java.io.File(live, "part-0000")
+    fresh.createNewFile()
+    new java.io.File(s"$table/_tmp-live").setLastModified(old)
+    new java.io.File(s"$table/_tmp-live/_temporary").setLastModified(old)
+    // dead write: every mtime in the tree is past the TTL
+    val dead = new java.io.File(s"$table/_tmp-dead/_temporary/0/task_0")
+    dead.mkdirs()
+    val deadFile = new java.io.File(dead, "part-0000")
+    deadFile.createNewFile()
+    Seq(s"$table/_tmp-dead", s"$table/_tmp-dead/_temporary",
+      s"$table/_tmp-dead/_temporary/0", dead.getPath, deadFile.getPath)
+      .foreach(new java.io.File(_).setLastModified(old))
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommitLog.gc(fsys, p, latestCommitted = -1, ttlMs = 60 * 60 * 1000)
+    assert(new java.io.File(s"$table/_tmp-live").exists(),
+      "staging dir with fresh task files must survive the sweep")
+    assert(!new java.io.File(s"$table/_tmp-dead").exists(),
+      "staging dir idle across its whole tree must be reaped")
+  }
+
   test("compact collapses a fragmented directory and preserves rows") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i, s"v$i")).toDF("id", "v")

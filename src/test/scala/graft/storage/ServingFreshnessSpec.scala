@@ -82,10 +82,19 @@ class ServingFreshnessSpec extends SparkSpec {
     VectorStore.commitVersion(spark, table, versionDf(3))
     assert(!Files.exists(stale), "stale _tmp dir survived GC")
     assert(Files.exists(fresh), "fresh _tmp dir was deleted — live writers at risk")
-    // claims at or below the latest committed version are consumed: swept
-    val claims = Option(new java.io.File(table, "_claims").list()).map(_.toSeq).getOrElse(Seq.empty)
-    assert(claims.forall(_.toInt > 3), s"consumed claims survived: $claims")
+    // consumed claims are TTL-aged before reaping (a freshly consumed slot
+    // must stay occupied so a stale-read racer can't resurrect it): all
+    // still present now, reaped once aged past the TTL on the next commit
+    val claimsDir = new java.io.File(table, "_claims")
+    val claimsNow = Option(claimsDir.list()).map(_.toSeq).getOrElse(Seq.empty)
+    assert(claimsNow.map(_.toInt).sorted == Seq(0, 1, 2, 3),
+      s"fresh consumed claims must survive inside the TTL: $claimsNow")
+    val old = System.currentTimeMillis() - 2L * 3600 * 1000
+    claimsDir.listFiles().foreach(_.setLastModified(old))
+    VectorStore.commitVersion(spark, table, versionDf(4))
+    val claimsAfter = Option(claimsDir.list()).map(_.toSeq).getOrElse(Seq.empty)
+    assert(claimsAfter.forall(_.toInt == 4), s"aged consumed claims survived: $claimsAfter")
     // GC never touches published data
-    (0 to 3).foreach(v => assert(complete(table, v), s"v$v damaged by GC"))
+    (0 to 4).foreach(v => assert(complete(table, v), s"v$v damaged by GC"))
   }
 }
