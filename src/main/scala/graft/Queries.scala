@@ -3262,11 +3262,11 @@ object Queries {
         .select("doc_id", "text", "embedding")
         .orderBy("doc_id").limit(400).cache()
       corpus.count()
-      val table = "/tmp/graft_q177_vstore"
+      // per-run unique table: concurrent harness processes on one host
+      // (bench + verify) must not interleave commits on a shared path and
+      // spuriously fail each other's completeness/monotonicity invariants
+      val table = s"/tmp/graft_q177_vstore-${java.util.UUID.randomUUID}"
       val tp = new org.apache.hadoop.fs.Path(table)
-      // fresh table per run: stale versions from a previous run must not
-      // satisfy this run's invariants
-      tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
       def versionDf(v: Int) =
         corpus.limit((v + 1) * 100).withColumn("idx_version", lit(v))
       graft.vector.VectorStore.commitVersion(s, table, versionDf(0))
@@ -3297,6 +3297,7 @@ object Queries {
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val identical = hits(served) == hits(versionDf(3))
       corpus.unpersist(false)
+      tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
       Seq((4, readsComplete, monotonic, finalV, identical)).toDF(
         "n_commits", "reads_complete", "monotonic", "final_version", "topk_identical")
     })

@@ -71,15 +71,33 @@ final class ModelEmbedder private[vector] (
   /** Pretrained — fitting is a no-op by design. */
   def fit(corpus: DataFrame, textCol: String): this.type = this
 
-  // one broadcast per embedder instance, not per transform call: the
-  // ~50 MB matrix would otherwise accumulate un-destroyed copies on the
-  // driver and executors over a long serving session
+  // one broadcast per (embedder, SparkContext), not per transform call:
+  // the ~50 MB matrix would otherwise accumulate un-destroyed copies over
+  // a long serving session. Keyed by context identity — a broadcast made
+  // on a stopped context is unusable, so a session restart (sequential
+  // suites, serving-process bounce) must re-broadcast, not re-serve it.
   @transient private var bcCache: org.apache.spark.broadcast.Broadcast[Array[Float]] = _
+  @transient private var bcCtx: org.apache.spark.SparkContext = _
 
   private def broadcastWeights(df: DataFrame) = synchronized {
-    if (bcCache == null)
-      bcCache = df.sparkSession.sparkContext.broadcast(weights)
+    val sc = df.sparkSession.sparkContext
+    if (bcCache == null || (bcCtx ne sc)) {
+      bcCache = sc.broadcast(weights)
+      bcCtx = sc
+    }
     bcCache
+  }
+
+  /** Release the cached weight broadcast (driver + executor copies).
+    * Call when retiring an embedder instance in a long-lived process;
+    * safe to call repeatedly or with the owning context already stopped.
+    */
+  def dispose(): Unit = synchronized {
+    if (bcCache != null) {
+      try bcCache.destroy() catch { case _: Exception => () }
+      bcCache = null
+      bcCtx = null
+    }
   }
 
   def transform(df: DataFrame, textCol: String, outCol: String): DataFrame = {

@@ -30,14 +30,33 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} java $ADD_OPENS -Xmx8g \
   graft.VerifySome "$SF" "$OUT" $QUERIES > >(tee "$DRIVER_LOG") 2>&1 &
 DRIVER=$!
 
+# Victim selection is scoped to DESCENDANTS of our driver JVM: a bare
+# pgrep would match every executor on the host, and on a shared machine
+# the chaos loop must never SIGKILL another job's executors.
+descendants() {
+  local pid=$1 c
+  for c in $(ps -o pid= --ppid "$pid" 2>/dev/null); do
+    echo "$c"
+    descendants "$c"
+  done
+}
+pick_victim() {
+  local p
+  for p in $(descendants "$1"); do
+    if ps -o cmd= -p "$p" 2>/dev/null | grep -q CoarseGrainedExecutorBackend; then
+      echo "$p"
+    fi
+  done | shuf -n1
+}
+
 # Killer loop: every $INTERVAL seconds, SIGKILL one live executor JVM
 # (CoarseGrainedExecutorBackend — never the driver). The standalone
 # master re-provisions a replacement on the surviving worker slot.
 killed=0
 while [ $killed -lt "$KILLS" ] && kill -0 $DRIVER 2>/dev/null; do
   sleep "$INTERVAL"
-  # executors are children of this driver's in-process workers
-  VICTIM=$(pgrep -f CoarseGrainedExecutorBackend | shuf -n1 || true)
+  # executors are forked children of this driver's in-process workers
+  VICTIM=$(pick_victim $DRIVER || true)
   if [ -n "${VICTIM:-}" ]; then
     echo "[chaos] SIGKILL executor pid $VICTIM" >&2
     kill -9 "$VICTIM" 2>/dev/null && killed=$((killed+1))
