@@ -78,45 +78,64 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // stdout gets a COMPACT per-query map — the driver's stdout capture
-    // truncated round 7's record mid-queries-object (only ~50 of 176
-    // survived), so the line is shrunk two ways: keys drop to their
-    // unique qNN prefix and times round to ms precision. Full names +
-    // full precision live in BENCH_full.json.
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val shortKeys = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    // The driver keeps only the LAST ~2000 chars of stdout (r07 and r08
+    // both lost the head of a single long record line, leaving nothing
+    // parseable). The final line must therefore carry all 177 queries in
+    // well under that budget — including the ~80 chars of sbt epilogue
+    // that land after it. Encoding: keys shrink to the bare query NUMBER
+    // (the N of qNN_*; "qunit" documents it), times to integer
+    // CENTISECONDS — 10 ms granularity is ample for a backup record; full
+    // names + full precision live in BENCH_full.json and on the earlier
+    // full line. Measured size at sf0.1: ~1.7 KB with ~200 chars spare.
+    def fmtCs(v: Double): String =
+      if (v < 0) "-1" else math.round(v * 100).toString
+    val shortKeys = results.map { case (k, _) =>
+      k -> k.drop(1).takeWhile(_.isDigit).dropWhile(_ == '0')
+    }.toMap
     val compactKeyed =
       if (shortKeys.values.toSet.size == results.size) results.map { case (k, v) => shortKeys(k) -> v }
-      else results // prefix collision: fall back to full names rather than drop data
-    val qsCompact = compactKeyed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      else results // number collision: fall back to full names rather than drop data
+    val qsCompact = compactKeyed.map { case (k, v) => "\"" + k + "\":" + fmtCs(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val rep = replayed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // build-once/query-many retrieval (the reference's real usage shape);
     // reported separately so index construction stops masking serving
     // latency — see ServingBench
-    val serving =
-      try {
-        val (build, mean, max, n, annMean, annMax) = ServingBench.run(spark, sfDir)
-        s"""{"build_sec":$build,"warm_query_mean_sec":$mean,"warm_query_max_sec":$max,"n_calls":$n,"ann_warm_mean_sec":$annMean,"ann_warm_max_sec":$annMax}"""
-      } catch { case e: Throwable =>
+    val servingRes =
+      try Some(ServingBench.run(spark, sfDir))
+      catch { case e: Throwable =>
         System.err.println(s"[bench] serving failed: ${e.getMessage}")
-        "null"
+        None
       }
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","replayed":$rep,"serving":$serving}"""
-    println(line)
-    // the driver's stdout capture truncated both r06's and r07's records —
-    // persist the FULL-fidelity line (full query names, full precision) to
-    // a file so no per-query timing is ever lost
+    val serving = servingRes.map { case (build, mean, max, n, annMean, annMax) =>
+      s"""{"build_sec":$build,"warm_query_mean_sec":$mean,"warm_query_max_sec":$max,"n_calls":$n,"ann_warm_mean_sec":$annMean,"ann_warm_max_sec":$annMax}"""
+    }.getOrElse("null")
+    // compact serving mirror (3 dp) for the size-budgeted last line:
+    // b=build, qm/qx=warm query mean/max, am/ax=ANN warm mean/max
+    val servingCompact = servingRes.map { case (build, mean, max, n, annMean, annMax) =>
+      s"""{"b":${fmt(build)},"qm":${fmt(mean)},"qx":${fmt(max)},"n":$n,"am":${fmt(annMean)},"ax":${fmt(annMax)}}"""
+    }.getOrElse("null")
+    // full-fidelity record: printed FIRST (its head may be cut from the
+    // driver's stdout tail — acceptable, it also persists to a file) and
+    // written to BENCH_full.json so no per-query timing is ever lost
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"serving":$serving}"""
+    println(fullLine)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // compact self-sufficient record: LAST line out, sized to survive the
+    // driver's stdout-tail capture whole (replay list collapses to its
+    // count, serving to 3-dp short keys, sf to its numeric suffix)
+    val sfShort = sfDir.split("sf").last
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qsCompact,"sf":"$sfShort","nreplay":${replayed.size},"serving":$servingCompact}"""
+    println(line)
     spark.stop()
   }
 }
