@@ -94,9 +94,24 @@ object ScaleBench {
           .packSequences(d, "doc_id", "lang", "n_tokens", capTokens = 256L).count()
       }),
       "zorder_write" -> (() => {
-        graft.storage.Layout.zorderWrite(lineitem, "/tmp/graft_scale_zorder",
+        // GRAFT_SCALE_ZORDER_OUT points the sink somewhere else — e.g. a
+        // tmpfs mount, the disk-I/O-removed control in the I/O-separated
+        // scaling methodology (tools/run_zorder_scale.sh). Result value is
+        // BYTES written so runs normalize as throughput, not just seconds.
+        val out = sys.env.getOrElse("GRAFT_SCALE_ZORDER_OUT", "/tmp/graft_scale_zorder")
+        graft.storage.Layout.zorderWrite(lineitem, out,
           "l_orderkey", "l_partkey", bits = 8, files = 16)
-        graft.storage.Layout.dataFileCount(spark, "/tmp/graft_scale_zorder").toLong
+        graft.storage.Layout.dataBytes(spark, out)
+      }),
+      // compute-only control (not a timed headliner): the exact
+      // zorder_write plan — scan → Morton value → range shuffle → sort —
+      // against the noop sink, so parquet encode + disk write drop out.
+      // disk − tmpfs isolates device I/O; tmpfs − compute isolates encode.
+      "zorder_compute" -> (() => {
+        graft.storage.Layout.zorderFrame(lineitem,
+          "l_orderkey", "l_partkey", bits = 8, files = 16)
+          .get.write.format("noop").mode("overwrite").save()
+        16L
       }),
       "sq_int8_ann" -> (() => {
         val pool = emb.select("vec_id", "embedding")
@@ -127,9 +142,20 @@ object ScaleBench {
           .select("vec_id").collect().map(_.getLong(0)).toSet
         ann.intersect(exact).size.toLong
       }))
-    val results = all
-      .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .map { case (name, work) => timed(name)(work()) }
+    val selected = all.filter { case (name, _) => only.isEmpty || only.contains(name) }
+    // GRAFT_SCALE_WARMUP=1: run each selected workload once UNTIMED first.
+    // The headline six-workload protocol keeps cold fresh-JVM numbers (its
+    // in-sequence order self-warms); single-workload methodology runs
+    // (run_zorder_scale.sh) opt in so ~5 s of codegen/scan warmup doesn't
+    // pollute a small-SF base point and flatter the large-SF ratio.
+    if (sys.env.contains("GRAFT_SCALE_WARMUP")) selected.foreach { case (name, work) =>
+      try { work(); () } catch { case e: Throwable =>
+        System.err.println(s"[scale] warmup $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val results = selected.map { case (name, work) => timed(name)(work()) }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rows = results.map { case (k, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")

@@ -25,8 +25,15 @@ object CleanFunctions {
     * semantics (a tag spanning the lowered text is removed before the
     * character scrub).
     */
-  def cleanText(c: Column): Column =
-    regexp_replace(regexp_replace(lower(c), "<.*?>", ""), "[^a-z0-9\\s]", "")
+  def cleanText(c: Column): Column = cleanLowered(lower(c))
+
+  /** [[cleanText]] minus the lowercase pass — for callers that already
+    * materialized `lower(c)` and feed it to several signals (see
+    * Curation.annotate): the full-string lowercase copy then runs once
+    * per row instead of once per consumer.
+    */
+  def cleanLowered(loweredCol: Column): Column =
+    regexp_replace(regexp_replace(loweredCol, "<.*?>", ""), "[^a-z0-9\\s]", "")
 
   /** O16 intended semantics — comma-tolerant numeric parse (SURVEY §1.4(2)):
     * `"559,365,151.11"` parses instead of casting to null. `try_cast` keeps

@@ -165,10 +165,26 @@ object TextFunctions {
 
   def qualityScoreFromParts(nTokCol: Column, punctCol: Column,
       stopCol: Column, nCharCol: Column): Column = {
-    // ONE double division of exact integers: bit-identical in any engine
-    // evaluating the same num/den, so threshold compares agree everywhere
     val (num, den) = qualityNumDen(nTokCol, punctCol, stopCol, nCharCol)
+    qualityFromNumDen(num, den)
+  }
+
+  /** Final step over a PRE-MATERIALIZED exact rational (see
+    * Curation.annotate — quality and quality_4dp share one num/den):
+    * ONE double division of exact integers, bit-identical in any engine
+    * evaluating the same num/den, so threshold compares agree everywhere.
+    */
+  def qualityFromNumDen(num: Column, den: Column): Column =
     num.cast(DoubleType) / den.cast(DoubleType)
+
+  /** 4-dp exact-integer half-up rounding over a pre-materialized rational
+    * (the [[qualityScoreRoundedFromParts]] tail — see that scaladoc for
+    * why double round() can't grade this).
+    */
+  def qualityRoundedFromNumDen(num: Column, den: Column): Column = {
+    val r = org.apache.spark.sql.GraftBridge.integralDivide(
+      num * lit(20000L) + den, den * lit(2L))
+    r.cast(DoubleType) / lit(10000.0)
   }
 
   /** Quality rounded half-up to 4 dp IN EXACT INTEGER SPACE:
@@ -180,9 +196,7 @@ object TextFunctions {
   def qualityScoreRoundedFromParts(nTokCol: Column, punctCol: Column,
       stopCol: Column, nCharCol: Column): Column = {
     val (num, den) = qualityNumDen(nTokCol, punctCol, stopCol, nCharCol)
-    val r = org.apache.spark.sql.GraftBridge.integralDivide(
-      num * lit(20000L) + den, den * lit(2L))
-    r.cast(DoubleType) / lit(10000.0)
+    qualityRoundedFromNumDen(num, den)
   }
 
   /** Composite quality score in [0,1]: rewards moderate length, low

@@ -22,50 +22,64 @@ object Curation {
 
   /** Annotate with the curation signals (pure map — no shuffle).
     *
-    * The heavy intermediates — the two-regex clean + tokenize, the lowercase
-    * tokenize, the punctuation scrub, and the per-language marker scores —
+    * The heavy intermediates — the lowercase copy, the two-regex clean +
+    * tokenize, the lowercase tokenize, the punctuation scrub, the stopword
+    * count, the exact quality rational, and the per-language marker scores —
     * are materialized ONCE as named columns and every signal derives from
     * those attributes. Inlining each signal independently (the naive
     * `withColumn(sig, f(text))` form) re-derives the clean/tokenize chain
     * per signal, and langId's argmax CASE duplicates its vocabulary subtree
     * ~2×#langs times; Catalyst's CollapseProject keeps multiply-referenced
-    * non-cheap aliases as-is, so this shape evaluates each regex/split
-    * exactly once per row (was the slowest registered query at sf0.1, >2×
-    * saved).
+    * non-cheap aliases as-is, so this shape evaluates each regex/split/
+    * array pass exactly once per row (was the slowest registered query at
+    * sf0.1, >2× saved; round 9 removed three more duplicated passes — the
+    * second lower(), and the stopword filter + decimal rational that
+    * quality and quality_4dp each re-evaluated).
+    *
+    * Why the clean and lowercase tokenizations cannot fuse into one: the
+    * tag scrub (`<.*?>`) spans whitespace, so it must run on the UNSPLIT
+    * text — clean tokens cannot be derived per-token from the lowercase
+    * tokens; and stopword/token counts over lowercase tokens differ
+    * semantically from counts over scrubbed tokens ("the," counts for
+    * n_tokens but not as a stopword hit). Two splits over two different
+    * strings is the honest minimum for these signal semantics.
     */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val parts = df
+      .withColumn("__lower", lower(t))
       .withColumn("__clean_toks",
-        TextFunctions.tokens(graft.functions.CleanFunctions.cleanText(t)))
-      .withColumn("__lc_toks", TextFunctions.tokens(lower(t)))
+        TextFunctions.tokens(graft.functions.CleanFunctions.cleanLowered(col("__lower"))))
+      .withColumn("__lc_toks", TextFunctions.tokens(col("__lower")))
       .withColumn("__n_punct", TextFunctions.punctCount(t))
       .withColumn("__vocab", array_distinct(col("__clean_toks")))
+      .withColumn("__n_lc", size(col("__lc_toks")))
+      .withColumn("__n_stop", TextFunctions.stopwordCountFromTokens(col("__lc_toks")))
     // one marker intersect per language, materialized so the argmax CASE
     // chain references cheap attributes instead of duplicated subtrees
     val scored = TextFunctions.langMarkers.foldLeft(parts) { case (d, (lang, ws)) =>
       d.withColumn(s"__s_$lang", TextFunctions.langScore(col("__vocab"), ws))
     }
+    // the exact rational (num, den) is shared by quality (one double
+    // divide) and quality_4dp (integer half-up round) — materialized once
+    val (qNum, qDen) = TextFunctions.qualityNumDen(
+      col("__n_lc"), col("__n_punct"), col("__n_stop"), length(t))
     scored
       .withColumn("lang_pred", TextFunctions.langArgmax(
         TextFunctions.langMarkers.map { case (lang, _) => lang -> col(s"__s_$lang") }))
       // whitespace split is case-insensitive, so lowercase tokens count the same
-      .withColumn("n_tokens", size(col("__lc_toks")))
-      .withColumn("quality", TextFunctions.qualityScoreFromParts(
-        size(col("__lc_toks")),
-        col("__n_punct"),
-        TextFunctions.stopwordCountFromTokens(col("__lc_toks")),
-        length(t)))
+      .withColumn("n_tokens", col("__n_lc"))
+      .withColumn("__qnum", qNum)
+      .withColumn("__qden", qDen)
+      .withColumn("quality", TextFunctions.qualityFromNumDen(col("__qnum"), col("__qden")))
       // exact-integer 4-dp rounding — the gradeable/exportable form
       // (double round() tie behavior is engine-specific; quality keeps
       // the raw value for thresholds)
-      .withColumn("quality_4dp", TextFunctions.qualityScoreRoundedFromParts(
-        size(col("__lc_toks")),
-        col("__n_punct"),
-        TextFunctions.stopwordCountFromTokens(col("__lc_toks")),
-        length(t)))
+      .withColumn("quality_4dp",
+        TextFunctions.qualityRoundedFromNumDen(col("__qnum"), col("__qden")))
       .withColumn("fp", TextFunctions.fingerprintFromTokens(col("__clean_toks")))
-      .drop("__clean_toks", "__lc_toks", "__n_punct", "__vocab")
+      .drop("__lower", "__clean_toks", "__lc_toks", "__n_punct", "__vocab",
+        "__n_lc", "__n_stop", "__qnum", "__qden")
       .drop(TextFunctions.langMarkers.map { case (lang, _) => s"__s_$lang" }: _*)
   }
 

@@ -55,24 +55,33 @@ object Layout {
     * 100 TB this is total-bytes / target-file-size, not a constant.
     */
   def zorderWrite(df: DataFrame, path: String, c1: String, c2: String,
-      bits: Int = 8, files: Int = 16): Unit = {
+      bits: Int = 8, files: Int = 16): Unit =
+    zorderFrame(df, c1, c2, bits, files).getOrElse(df)
+      .write.mode("overwrite").parquet(path)
+
+  /** The clustered frame [[zorderWrite]] persists — Morton value derived,
+    * range-partitioned into `files`, sorted within partitions, `__z`
+    * dropped. Exposed so measurement harnesses can execute the EXACT
+    * compute plan (scan → z-value → range shuffle → sort) against a noop
+    * sink, separating compute from parquet-encode + disk I/O. None for an
+    * empty / all-null-cluster-column input (no range to bucketize over —
+    * callers write the input as-is).
+    */
+  def zorderFrame(df: DataFrame, c1: String, c2: String,
+      bits: Int = 8, files: Int = 16): Option[DataFrame] = {
     val r = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
-    if (r.isNullAt(0) || r.isNullAt(2)) {
-      // empty input (or all-null cluster columns): write the empty
-      // dataset rather than NPE inside bucket-range derivation
-      df.write.mode("overwrite").parquet(path)
-      return
+    if (r.isNullAt(0) || r.isNullAt(2)) None
+    else {
+      val z = zValue(
+        bucketize(col(c1), r.getDouble(0), r.getDouble(1), bits),
+        bucketize(col(c2), r.getDouble(2), r.getDouble(3), bits), bits)
+      Some(df.withColumn("__z", z)
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"))
     }
-    val z = zValue(
-      bucketize(col(c1), r.getDouble(0), r.getDouble(1), bits),
-      bucketize(col(c2), r.getDouble(2), r.getDouble(3), bits), bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Number of data files under `path` (parquet/orc parts, not _SUCCESS). */
