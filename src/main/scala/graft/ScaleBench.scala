@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -27,14 +26,14 @@ object ScaleBench {
     // assignment-vs-candidate tradeoff experiment).
     val only = args.drop(2).toSet
     val nlistOverride = sys.env.get("GRAFT_SCALE_NLIST").map(_.toInt).getOrElse(0)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
+    // master-aware (SPARK_GRAFT_MASTER → local-cluster): the same harness
+    // that produced the local[32] scaling table runs the headliners with
+    // separate executor JVMs, so the SCALE.md cluster delta measures real
+    // closure/shuffle/broadcast serialization on the identical plans.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -83,6 +82,18 @@ object ScaleBench {
           .chunkText(curated, "doc_id", "text", chunkChars = 200, overlap = 50)
         chunks.agg(count(lit(1)).as("n"), sum(col("chunk_chars")).as("c"))
           .head().getLong(0)
+      }),
+      // profiling sub-workload: the keep-predicate signal pass ALONE —
+      // count() after filter lets pruning drop every output column, so
+      // what executes is exactly one lang+quality+token chain per row
+      // (the irreducible admission cost). curation_count − this = the
+      // fingerprint chain + exact-dedup shuffle's share of curate.
+      "curation_signals" -> (() => {
+        val cfg = graft.pipeline.Curation.Config(
+          langs = Set("en"), minQuality = 0.5, minTokens = 5)
+        graft.pipeline.Curation.annotate(docs, "text")
+          .filter(graft.pipeline.Curation.keep(cfg))
+          .count()
       }),
       "ivf_neardup_join" -> (() =>
         Ann.ivfNearDupJoin(emb.select("vec_id", "embedding"),

@@ -31,9 +31,21 @@ object CleanFunctions {
     * materialized `lower(c)` and feed it to several signals (see
     * Curation.annotate): the full-string lowercase copy then runs once
     * per row instead of once per consumer.
+    *
+    * ONE alternation pass, provably identical to the reference's
+    * remove-tags-then-scrub two-pass form: both scans attempt `<.*?>`
+    * at each position of the SAME original string (replacement never
+    * rescans its own output), so the tag-match sets coincide; a failed
+    * tag attempt advances one char in either form, after which the
+    * char class removes exactly the non-alphanumerics outside tag
+    * spans — which is all the second pass ever saw. Equivalence is
+    * property-tested against the literal two-pass form
+    * (PropertySpec "fused clean"); the fusion halves cleanText's
+    * full-document scan+copy cost on every hot path that tokenizes
+    * cleaned text (curation, fingerprints, shingles, minhash).
     */
   def cleanLowered(loweredCol: Column): Column =
-    regexp_replace(regexp_replace(loweredCol, "<.*?>", ""), "[^a-z0-9\\s]", "")
+    regexp_replace(loweredCol, "<.*?>|[^a-z0-9\\s]", "")
 
   /** O16 intended semantics — comma-tolerant numeric parse (SURVEY §1.4(2)):
     * `"559,365,151.11"` parses instead of casting to null. `try_cast` keeps

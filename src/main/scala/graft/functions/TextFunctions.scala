@@ -32,9 +32,14 @@ object TextFunctions {
   val bpeishPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
   def bpeishCount(c: Column): Column = regexp_count(c, lit(bpeishPattern))
 
-  /** Characters removed by the punctuation scrub = punctuation count. */
+  /** Characters the punctuation scrub would remove = punctuation count.
+    * regexp_count over the single-char class, NOT
+    * `length(c) - length(regexp_replace(c, …, ""))`: the replace form
+    * allocates a full scrubbed copy of every document just to measure its
+    * length — same result, one matched pass, zero string allocation.
+    */
   def punctCount(c: Column): Column =
-    length(c) - length(regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+    regexp_count(c, lit("[^a-zA-Z0-9 ]"))
 
   /** Word n-gram shingles over cleaned text (dedup building block).
     * Empty array when the doc has fewer than n tokens; distinct set

@@ -22,6 +22,23 @@ class PropertySpec extends AnyFunSuite {
   private val sentence = Gen.listOfN(8, word).map(_.mkString(" "))
   private val replica = Gen.choose(1, 311)
 
+  test("fused clean: one alternation pass == reference two-pass (tags then scrub)") {
+    // CleanFunctions.cleanLowered ships the fused form; this property pins
+    // it to the reference's literal semantics on adversarial inputs —
+    // nested/unclosed/adjacent tags, tag-chars in the char-class, and
+    // whitespace inside tags — over the SAME Java regex engine Spark uses
+    val tagish = Gen.oneOf("<", ">", "<b>", "</b>", "<a href='x'>", "< <x> >",
+      "<<b>>", "<ab", "a>b", "<>", "< >", "<x\ny>")
+    val plain = Gen.oneOf("the", "Qux9", "a,b.", "!!!", "  ", "é", "x")
+    val doc = Gen.listOfN(12, Gen.oneOf(tagish, plain)).map(_.mkString(""))
+    check(forAll(doc) { raw =>
+      val s = raw.toLowerCase
+      val twoPass = s.replaceAll("<.*?>", "").replaceAll("[^a-z0-9\\s]", "")
+      val fused = s.replaceAll("<.*?>|[^a-z0-9\\s]", "")
+      fused == twoPass
+    })
+  }
+
   test("cipher: bijective per replica — equal iff inputs equal") {
     check(forAll(sentence, sentence, replica) { (a, b, r) =>
       val (ca, cb) = (ScaleData.cipher(a, r), ScaleData.cipher(b, r))
