@@ -3300,6 +3300,54 @@ object Queries {
       tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
       Seq((4, readsComplete, monotonic, finalV, identical)).toDF(
         "n_commits", "reads_complete", "monotonic", "final_version", "topk_identical")
+    }),
+
+    // the custom AsOfJoinExec composed with BUCKETED storage — the
+    // round-9 composition gate: both sides written bucketed+sorted by the
+    // join key (Shuffle.writeBucketed, 8 buckets, in-bucket sort
+    // (user_id, ts)), so AsOfJoinExec's declared ClusteredDistribution is
+    // satisfied straight off the scans and EnsureRequirements elides
+    // EVERY exchange. The window dedup inside asofJoinMerge reuses the
+    // same bucketing too: HashPartitioning(user_id) satisfies
+    // ClusteredDistribution(user_id, ts) because the partitioning
+    // expressions are a subset of the clustering. Zero-Exchange is
+    // asserted from the executed plan AND pinned true by the oracle;
+    // values re-checked against the same DuckDB ASOF oracle as q41/q87 —
+    // at 100 TB this is the shape that turns a per-query shuffle of the
+    // fact table into a one-time bucketed layout cost shared by every
+    // downstream as-of.
+    "q178_asof_bucketed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      s.sql("DROP TABLE IF EXISTS graft_q178_ev")
+      s.sql("DROP TABLE IF EXISTS graft_q178_signups")
+      // catalog is session-scoped but the warehouse is not (see q81):
+      // physically clear graft-owned locations a prior session left behind
+      for (tbl <- Seq("graft_q178_ev", "graft_q178_signups")) {
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = new java.io.File(wh, tbl)
+        if (wh.startsWith("/tmp/graft_") && loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
+      graft.operators.Shuffle.writeBucketed(
+        ev.select("event_id", "user_id", "ts"),
+        "graft_q178_ev", "user_id", 8, Seq("user_id", "ts"))
+      graft.operators.Shuffle.writeBucketed(
+        ev.filter(col("event_type") === "signup").select("user_id", "ts").distinct(),
+        "graft_q178_signups", "user_id", 8, Seq("user_id", "ts"))
+      val out = graft.operators.TemporalJoins.asofJoinMerge(
+        s.table("graft_q178_ev"), s.table("graft_q178_signups"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts", rightVals = Seq())
+      require(out.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        "q178 must run on the custom AsOfJoinExec operator")
+      val noShuffle = !graft.operators.Shuffle.hasShuffle(out)
+      out.select(col("event_id"), col("user_id"), col("asof_ts").as("signup_ts"))
+        .withColumn("no_shuffle_asof", lit(noShuffle))
+        .orderBy("event_id")
     })
   )
 
@@ -4625,6 +4673,15 @@ object Queries {
     "q177_versioned_serving" ->
       """SELECT CAST(4 AS INTEGER) AS n_commits, TRUE AS reads_complete,
         |  TRUE AS monotonic, CAST(3 AS INTEGER) AS final_version,
-        |  TRUE AS topk_identical""".stripMargin
+        |  TRUE AS topk_identical""".stripMargin,
+
+    // q178: same ASOF semantics as q41/q87, computed by the custom exec
+    // over bucketed tables; the zero-Exchange plan assert is pinned true
+    "q178_asof_bucketed" ->
+      """SELECT l.event_id, l.user_id, r.ts AS signup_ts, TRUE AS no_shuffle_asof
+        |FROM events l ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin
   )
 }
+

@@ -63,9 +63,18 @@ object Shuffle {
     */
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    writeBucketed(df, table, bucketCol, numBuckets, Seq(bucketCol))
+
+  /** [[writeBucketed]] with an explicit in-bucket sort prefix — for
+    * consumers whose required ordering extends past the bucket key (the
+    * as-of merge exec wants (key, ts)): files land pre-sorted so the
+    * scan-side sort is a cheap (often elided) run over sorted input.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, sortCols: Seq[String]): Unit =
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(table)
 
   /** True if the executed plan of `df` contains any shuffle exchange
