@@ -3174,9 +3174,14 @@ object Queries {
     // loopback fetch, while the 5 s /slow stall still times out — every
     // failure drops to None (the reference's py:54-70 contract), and the
     // three complete articles parse to (path, title, content length). Eagerly
-    // materialized (localCheckpoint) so the server can stop before the
-    // frame is consumed; the port is ephemeral, so urls are reduced to
-    // their server-independent paths
+    // materialized so the server can stop before the frame is consumed —
+    // and this is the ONE site where localCheckpoint (lineage severed) is
+    // the correct tool rather than Materialize.eager: the source is
+    // non-replayable (the server is gone), so a lineage recompute after
+    // block loss would re-fetch against a dead socket and corrupt the
+    // result; a production pipeline lands fetches durably for the same
+    // reason. The port is ephemeral, so urls are reduced to their
+    // server-independent paths
     "q174_http_fetch" -> ((s, dir) => {
       val (server, base) = graft.ingest.FixtureHttpServer.start()
       try {

@@ -179,12 +179,15 @@ object Ann {
       nearestCentroidExpr(col("__u"), centers).as("cluster")).cache()
     // candidate pairs are materialized eagerly (ids only — tiny next to the
     // vectors), which lets the assignment cache be released before this
-    // function returns instead of leaking into the caller's session
-    val cands = assigned.as("a")
+    // function returns instead of leaking into the caller's session.
+    // Materialize.eager keeps lineage so a lost block recomputes (via a
+    // re-derived assignment — deterministic given the fixed centers)
+    // instead of failing the query on executor death (round-9 chaos
+    // finding: this exact site killed q84 under SIGKILL)
+    val cands = Materialize.eager(assigned.as("a")
       .join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))
-      .localCheckpoint(true)
+      .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb")))
     assigned.unpersist(false)
     val vecs = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
     cands

@@ -123,14 +123,12 @@ object Dedup {
     // candidate docs) and each feeds 2-3 downstream sub-plans; eager
     // materialization stops the band self-join and the corpus shingle
     // explode from re-executing per reference — without it the candidate
-    // plan ran ~4× (measured 3× slowdown at sf0.1). Lifetime: checkpoint
-    // blocks are freed by the ContextCleaner once the returned frame's
-    // RDDs become unreachable (after the consuming query finishes); the
-    // pinned footprint is candidate-bounded, not corpus-sized. The trade:
-    // checkpointed data is not recomputable on executor loss — acceptable
-    // for bounded verify-stage intermediates.
-    val pairs = pairs0.localCheckpoint(true)
-    val candSh = shinglesOfCandidates(pairs, shingles).localCheckpoint(true)
+    // plan ran ~4× (measured 3× slowdown at sf0.1). Materialize.eager
+    // (persist + count), NOT localCheckpoint: lineage survives, so an
+    // executor death recomputes the lost partitions instead of failing
+    // the query (the round-9 chaos finding — see Materialize's scaladoc).
+    val pairs = Materialize.eager(pairs0)
+    val candSh = Materialize.eager(shinglesOfCandidates(pairs, shingles))
     val counts = candSh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = pairs
       .join(candSh.as("sa"), col("da") === col("sa.doc_id"))

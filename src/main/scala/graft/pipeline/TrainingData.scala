@@ -60,11 +60,13 @@ object TrainingData {
       col(tokenCol).cast(LongType).as("__tok"))
     // materialized once (ids + token counts only — a few bytes per row):
     // both the subtotal pass and the final window read this frame, and
-    // checkpointing pins ONE set of range boundaries for both
-    val ranged = base
+    // the eager persist pins ONE set of range boundaries for both (the
+    // cached plan's range partitioner is fixed at job submission and
+    // reused by any lineage recompute — fault-tolerant, unlike the
+    // lineage-severing localCheckpoint this replaced; round-9 chaos)
+    val ranged = graft.operators.Materialize.eager(base
       .repartitionByRange(parts, col("__g"), col("__id"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id()))
     // stage 1: per-(partition, group) subtotals — #partitions × #groups
     // rows, safe to collect
     val subtotals = ranged.groupBy("__pid", "__g")

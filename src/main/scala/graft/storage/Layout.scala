@@ -223,6 +223,16 @@ object Layout {
           v += 1
         } else claimed = true
       }
+      // chaos failpoint (tools/run_chaos.sh, commit scenario): hold HERE —
+      // claim won, nothing renamed, no marker — so the harness can SIGKILL
+      // a real writer process at the exact protocol point where death
+      // leaves a markerless claim. The sentinel file tells the harness the
+      // hold is reached; the process then parks until killed. Inert unless
+      // the env var is set.
+      sys.env.get("GRAFT_CHAOS_HOLD_AFTER_CLAIM").foreach { sentinel =>
+        f.create(new Path(sentinel), true).close()
+        Thread.sleep(Long.MaxValue)
+      }
       val dest = new Path(s"$table/v$v")
       // a pre-CAS-era torn write could have left an unmarked data dir at
       // this version; it was never visible, and we own the claim — clear
