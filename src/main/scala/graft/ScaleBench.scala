@@ -98,6 +98,15 @@ object ScaleBench {
       "ivf_neardup_join" -> (() =>
         Ann.ivfNearDupJoin(emb.select("vec_id", "embedding"),
           "vec_id", "embedding", minCos = 0.9, nlist = nlistOverride, seed = 42L).count()),
+      // profiling sub-workload (not a timed headliner): just
+      // ivf_neardup_join's quantizer-training prefix — count + sample
+      // collect + driver-side Lloyd fit — so ivf_neardup_join − ivf_fit
+      // attributes the join's run-to-run spread between the one
+      // driver-side compute block and the distributed candidate join.
+      // Result value is the fitted centroid count (the auto nlist).
+      "ivf_fit" -> (() =>
+        Ann.ivfFit(emb.select("vec_id", "embedding"), "embedding",
+          nlist = nlistOverride, seed = 42L)._2.length.toLong),
       "pack_sequences" -> (() => {
         val d = docs.select(col("doc_id"), col("lang"),
           TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))

@@ -153,24 +153,8 @@ object Ann {
       nlist: Int = 0, seed: Long = 42L, maxIter: Int = 10,
       maxFitPoints: Int = 1 << 14, targetCellPop: Int = 128): DataFrame = {
     import graft.functions.VectorFunctions
-    val k =
-      if (nlist > 0) nlist
-      else {
-        val n = corpus.count().toDouble
-        val auto = math.max(math.sqrt(n), n / targetCellPop).toInt
-        math.min(math.max(16, auto), maxFitPoints / 8)
-      }
-    // __n is materialized as its own column so the per-element lambda only
-    // reads an attribute (an interpreted HOF re-evaluates non-lambda
-    // subtrees per element — a norm recompute per element would be O(dim²))
-    val unitized = corpus
-      .withColumn("__n", sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))))
-      .filter(col("__n") > 0.0)
-      .withColumn("__u",
-        transform(col(vecCol), x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
-    val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, maxFitPoints, seed)
-    val centers = KMeansLite.fit(sample, k, maxIter, seed)
-      .map(_.map(v => v.toFloat.toDouble))
+    val (unitized, centers) =
+      ivfFit(corpus, vecCol, nlist, seed, maxIter, maxFitPoints, targetCellPop)
     // cached: the assignment subtree (scan + normalize + k·dim kernel)
     // otherwise re-executes for EACH side of the self-join — callers on a
     // long-lived session release it with catalog.clearCache (Bench/Verify
@@ -196,5 +180,40 @@ object Ann {
       .select(col("va"), col("vb"),
         VectorFunctions.cosine(col("x.__v"), col("y.__v")).as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** The quantizer-training prefix of [[ivfNearDupJoin]] — auto-nlist
+    * sizing (corpus count), unit-normalization, bounded sample collect,
+    * seeded Lloyd fit — returning the normalized frame and the fitted
+    * centroids. Factored out so ScaleBench's `ivf_fit` sub-workload can
+    * attribute the join's wall-clock between this driver-side stage and
+    * the distributed candidate join; behavior is bit-identical to the
+    * previously-inline code (same op order, same float round-trip).
+    */
+  def ivfFit(
+      corpus: DataFrame, vecCol: String,
+      nlist: Int = 0, seed: Long = 42L, maxIter: Int = 10,
+      maxFitPoints: Int = 1 << 14, targetCellPop: Int = 128)
+      : (DataFrame, Array[Array[Double]]) = {
+    import graft.functions.VectorFunctions
+    val k =
+      if (nlist > 0) nlist
+      else {
+        val n = corpus.count().toDouble
+        val auto = math.max(math.sqrt(n), n / targetCellPop).toInt
+        math.min(math.max(16, auto), maxFitPoints / 8)
+      }
+    // __n is materialized as its own column so the per-element lambda only
+    // reads an attribute (an interpreted HOF re-evaluates non-lambda
+    // subtrees per element — a norm recompute per element would be O(dim²))
+    val unitized = corpus
+      .withColumn("__n", sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))))
+      .filter(col("__n") > 0.0)
+      .withColumn("__u",
+        transform(col(vecCol), x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
+    val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, maxFitPoints, seed)
+    val centers = KMeansLite.fit(sample, k, maxIter, seed)
+      .map(_.map(v => v.toFloat.toDouble))
+    (unitized, centers)
   }
 }
