@@ -1,7 +1,18 @@
 #!/bin/bash
+# Drive graft.Bench. The canonical BENCH_full.json artifact (the judge
+# reads it; VERDICT quotes it as the sf0.1 record) is only written for
+# sf0.1 runs — smaller-sf iteration runs write /tmp/BENCH_<sf>.json so a
+# quick local check can never clobber the headline record with
+# mislabeled numbers (this exact clobber shipped round 8's artifact
+# stamped sf0.001).
+SF=${1:-/root/testdata/sf0.001}
+case "$SF" in
+  */sf0.1|*/sf0.1/) OUT=${SPARK_GRAFT_BENCH_OUT:-BENCH_full.json} ;;
+  *)                OUT=${SPARK_GRAFT_BENCH_OUT:-/tmp/BENCH_$(basename "$SF").json} ;;
+esac
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
-SPARK_GRAFT_SF_DIR=${1:-/root/testdata/sf0.001} SPARK_GRAFT_CPUS=${2:-8} java $ADD_OPENS -Xmx8g \
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_OUT="$OUT" SPARK_GRAFT_CPUS=${2:-8} java $ADD_OPENS -Xmx8g \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench
