@@ -3353,6 +3353,31 @@ object Queries {
       out.select(col("event_id"), col("user_id"), col("asof_ts").as("signup_ts"))
         .withColumn("no_shuffle_asof", lit(noShuffle))
         .orderBy("event_id")
+    }),
+
+    // inverted-multi-index near-dup join (Ann.imiNearDupJoin) — q84's
+    // planted-pair construction on the beyond-the-driver-fit-cap scale
+    // path: scaled copies are bit-identical unit vectors, so they land in
+    // the same composite (half-quantizer × half-quantizer) cell with
+    // probability 1 and the margin check guarantees they are the ONLY
+    // pairs ≥ 0.9 — the IMI result must therefore EQUAL the brute-force
+    // DuckDB join exactly, same oracle as q84
+    "q179_imi_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sampleMax = Dedup.cosinePairs(
+          emb.filter(col("vec_id") < 400), "vec_id", "embedding", minCos = -1.0)
+        .agg(max(col("cos"))).head().getDouble(0)
+      require(sampleMax < 0.85,
+        f"q179 margin violated: max natural pairwise cosine $sampleMax%.4f >= 0.85 — " +
+          "the planted-pair construction is no longer safely separable at this SF")
+      val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0d)).cast(FloatType)).as("embedding"))
+      val pool = emb.select("vec_id", "embedding").union(planted)
+      Ann.imiNearDupJoin(pool, "vec_id", "embedding", minCos = 0.9, seed = 42L)
+        .select(col("va"), col("vb"), dec(col("cos")).as("cos"))
+        .orderBy("va", "vb")
     })
   )
 
@@ -4686,7 +4711,19 @@ object Queries {
       """SELECT l.event_id, l.user_id, r.ts AS signup_ts, TRUE AS no_shuffle_asof
         |FROM events l ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
         |ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // q179: identical brute-force oracle to q84 — the margin-checked
+    // planted-pair construction makes ANY complete near-dup join (flat
+    // IVF or IMI) equal the exact pairwise result
+    "q179_imi_join" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |planted AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, list_transform(e, x -> x * 2) AS e FROM base WHERE vec_id < 50),
+        |v AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(10,4)) AS DOUBLE) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+        |ORDER BY va, vb""".stripMargin
   )
 }
 

@@ -107,6 +107,15 @@ object ScaleBench {
       "ivf_fit" -> (() =>
         Ann.ivfFit(emb.select("vec_id", "embedding"), "embedding",
           nlist = nlistOverride, seed = 42L)._2.length.toLong),
+      // the inverted-multi-index variant of ivf_neardup_join: same auto
+      // cell-count sizing, cells come from two half-space quantizers —
+      // the beyond-the-driver-fit-cap scale path (Ann.imiNearDupJoin
+      // scaladoc). Comparable by construction with ivf_neardup_join at
+      // every scale point.
+      "imi_neardup" -> (() =>
+        Ann.imiNearDupJoin(emb.select("vec_id", "embedding"),
+          "vec_id", "embedding", minCos = 0.9, nlist = nlistOverride,
+          seed = 42L).count()),
       "pack_sequences" -> (() => {
         val d = docs.select(col("doc_id"), col("lang"),
           TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))

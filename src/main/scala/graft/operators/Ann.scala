@@ -152,15 +152,25 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nlist: Int = 0, seed: Long = 42L, maxIter: Int = 10,
       maxFitPoints: Int = 1 << 14, targetCellPop: Int = 128): DataFrame = {
-    import graft.functions.VectorFunctions
     val (unitized, centers) =
       ivfFit(corpus, vecCol, nlist, seed, maxIter, maxFitPoints, targetCellPop)
+    val assigned = unitized.select(col(idCol).as("doc_id"),
+      nearestCentroidExpr(col("__u"), centers).as("cluster"))
+    verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
+  }
+
+  /** Shared tail of the cell-bucketed near-dup joins: same-cell candidate
+    * pairs, exact-cosine verification. `assigned` is (doc_id, cluster).
+    */
+  private def verifyCellMates(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      assignedPlan: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
     // cached: the assignment subtree (scan + normalize + k·dim kernel)
     // otherwise re-executes for EACH side of the self-join — callers on a
     // long-lived session release it with catalog.clearCache (Bench/Verify
     // do so per query)
-    val assigned = unitized.select(col(idCol).as("doc_id"),
-      nearestCentroidExpr(col("__u"), centers).as("cluster")).cache()
+    val assigned = assignedPlan.cache()
     // candidate pairs are materialized eagerly (ids only — tiny next to the
     // vectors), which lets the assignment cache be released before this
     // function returns instead of leaking into the caller's session.
@@ -180,6 +190,72 @@ object Ann {
       .select(col("va"), col("vb"),
         VectorFunctions.cosine(col("x.__v"), col("y.__v")).as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** Inverted-multi-index near-dup join — the same-cell candidate/verify
+    * scheme of [[ivfNearDupJoin]], with the composite cell id coming from
+    * TWO half-space quantizers instead of one full-space quantizer
+    * (Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012 — the
+    * standard answer to coarse quantizers outgrowing their training
+    * budget; FAISS exposes it as IndexIVF over an IMI coarse level).
+    *
+    * Why it exists: ivfNearDupJoin's scale-aware auto-nlist keeps cell
+    * population — and with it candidate volume — bounded at
+    * `targetCellPop`, but its nlist is capped at maxFitPoints/8 = 2048
+    * because the quantizer is trained by a driver-side Lloyd fit on a
+    * bounded sample. Past n ≈ targetCellPop·2048 ≈ 262k vectors the flat
+    * quantizer can no longer add cells and population growth resumes.
+    * Here the cell id is (c_lo · kHalf + c_hi) from independently-fit
+    * kHalf-centroid quantizers over the two vector halves: kHalf²
+    * effective cells from two fits that each cost what ONE flat fit
+    * costs. kHalf ≤ 2048 pushes the bounded-population regime out to
+    * n ≈ targetCellPop·2048² ≈ 5·10⁸ vectors with unchanged driver work
+    * — at 100 TB the quantizer training is still a bounded-sample
+    * driver job, and assignment is still one codegen'd map pass (two
+    * k·(d/2) kernels ≈ the one k·d kernel it replaces).
+    *
+    * Recall trade vs flat IVF: a near-dup pair must co-locate in BOTH
+    * half-quantizers, so boundary-straddle misses roughly double; exact
+    * duplicates still collide with probability 1 (identical vectors →
+    * identical halves). The ImiSpec recall gate pins the floor next to
+    * the flat join's on the same clustered fixture.
+    */
+  def imiNearDupJoin(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      nlist: Int = 0, targetCellPop: Int = 128, seed: Long = 42L,
+      maxIter: Int = 10, maxFitPoints: Int = 1 << 14): DataFrame = {
+    import graft.functions.VectorFunctions
+    // effective COMPOSITE cell count: explicit `nlist`, else sized exactly
+    // like ivfNearDupJoin's auto-nlist, then split √-wise across the two
+    // half-space quantizers
+    val kEff =
+      if (nlist > 0) nlist
+      else {
+        val n = corpus.count().toDouble
+        math.max(16, math.max(math.sqrt(n), n / targetCellPop).toInt)
+      }
+    val kHalf = math.min(
+      math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), maxFitPoints / 8)
+    val unitized = corpus
+      .withColumn("__n", sqrt(VectorFunctions.dot(col(vecCol), col(vecCol))))
+      .filter(col("__n") > 0.0)
+      .withColumn("__u",
+        transform(col(vecCol), x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
+    val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, maxFitPoints, seed)
+    val d = sample(0).length
+    require(d >= 2, s"imiNearDupJoin: dim=$d cannot be split into halves")
+    val h = d / 2
+    // both halves fit from the ONE collected sample; distinct seeds so the
+    // two k-means++ streams are independent
+    val centersLo = KMeansLite.fit(sample.map(_.take(h)), kHalf, maxIter, seed)
+      .map(_.map(v => v.toFloat.toDouble))
+    val centersHi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, maxIter, seed + 1)
+      .map(_.map(v => v.toFloat.toDouble))
+    val assigned = unitized.select(col(idCol).as("doc_id"),
+      (nearestCentroidExpr(slice(col("__u"), 1, h), centersLo) * kHalf +
+        nearestCentroidExpr(slice(col("__u"), h + 1, d - h), centersHi))
+        .as("cluster"))
+    verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
   }
 
   /** The quantizer-training prefix of [[ivfNearDupJoin]] — auto-nlist

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+import graft.SparkSpec
+
+/** Inverted-multi-index near-dup join (Ann.imiNearDupJoin): the composite
+  * two-half-quantizer cell must preserve the flat join's contract — exact
+  * duplicates found with probability 1, precision exact via the cosine
+  * verification kernel — with a pinned recall floor for noisy near-dups
+  * next to flat IVF's on the same fixture.
+  */
+class ImiSpec extends SparkSpec {
+
+  // clustered vectors: 8 centers, 40 points each, mild noise (AnnSpec's
+  // fixture shape; 16-dim splits into two 8-dim quantizer halves)
+  private lazy val corpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 4 - 2))
+    (0L until 320L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(v => v + rnd.nextFloat() * 0.2f - 0.1f).toSeq)
+    }.toDF("vec_id", "embedding").cache()
+  }
+
+  test("imiNearDupJoin finds every planted exact duplicate") {
+    // ×3-scaled copies: identical direction → bit-identical unit vector →
+    // identical half-vectors → same composite cell with probability 1
+    val planted = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(3.0d)).cast(FloatType)).as("embedding"))
+    val pool = corpus.select("vec_id", "embedding").union(planted)
+    val pairs = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
+        minCos = 0.999, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach { i =>
+      assert(pairs.contains((i, i + 1000L)), s"planted pair $i missing")
+    }
+    // precision is exact: engine pairs ⊆ brute pairs at the same floor
+    val brute = Dedup.cosinePairs(pool, "vec_id", "embedding", minCos = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(brute), s"non-brute pairs: ${pairs.diff(brute)}")
+  }
+
+  test("imiNearDupJoin recall floor on noisy near-dups, next to flat IVF") {
+    // noisy copies (small angular perturbation) of the first 40 vectors:
+    // these CAN straddle a quantizer boundary, in either half
+    val planted = corpus.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.0d) + (rand(5) - lit(0.5d)) * lit(0.02d)).cast(FloatType))
+          .as("embedding"))
+    val pool = corpus.select("vec_id", "embedding").union(planted).cache()
+    val floor = 0.995
+    val brute = Dedup.cosinePairs(pool, "vec_id", "embedding", minCos = floor)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    def recallOf(pairs: Set[(Long, Long)]): Double =
+      pairs.intersect(brute).size.toDouble / brute.size
+    // matched granularity (8 natural clusters): flat 8 cells vs imi 3×3
+    // composite cells, so the delta isolates the composite-cell geometry
+    // rather than over-partitioning the fixture's cluster structure
+    val imi = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
+      minCos = floor, nlist = 8, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = Ann.ivfNearDupJoin(pool, "vec_id", "embedding",
+      minCos = floor, nlist = 8, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(imi.subsetOf(brute) && flat.subsetOf(brute))
+    assert(recallOf(flat) >= 0.99, s"flat recall ${recallOf(flat)}")
+    assert(recallOf(imi) >= 0.99, s"imi recall ${recallOf(imi)} (flat ${recallOf(flat)})")
+  }
+
+  test("imiNearDupJoin is deterministic for a fixed seed") {
+    def run() = Ann.imiNearDupJoin(corpus, "vec_id", "embedding",
+        minCos = 0.98, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run() == run())
+  }
+}
