@@ -116,6 +116,43 @@ object ScaleBench {
         Ann.imiNearDupJoin(emb.select("vec_id", "embedding"),
           "vec_id", "embedding", minCos = 0.9, nlist = nlistOverride,
           seed = 42L).count()),
+      // profiling sub-workloads (not timed headliners): CANDIDATE-PAIR
+      // volume — sum over cells of pop·(pop−1)/2 — for the flat vs the
+      // composite quantizer at this corpus, so the imi-vs-ivf wall-clock
+      // delta can be attributed to cell imbalance (IMI's product cells
+      // follow the joint half-distribution, not the uniform product of
+      // marginals) rather than guessed at. Result value IS the volume.
+      "ivf_cand_volume" -> (() => {
+        val (unitized, centers) = Ann.ivfFit(
+          emb.select("vec_id", "embedding"), "embedding",
+          nlist = nlistOverride, seed = 42L)
+        unitized.select(Ann.nearestCentroidExpr(col("__u"), centers).as("c"))
+          .groupBy("c").agg(count(lit(1)).as("p"))
+          .agg(sum(expr("p * (p - 1) div 2"))).head().getLong(0)
+      }),
+      "imi_cand_volume" -> (() => {
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        import graft.functions.VectorFunctions
+        import graft.vector.KMeansLite
+        val unitized = emb.select("vec_id", "embedding")
+          .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
+          .filter(col("__n") > 0.0)
+          .withColumn("__u", transform(col("embedding"),
+            x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
+        val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, 1 << 14, 42L)
+        val d = sample(0).length; val h = d / 2
+        val kEff = if (nlistOverride > 0) nlistOverride
+          else math.max(16, math.max(math.sqrt(emb.count().toDouble),
+            emb.count().toDouble / 128).toInt)
+        val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
+        val lo = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(v => v.toFloat.toDouble))
+        val hi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(v => v.toFloat.toDouble))
+        unitized.select(
+            (Ann.nearestCentroidExpr(slice(col("__u"), 1, h), lo) * kHalf +
+              Ann.nearestCentroidExpr(slice(col("__u"), h + 1, d - h), hi)).as("c"))
+          .groupBy("c").agg(count(lit(1)).as("p"))
+          .agg(sum(expr("p * (p - 1) div 2"))).head().getLong(0)
+      }),
       "pack_sequences" -> (() => {
         val d = docs.select(col("doc_id"), col("lang"),
           TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))

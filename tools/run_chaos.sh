@@ -27,7 +27,7 @@ OUT=${2:-/tmp/graft_chaos_out}
 KILLS=${KILLS:-4}
 INTERVAL=${INTERVAL:-6}
 PHASES=${PHASES:-"batch streaming commit"}
-BATCH_QUERIES=${BATCH_QUERIES:-"q09_dedup_key q31_join_agg q33_minhash_pairs q45_dedup_clusters q47_percentile q59_salted_agg q74_grouping_sets q82_salted_join q84_ann_join q109_decontam"}
+BATCH_QUERIES=${BATCH_QUERIES:-"q09_dedup_key q31_join_agg q33_minhash_pairs q45_dedup_clusters q47_percentile q59_salted_agg q74_grouping_sets q82_salted_join q84_ann_join q109_decontam q179_imi_join"}
 STREAM_QUERIES=${STREAM_QUERIES:-"q162_stream_restart q61_stream_window q62_stream_sessions q63_stream_dedup q64_stream_state q83_stream_join q121_stream_tws q147_stream_left_join"}
 
 ADD_OPENS=""
