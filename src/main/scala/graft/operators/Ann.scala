@@ -145,15 +145,38 @@ object Ann {
     * `targetCellPop`: nlist = max(√n, n/targetCellPop), which keeps
     * candidate volume ~n·targetCellPop (linear) once n exceeds
     * targetCellPop², while small corpora keep the √n behavior the
-    * q84/q35-scale recall gates pin. Capped at maxFitPoints/8 so the
-    * Lloyd fit always sees ≥8 sample points per centroid.
+    * q84/q35-scale recall gates pin. When the auto size exceeds
+    * maxFitPoints/8 — the most cells a driver-side Lloyd fit on a
+    * bounded sample can train with ≥8 points each — the join delegates
+    * to [[imiNearDupJoin]], whose composite cells realize the same
+    * effective count from two bounded half-fits, so the DEFAULT path
+    * keeps bounded cell population at any corpus size.
     */
   def ivfNearDupJoin(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nlist: Int = 0, seed: Long = 42L, maxIter: Int = 10,
       maxFitPoints: Int = 1 << 14, targetCellPop: Int = 128): DataFrame = {
+    // auto-sizing past the driver-fit cap delegates to the inverted
+    // multi-index: the flat quantizer cannot add cells beyond
+    // maxFitPoints/8, so past n ≈ targetCellPop·(maxFitPoints/8) cell
+    // population — and with it candidate volume — would resume growing
+    // with n. The composite quantizer realizes the SAME effective cell
+    // count from two bounded half-fits (measured faster already at
+    // sf10, SCALE.md). An explicit nlist always keeps the flat
+    // single-boundary geometry; below the cap the auto path is
+    // bit-identical to the pre-delegation code (same k, same fit).
+    val k =
+      if (nlist > 0) nlist
+      else {
+        val n = corpus.count().toDouble
+        val auto = math.max(16, math.max(math.sqrt(n), n / targetCellPop).toInt)
+        if (auto > maxFitPoints / 8)
+          return imiNearDupJoin(corpus, idCol, vecCol, minCos, auto,
+            targetCellPop, seed, maxIter, maxFitPoints)
+        auto
+      }
     val (unitized, centers) =
-      ivfFit(corpus, vecCol, nlist, seed, maxIter, maxFitPoints, targetCellPop)
+      ivfFit(corpus, vecCol, k, seed, maxIter, maxFitPoints, targetCellPop)
     val assigned = unitized.select(col(idCol).as("doc_id"),
       nearestCentroidExpr(col("__u"), centers).as("cluster"))
     verifyCellMates(corpus, idCol, vecCol, minCos, assigned)

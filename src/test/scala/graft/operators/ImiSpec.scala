@@ -73,6 +73,25 @@ class ImiSpec extends SparkSpec {
     assert(recallOf(imi) >= 0.99, s"imi recall ${recallOf(imi)} (flat ${recallOf(flat)})")
   }
 
+  test("ivfNearDupJoin auto-sizing past the fit cap delegates to the multi-index and stays correct") {
+    // maxFitPoints=64 → cap = 64/8 = 8 flat cells; auto sizing at n=340
+    // wants √340 ≈ 18 > 8, so the flat join MUST delegate to IMI — and
+    // the planted-duplicate contract must hold through the switch
+    val planted = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(3.0d)).cast(FloatType)).as("embedding"))
+    val pool = corpus.select("vec_id", "embedding").union(planted)
+    val pairs = Ann.ivfNearDupJoin(pool, "vec_id", "embedding",
+        minCos = 0.999, seed = 42L, maxFitPoints = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach { i =>
+      assert(pairs.contains((i, i + 1000L)), s"planted pair $i missing")
+    }
+    val brute = Dedup.cosinePairs(pool, "vec_id", "embedding", minCos = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(brute), s"non-brute pairs: ${pairs.diff(brute)}")
+  }
+
   test("imiNearDupJoin is deterministic for a fixed seed") {
     def run() = Ann.imiNearDupJoin(corpus, "vec_id", "embedding",
         minCos = 0.98, seed = 7L)
