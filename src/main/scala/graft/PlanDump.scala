@@ -23,7 +23,7 @@ object PlanDump {
     "q138_tv_distance", "q142_ewma", "q148_bigrams", "q149_funnel",
     "q150_dpp", "q154_batch_session_window", "q157_cdc_apply",
     "q165_twap", "q166_ohlc", "q167_chunking", "q168_vocab_encode",
-    "q169_feature_scaling", "q178_asof_bucketed")
+    "q169_feature_scaling", "q178_asof_bucketed", "q179_imi_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
