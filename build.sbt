@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench/verify record out of captured stdout; sbt's
+// default LoggedOutput prefixes every forked-JVM line with "[info] ", which
+// defeats a strict JSON parse of the record line (round-9 ADVICE: BENCH_r09
+// "parsed": null). StdoutOutput passes the forked process's stdout through
+// verbatim, so Bench's final compact line lands bare.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,6 +20,34 @@ object Bench {
     else math.max(2.0 * ok(ok.size / 2), 2.0)
   }
 
+  /** Per-query times from the committed prior full record (BENCH_full.json).
+    * The record is this main's own output format, so a scoped regex over
+    * `"qNN_name":seconds` pairs suffices — serving/meta keys never start
+    * with `q<digit>`. Failure sentinels (-1) and an unreadable/absent file
+    * yield no entries (no prior → no second trigger, never an error).
+    */
+  def priorTimes(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      val re = """"(q\d+[A-Za-z0-9_]*)":(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)""".r
+      re.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 >= 0).toMap
+    } catch { case _: Throwable => Map.empty }
+
+  /** Second replay trigger (round-9 verdict item 4): the median-based
+    * cutoff has a 2 s absolute floor, which let a 4.6× regression on a
+    * 0.4 s query escape replay — an entire contention window can hide
+    * under the floor if every query it inflates stays sub-2 s. So any
+    * query k× over its own committed prior time also replays, floored at
+    * `minSec` so sub-100 ms jitter (0.03 s → 0.1 s is 3× and meaningless)
+    * doesn't replay half the suite.
+    */
+  def regressedVsPrior(
+      t: Double, prior: Option[Double], k: Double = 2.0, minSec: Double = 0.2): Boolean =
+    t >= minSec && prior.exists(p => p > 0 && t > k * p)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,9 +96,11 @@ object Bench {
     // replay; report the min of the two observations — a noisy reading
     // can only be corrected downward, never invented.
     val threshold = replayThreshold(firstPass.map(_._2))
+    // read BEFORE this run overwrites BENCH_full.json at the end
+    val prior = priorTimes(sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_full.json"))
     val replayed = scala.collection.mutable.ListBuffer.empty[String]
     val results = firstPass.map { case (name, t) =>
-      if (t > threshold) {
+      if (t > threshold || regressedVsPrior(t, prior.get(name))) {
         replayed += name
         val t2 = run(name, SparkEntry.queries(name))
         name -> (if (t2 >= 0) math.min(t, t2) else t)

@@ -752,10 +752,7 @@ object Queries {
     "q95_stream_flatmap" -> ((s, dir) =>
       withStatePartitions(s) {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val stream = Tables.eventsStream(s, dir)
         val typed = stream
           .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
           .as[(Long, Long)]
@@ -1105,11 +1102,7 @@ object Queries {
     // availableNow run over the static drop equals DuckDB's batch join
     "q83_stream_join" -> ((s, dir) => {
       withStatePartitions(s) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        def stream() = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        def stream() = Tables.eventsStream(s, dir)
         val clicks = stream().filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
         val purchases = stream().filter(col("event_type") === "purchase")
@@ -1364,14 +1357,11 @@ object Queries {
     // deterministic; watermarking still exercises the state-bounding path.
     "q61_stream_window" -> ((s, dir) => {
       withStatePartitions(s) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-        // watermarks require TIMESTAMP (not NTZ); the session is pinned UTC,
-        // so instants equal the file's naive timestamps and the output cast
-        // back to NTZ matches DuckDB bit-for-bit
-        val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // eventsStream lands ts as instant TIMESTAMP (watermarks require it,
+        // not NTZ); the session is pinned UTC, so instants equal the file's
+        // naive timestamps and the output cast back to NTZ matches DuckDB
+        // bit-for-bit
+        val ev = Tables.eventsStream(s, dir)
         val agg = graft.streaming.StreamingOps.windowedEventCounts(
           ev, "ts", windowLen = "10 minutes", watermark = "5 minutes")
         val q = agg.writeStream.format("memory").queryName("graft_q61_sink")
@@ -1394,11 +1384,7 @@ object Queries {
     // last ts + gap) under the same finalization cutoff
     "q62_stream_sessions" -> ((s, dir) => {
       withStatePartitions(s) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = Tables.eventsStream(s, dir)
         val sessions = graft.streaming.StreamingOps.sessionCounts(
           ev, "ts", "user_id", gap = "10 minutes", watermark = "5 minutes")
         val q = sessions.writeStream.format("memory").queryName("graft_q62_sink")
@@ -1420,11 +1406,7 @@ object Queries {
     // nothing is late, so stream == batch exactly)
     "q63_stream_dedup" -> ((s, dir) => {
       withStatePartitions(s) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = Tables.eventsStream(s, dir)
         val deduped = graft.streaming.StreamingOps.dedupStream(
           ev, Seq("user_id", "event_type"), "ts", watermark = "5 minutes")
         val q = deduped.writeStream.format("memory").queryName("graft_q63_sink")
@@ -1447,10 +1429,7 @@ object Queries {
     "q64_stream_state" -> ((s, dir) => {
       withStatePartitions(s) {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val stream = Tables.eventsStream(s, dir)
         val typed = stream
           .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
           .as[(Long, Long)]
@@ -1735,10 +1714,7 @@ object Queries {
     // join exactly
     "q111_stream_static_join" -> ((s, dir) => {
       withStatePartitions(s) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val stream = Tables.eventsStream(s, dir)
         val dim = t(s, dir, "events").groupBy("event_type")
           .agg(count(lit(1)).as("type_n"))
         val joined = stream.join(broadcast(dim), "event_type")
@@ -1758,11 +1734,7 @@ object Queries {
     // availableNow batch equals batch DISTINCT
     "q112_stream_dedup_wm" -> ((s, dir) => {
       withStatePartitions(s) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val ev = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = Tables.eventsStream(s, dir)
         val deduped = graft.streaming.StreamingOps.dedupWithinWatermark(
           ev, Seq("user_id", "event_type"), "ts", "10 minutes")
           .select("user_id", "event_type")
@@ -1840,16 +1812,13 @@ object Queries {
     // duplicates); read-back across epochs must equal the source
     "q116_foreach_batch" -> ((s, dir) => {
       withStatePartitions(s) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val outPath = "/tmp/graft_q116_fb"
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete()
         }
         rm(new java.io.File(outPath))
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val stream = Tables.eventsStream(s, dir)
         val q = stream.select("event_id", "event_type", "value")
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -1975,10 +1944,7 @@ object Queries {
         s.conf.set(provKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-          val stream = s.readStream.schema(rawSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          val stream = Tables.eventsStream(s, dir)
           val typed = stream
             .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
             .as[(Long, Long)]
@@ -2538,11 +2504,7 @@ object Queries {
     // cutoff (maxTs − 10min), mirroring how q62 pins session finalization
     "q147_stream_left_join" -> ((s, dir) => {
       withStatePartitions(s) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        def stream() = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        def stream() = Tables.eventsStream(s, dir)
         val clicks = stream().filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
         val purchases = stream().filter(col("event_type") === "purchase")

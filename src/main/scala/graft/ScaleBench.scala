@@ -18,6 +18,55 @@ import graft.operators.{Ann, Dedup, Similarity}
   */
 object ScaleBench {
 
+  /** Planted copies land at base id + this offset, so recall counting is a
+    * single equi-filter on the join output.
+    */
+  val plantIdOffset = 1000000000L
+
+  /** How many near-threshold pairs the straddle probes plant. */
+  val straddleCount = 2000
+
+  /** Near-threshold planted pool for the straddle_recall_* probes: the
+    * first [[straddleCount]] vectors each get a copy rotated by θ with
+    * cosθ ∈ (minCos+0.002, minCos+0.01) — inside the join's acceptance
+    * band but within a hair of the boundary — via v' = cosθ·u + sinθ·w
+    * with w a seeded, Gram-Schmidt-orthogonalized Gaussian direction, so
+    * the planted cosine is EXACT by construction (u·v' = cosθ) up to float
+    * round-off, which the +0.002 margin absorbs. θ ≈ 25° displaces the
+    * copy far enough to straddle quantizer cells — the adversarial case
+    * for the composite two-half-quantizer geometry, where a pair must
+    * co-locate in BOTH halves to become a candidate. Driver-side
+    * construction is bounded (straddleCount·dim floats).
+    */
+  private def straddlePool(
+      emb: org.apache.spark.sql.DataFrame, minCos: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select("vec_id", "embedding").orderBy("vec_id")
+      .limit(straddleCount).collect()
+    val rnd = new scala.util.Random(99)
+    val planted = base.toSeq.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0.0) None
+      else {
+        val u = v.map(_ / norm)
+        val g = Array.fill(u.length)(rnd.nextGaussian())
+        val gu = u.zip(g).map { case (a, b) => a * b }.sum
+        val w = g.zip(u).map { case (b, a) => b - gu * a }
+        val wn = math.sqrt(w.map(x => x * x).sum)
+        val cosT = minCos + 0.002 + rnd.nextDouble() * 0.008
+        val sinT = math.sqrt(1 - cosT * cosT)
+        val vp = u.indices.map(i => ((cosT * u(i) + sinT * w(i) / wn) * norm).toFloat)
+        Some((id + plantIdOffset, vp))
+      }
+    }
+    emb.select("vec_id", "embedding")
+      .union(spark.createDataset(planted).toDF("vec_id", "embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val label = if (args.length > 1) args(1) else dir
@@ -152,6 +201,35 @@ object ScaleBench {
               Ann.nearestCentroidExpr(slice(col("__u"), h + 1, d - h), hi)).as("c"))
           .groupBy("c").agg(count(lit(1)).as("p"))
           .agg(sum(expr("p * (p - 1) div 2"))).head().getLong(0)
+      }),
+      // adversarial recall probe at whatever scale the dir holds (round-9
+      // verdict item 6: measure the double-boundary recall trade AT the
+      // delegation point, not only on ImiSpec's 340-vector fixture).
+      // Plants controlled-rotation near-dups with cos JUST above the 0.9
+      // join threshold — v' = cosθ·u + sinθ·w with w ⊥ u, so the planted
+      // cosine is exact by construction and the displacement (θ ≈ 25°) is
+      // large enough to straddle quantizer cells — then counts how many
+      // planted pairs each geometry recovers. Result value IS the found
+      // count (out of straddleCount); flat-vs-imi delta is the measured
+      // boundary-straddle cost. The flat leg pins nlist at the driver-fit
+      // cap (2048) — what the flat path would use past delegation — unless
+      // GRAFT_SCALE_NLIST overrides.
+      "straddle_recall_imi" -> (() => {
+        val pool = straddlePool(emb, minCos = 0.9)
+        val found = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
+          minCos = 0.9, nlist = nlistOverride, seed = 42L)
+          .filter(col("vb") === col("va") + lit(plantIdOffset))
+          .count()
+        found
+      }),
+      "straddle_recall_flat" -> (() => {
+        val pool = straddlePool(emb, minCos = 0.9)
+        val flatNlist = if (nlistOverride > 0) nlistOverride else 2048
+        val found = Ann.ivfNearDupJoin(pool, "vec_id", "embedding",
+          minCos = 0.9, nlist = flatNlist, seed = 42L)
+          .filter(col("vb") === col("va") + lit(plantIdOffset))
+          .count()
+        found
       }),
       "pack_sequences" -> (() => {
         val d = docs.select(col("doc_id"), col("lang"),

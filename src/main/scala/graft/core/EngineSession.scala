@@ -35,8 +35,9 @@ object EngineSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.parquet carries TIMESTAMP(NANOS) which Spark 4 has no
-      // native type for; read as long and convert (Tables.table).
+      // some testdata generations carry events.ts as TIMESTAMP(NANOS), which
+      // Spark 4 has no native type for; this conf makes that encoding scan as
+      // long, and Tables.adaptEventsTs converts whichever type arrives.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
   }
@@ -63,21 +64,63 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Parquet scan; Catalyst pushes filters/pruning into the scan.
+  /** Normalize `events.ts` regardless of the file's physical timestamp
+    * encoding. The testdata has shipped with two encodings across rounds:
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS,false), a type Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]); with `nanosAsLong` it lands as a long which we
-    * convert to microseconds by integer division (`div` — exact, no double
-    * round-trip) and expose as TIMESTAMP_NTZ, matching DuckDB's own ns→µs
-    * truncation so oracle comparisons agree.
+    *   - TIMESTAMP(NANOS): Spark 4 has no nanosecond type and rejects the
+    *     scan ([PARQUET_TYPE_ILLEGAL]) unless `nanosAsLong` maps it to a
+    *     long, which we divide to microseconds (`div` — exact integer
+    *     truncation, matching DuckDB's own ns→µs cast).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads this
+    *     natively as TIMESTAMP_NTZ; no conversion needed.
+    *
+    * Branching on the scanned type (not the file version) means either
+    * encoding — or a future drift back — loads without code changes.
+    *
+    * `ntz = true` (batch) lands on TIMESTAMP_NTZ for bit-parity with the
+    * DuckDB oracle; `ntz = false` (streaming) lands on instant TIMESTAMP
+    * because watermarks require it — the session TZ is pinned UTC, so the
+    * instant equals the file's naive value and casting the output back to
+    * NTZ stays exact.
+    */
+  def adaptEventsTs(df: DataFrame, ntz: Boolean): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val micros = timestamp_micros(expr("ts div 1000"))
+        df.withColumn("ts", if (ntz) micros.cast(TimestampNTZType) else micros)
+      case TimestampNTZType =>
+        if (ntz) df
+        else df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType =>
+        if (ntz) df.withColumn("ts", col("ts").cast(TimestampNTZType)) else df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts scanned as unsupported type $other; expected long (nanosAsLong), timestamp, or timestamp_ntz")
+    }
+
+  /** Parquet scan; Catalyst pushes filters/pruning into the scan. `events`
+    * gets the schema-adaptive ts normalization (see [[adaptEventsTs]]).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // only the conf the scan itself needs — a table loader must not mutate
     // session-wide semantics like the time zone as a side effect
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-    else df
+    if (name == "events") adaptEventsTs(df, ntz = true) else df
+  }
+
+  /** File-source stream over `events.parquet` with the same schema-adaptive
+    * ts handling as the batch loader, landed as instant TIMESTAMP (the type
+    * watermarks require). The schema comes from a one-off batch probe scan
+    * — a file stream cannot infer. Replaces the per-query copies of this
+    * loader that made one physical-type drift a 13-site hunt (round-9
+    * verdict item 2).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    adaptEventsTs(stream, ntz = false)
   }
 }

@@ -23,4 +23,33 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.replayThreshold(Seq(-1.0, -1.0)).isPosInfinity)
     assert(Bench.replayThreshold(Nil).isPosInfinity)
   }
+
+  test("priorTimes: parses query keys from a full record, skipping sentinels") {
+    val record = """{"metric":"total","value":9.9,"unit":"sec","queries":""" +
+      """{"q01_scan_project":0.62,"q04_scrub":-1.0,"q75_full_outer":0.427},""" +
+      """"sf":"/root/testdata/sf0.1","replayed":[],""" +
+      """"serving":{"build_sec":4.5,"warm_query_mean_sec":0.061}}"""
+    val f = java.nio.file.Files.createTempFile("bench_prior", ".json")
+    java.nio.file.Files.writeString(f, record)
+    val prior = Bench.priorTimes(f.toString)
+    assert(prior == Map("q01_scan_project" -> 0.62, "q75_full_outer" -> 0.427))
+    // serving keys must not leak in as phantom priors
+    assert(!prior.contains("build_sec") && !prior.contains("warm_query_mean_sec"))
+    java.nio.file.Files.delete(f)
+  }
+
+  test("priorTimes: missing file -> empty map, not an error") {
+    assert(Bench.priorTimes("/nonexistent/BENCH_full.json").isEmpty)
+  }
+
+  test("regressedVsPrior: the r9 escape case (0.43s -> 1.96s, under the 2s floor) replays") {
+    assert(Bench.regressedVsPrior(1.96, Some(0.427)))
+  }
+
+  test("regressedVsPrior: sub-floor jitter and missing priors do not replay") {
+    assert(!Bench.regressedVsPrior(0.15, Some(0.05))) // 3x but under minSec
+    assert(!Bench.regressedVsPrior(5.0, None)) // no prior -> median trigger owns it
+    assert(!Bench.regressedVsPrior(0.8, Some(0.5))) // 1.6x < k
+    assert(!Bench.regressedVsPrior(5.0, Some(-1.0))) // sentinel prior is no prior
+  }
 }
