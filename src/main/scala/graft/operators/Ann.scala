@@ -241,7 +241,12 @@ object Ann {
     * half-quantizers, so boundary-straddle misses roughly double; exact
     * duplicates still collide with probability 1 (identical vectors →
     * identical halves). The ImiSpec recall gate pins the floor next to
-    * the flat join's on the same clustered fixture.
+    * the flat join's on the same clustered fixture, and the trade is
+    * MEASURED at the delegation scale (ScaleBench straddle_recall_*,
+    * SCALE.md): on 2,000 planted worst-case straddlers (cos within 0.01
+    * of the 0.9 threshold, θ ≈ 25°) in a 400k pool, the delegated IMI
+    * recovers 523 vs capped-flat's 771 (0.68×; misses ×1.20 — inside
+    * the doubling bound) at 1.8× less wall.
     */
   def imiNearDupJoin(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,

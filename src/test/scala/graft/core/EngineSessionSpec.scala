@@ -1,5 +1,7 @@
 package graft.core
 
+import org.apache.spark.sql.types.TimestampNTZType
+
 import graft.{SparkSpec, TestSpark}
 
 class EngineSessionSpec extends SparkSpec {
@@ -31,5 +33,39 @@ class EngineSessionSpec extends SparkSpec {
     Tables.all.foreach { t =>
       assert(Tables.table(spark, TestSpark.sf0001, t).columns.nonEmpty, t)
     }
+  }
+
+  test("adaptEventsTs lands every physical encoding on the same value") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one instant, three source encodings: nanos-as-long (the NANOS-era
+    // testdata under the legacy conf), native NTZ (the MICROS era), and
+    // instant TIMESTAMP (a conceivable future isAdjustedToUTC=true drift)
+    val micros = 1700000000123456L
+    val asLong = Seq(micros * 1000L).toDF("ts") // nanos
+    val asNtz = Seq(micros).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    val asInstant = Seq(micros).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+    val expectNtz = Tables.adaptEventsTs(asNtz, ntz = true).head().get(0)
+    for (src <- Seq(asLong, asNtz, asInstant)) {
+      val b = Tables.adaptEventsTs(src, ntz = true)
+      assert(b.schema("ts").dataType.typeName == "timestamp_ntz")
+      assert(b.head().get(0) == expectNtz, s"batch mismatch from ${src.schema}")
+      val s = Tables.adaptEventsTs(src, ntz = false)
+      assert(s.schema("ts").dataType.typeName == "timestamp")
+      // session TZ is UTC, so the instant's micros equal the naive value's
+      assert(s.select(unix_micros(col("ts"))).head().getLong(0) == micros,
+        s"stream mismatch from ${src.schema}")
+    }
+  }
+
+  test("adaptEventsTs rejects an unconvertible ts type loudly") {
+    import spark.implicits._
+    val bad = Seq("not-a-ts").toDF("ts")
+    val e = intercept[IllegalStateException] {
+      Tables.adaptEventsTs(bad, ntz = true)
+    }
+    assert(e.getMessage.contains("unsupported type"))
   }
 }
