@@ -23,29 +23,58 @@ object Bench {
   /** Per-query times from the committed prior full record (BENCH_full.json).
     * The record is this main's own output format, so a scoped regex over
     * `"qNN_name":seconds` pairs suffices — serving/meta keys never start
-    * with `q<digit>`. Failure sentinels (-1) and an unreadable/absent file
-    * yield no entries (no prior → no second trigger, never an error).
+    * with `q<digit>`. Failure sentinels (-1) and an absent file yield no
+    * entries (no prior → no second trigger, never an error). Two silent
+    * failure modes are made loud or safe (round-10 ADVICE): a prior
+    * recorded at a DIFFERENT scale factor is discarded — k×-vs-prior
+    * against another SF's times would either replay the whole suite or
+    * mask every real regression — and a readable-but-unparseable prior
+    * prints a one-line warning instead of indistinguishably disabling
+    * the trigger.
     */
-  def priorTimes(path: String): Map[String, Double] =
+  def priorTimes(path: String, expectSf: Option[String] = None): Map[String, Double] =
     try {
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) return Map.empty
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val sfRe = """"sf":"([^"]*)"""".r
+      val recordSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
+      val sfMismatch = (expectSf, recordSf) match {
+        case (Some(want), Some(got)) => want != got
+        case _ => false
+      }
+      if (sfMismatch) {
+        System.err.println(s"[bench] prior $path is for sf=${recordSf.get}, " +
+          s"current run is ${expectSf.get} — prior-based replay trigger disabled")
+        return Map.empty
+      }
       val re = """"(q\d+[A-Za-z0-9_]*)":(-?\d+(?:\.\d+)?(?:[eE]-?\d+)?)""".r
-      re.findAllMatchIn(txt)
+      val parsed = re.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter(_._2 >= 0).toMap
-    } catch { case _: Throwable => Map.empty }
+      if (parsed.isEmpty)
+        System.err.println(s"[bench] prior $path exists but yielded no query times " +
+          "— prior-based replay trigger disabled")
+      parsed
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] prior $path unreadable (${e.getMessage}) " +
+        "— prior-based replay trigger disabled")
+      Map.empty
+    }
 
   /** Second replay trigger (round-9 verdict item 4): the median-based
     * cutoff has a 2 s absolute floor, which let a 4.6× regression on a
     * 0.4 s query escape replay — an entire contention window can hide
     * under the floor if every query it inflates stays sub-2 s. So any
     * query k× over its own committed prior time also replays, floored at
-    * `minSec` so sub-100 ms jitter (0.03 s → 0.1 s is 3× and meaningless)
-    * doesn't replay half the suite.
+    * `minSec` so sub-second jitter doesn't replay half the suite.
+    * minSec sits at 0.4 s (round-10 tuning: 0.2 s fired 37/179 replays,
+    * ~21% of the suite, because box noise regularly doubles a 0.25 s
+    * query at sf0.1); the r9 escape case (0.43 s → 1.96 s) still lands
+    * above the floor, so the protection the trigger exists for is kept.
     */
   def regressedVsPrior(
-      t: Double, prior: Option[Double], k: Double = 2.0, minSec: Double = 0.2): Boolean =
+      t: Double, prior: Option[Double], k: Double = 2.0, minSec: Double = 0.4): Boolean =
     t >= minSec && prior.exists(p => p > 0 && t > k * p)
 
   def main(args: Array[String]): Unit = {
@@ -96,8 +125,11 @@ object Bench {
     // replay; report the min of the two observations — a noisy reading
     // can only be corrected downward, never invented.
     val threshold = replayThreshold(firstPass.map(_._2))
-    // read BEFORE this run overwrites BENCH_full.json at the end
-    val prior = priorTimes(sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_full.json"))
+    // read BEFORE this run overwrites BENCH_full.json at the end; the
+    // record's own sf field gates it (a stale record from another scale
+    // factor must not drive k×-vs-prior comparisons)
+    val prior = priorTimes(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_full.json"), Some(sfDir))
     val replayed = scala.collection.mutable.ListBuffer.empty[String]
     val results = firstPass.map { case (name, t) =>
       if (t > threshold || regressedVsPrior(t, prior.get(name))) {

@@ -42,12 +42,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.priorTimes("/nonexistent/BENCH_full.json").isEmpty)
   }
 
+  test("priorTimes: a prior from another scale factor is discarded") {
+    val record = """{"metric":"total","value":9.9,"unit":"sec","queries":""" +
+      """{"q01_scan_project":0.62},"sf":"/root/testdata/sf0.01","replayed":[]}"""
+    val f = java.nio.file.Files.createTempFile("bench_prior_sf", ".json")
+    java.nio.file.Files.writeString(f, record)
+    // matching sf keeps the prior; differing sf discards it; no
+    // expectation (legacy callers, unit contexts) keeps it
+    assert(Bench.priorTimes(f.toString, Some("/root/testdata/sf0.01")).nonEmpty)
+    assert(Bench.priorTimes(f.toString, Some("/root/testdata/sf0.1")).isEmpty)
+    assert(Bench.priorTimes(f.toString).nonEmpty)
+    java.nio.file.Files.delete(f)
+  }
+
   test("regressedVsPrior: the r9 escape case (0.43s -> 1.96s, under the 2s floor) replays") {
     assert(Bench.regressedVsPrior(1.96, Some(0.427)))
   }
 
   test("regressedVsPrior: sub-floor jitter and missing priors do not replay") {
     assert(!Bench.regressedVsPrior(0.15, Some(0.05))) // 3x but under minSec
+    assert(!Bench.regressedVsPrior(0.35, Some(0.12))) // ~3x but under the 0.4s floor (r10 tuning)
     assert(!Bench.regressedVsPrior(5.0, None)) // no prior -> median trigger owns it
     assert(!Bench.regressedVsPrior(0.8, Some(0.5))) // 1.6x < k
     assert(!Bench.regressedVsPrior(5.0, Some(-1.0))) // sentinel prior is no prior
