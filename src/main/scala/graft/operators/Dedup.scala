@@ -71,11 +71,20 @@ object Dedup {
     * the signature aggregation directly (min is duplicate-insensitive, so
     * no full-corpus distinct shuffle); per-doc shingle counts for the
     * Jaccard denominator are computed for candidate docs only.
+    *
+    * Band-bucket population is BOUNDED (see [[bandedCandidatePairs]]):
+    * buckets up to `maxBandPop` members pair all-vs-all as classic LSH;
+    * an oversized bucket — a near-dup mega-cluster of templated text,
+    * which survives upstream exact dedup and would otherwise make one
+    * bucket's |bucket|²/2 pair generation dominate the whole job —
+    * switches to a chain window (each member paired with its
+    * `chainWidth` successors in doc_id order), linear in bucket size.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBandPop: Int = 256, chainWidth: Int = 8): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     // signature stage is PURE MAP: the kernel computes all components from
@@ -90,16 +99,80 @@ object Dedup {
       xxhash64(((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)) :+ lit(b)): _*)
     }
     val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val cands = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    val cands = bandedCandidatePairs(banded, maxBandPop, chainWidth)
     // the shingle EXPLODE now happens only for verification, and
     // jaccardOnPairs prunes it to candidate docs via leftsemi first
     jaccardOnPairs(cands, shingleSet(df, idCol, textCol, n))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Candidate (da, db) pairs from a banded signature frame
+    * (doc_id, band, bh), with per-bucket pair generation BOUNDED — the
+    * MinHash analog of the IVF join's `targetCellPop` cap, closing the
+    * engine's last unbounded-quadratic path.
+    *
+    * Buckets with ≤ `maxPop` members keep the classic LSH all-pairs
+    * self-join (Σ pop² over small buckets ≤ maxPop · corpus — linear).
+    * An OVERSIZED bucket is, at 4-row bands, near-certainly one near-dup
+    * mega-cluster (templated/boilerplate documents — the common web-scale
+    * case; random band-hash collisions at 64 bits cannot populate a
+    * bucket): pairing all its members is wasted verification, so each
+    * member instead pairs with (a) the bucket REPRESENTATIVE (its
+    * smallest doc_id) and (b) its `chainWidth` successors in doc_id
+    * order — (chainWidth+1)·pop pairs, linear in bucket size. Downstream
+    * exact-Jaccard verification still filters every emitted pair, so
+    * precision is unaffected.
+    *
+    * Recall contract for oversized buckets: any two members within
+    * `chainWidth` chain steps get a DIRECT candidate pair; farther pairs
+    * are connected through the representative star (candidate-graph
+    * diameter 2 — deliberately shallow, because the standard consumer,
+    * `Clusters.connectedComponents`, converges in diameter rounds and a
+    * chain-only graph would hand it a pop/chainWidth-hop component),
+    * with the chain as fallback connectivity should some member-vs-
+    * representative verification fail (full cluster membership then
+    * still needs no run of `chainWidth` consecutive chain links to all
+    * fail — improbable inside a genuine near-dup cluster). Callers
+    * needing exhaustive pair-level output at any bucket size raise
+    * `maxPop`, accepting the quadratic cost knowingly.
+    *
+    * Shuffle shape: the rank/population window shuffles on (band, bh) —
+    * the same key the candidate join already shuffled on — and the chain
+    * probes equi-join on (band, bh, rn), so no new shuffle key appears
+    * and AQE still handles residual bucket skew below the cap.
+    */
+  private[graft] def bandedCandidatePairs(
+      banded: DataFrame, maxPop: Int, chainWidth: Int): DataFrame = {
+    require(maxPop > 0 && chainWidth > 0,
+      s"maxPop=$maxPop and chainWidth=$chainWidth must be positive")
+    val bucket = Window.partitionBy("band", "bh")
+    val ranked = banded
+      .withColumn("pop", count(lit(1)).over(bucket))
+      .withColumn("rn", row_number().over(bucket.orderBy("doc_id")).cast(LongType))
+    val small = ranked.filter(col("pop") <= maxPop)
+    val smallPairs = small.as("a")
+      .join(small.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val big = ranked.filter(col("pop") > maxPop)
+    // rn is doc_id-ordered within the bucket, so probing rn 1 (the
+    // representative star) and rn+1..rn+chainWidth (the chain) yields
+    // da < db by construction; the star target is rn=1 so every member's
+    // probe set is {1} ∪ (rn+1..rn+chainWidth} minus itself
+    val probes = big.filter(col("rn") > 1 || col("rn") < col("pop"))
+      .select(col("band"), col("bh"), col("doc_id").as("__src"), col("rn").as("__srcRn"),
+        explode(array_union(
+          array(lit(1L)),
+          when(col("rn") < col("pop"),
+            sequence(col("rn") + 1, least(col("rn") + lit(chainWidth.toLong), col("pop"))))
+            .otherwise(array().cast(ArrayType(LongType))))).as("rn"))
+      .filter(col("rn") =!= col("__srcRn"))
+    val bigPairs = probes
+      .join(big.select(col("band"), col("bh"), col("doc_id").as("__dst"), col("rn")),
+        Seq("band", "bh", "rn"))
+      .select(least(col("__src"), col("__dst")).as("da"),
+        greatest(col("__src"), col("__dst")).as("db"))
+    smallPairs.unionByName(bigPairs).distinct()
   }
 
   /** Restrict (doc_id, sh) rows to docs appearing in `pairs`. */

@@ -47,6 +47,73 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getDouble(2) > 0.8)
   }
 
+  test("bandedCandidatePairs: small buckets keep the exhaustive all-pairs join") {
+    import spark.implicits._
+    // one bucket of 30 docs; cap comfortably above -> classic LSH pairs
+    val banded = (1L to 30L).map(id => (id, 0, 77L)).toDF("doc_id", "band", "bh")
+    val full = Dedup.bandedCandidatePairs(banded, maxPop = 64, chainWidth = 3).collect()
+    assert(full.length == 30 * 29 / 2)
+  }
+
+  test("bandedCandidatePairs: an oversized bucket switches to the bounded star+chain window") {
+    import spark.implicits._
+    val banded = (1L to 30L).map(id => (id, 0, 77L)).toDF("doc_id", "band", "bh")
+    val out = Dedup.bandedCandidatePairs(banded, maxPop = 10, chainWidth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // chain: rows 1..27 emit 3 probes, row 28 two, row 29 one, row 30 none
+    // = 84; star: members 2..30 pair with the representative = 29, of
+    // which (1,2),(1,3),(1,4) duplicate chain pairs -> 110 distinct
+    assert(out.length == (27 * 3 + 2 + 1) + 29 - 3)
+    // every pair is chain-local (rank == doc_id here) or a star pair
+    assert(out.forall { case (da, db) => db > da && (db - da <= 3 || da == 1L) })
+    // the chain connects the whole bucket: every adjacent pair is present
+    val set = out.toSet
+    assert((1L to 29L).forall(i => set.contains((i, i + 1))))
+    // the star keeps the candidate graph shallow: every member pairs
+    // directly with the representative
+    assert((2L to 30L).forall(i => set.contains((1L, i))))
+  }
+
+  test("minhash mega-cluster: bounded candidates still connect the full cluster") {
+    // 40 near-identical docs (one shared template, tiny unique tail) — the
+    // templated-page case that survives exact dedup and saturates every
+    // band bucket — plus unrelated distractors
+    val template = (1 to 40).map(i => s"word$i").mkString(" ")
+    val cluster = (1L to 40L).map(i => (i, s"$template tail$i"))
+    val noise = (100L to 104L).map(i => (i, (1 to 40).map(j => s"other${i}x$j").mkString(" ")))
+    val df = docs((cluster ++ noise): _*)
+    val out = Dedup.minhashNearDups(df, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
+      maxBandPop = 8, chainWidth = 2).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)))
+    // bounded: far fewer than the 40*39/2 = 780 exhaustive pairs
+    assert(pairs.length < 200, s"expected bounded pair count, got ${pairs.length}")
+    // no false positives leak past verification
+    assert(pairs.forall { case (da, db) => da <= 40 && db <= 40 })
+    // connectivity: connected components over the bounded pairs recover
+    // ONE cluster containing all 40 members
+    import spark.implicits._
+    val cc = Clusters.connectedComponents(
+      pairs.toSeq.toDF("da", "db")).collect()
+    assert(cc.length == 40)
+    assert(cc.map(_.getLong(1)).toSet == Set(1L))
+  }
+
+  test("minhash: bounded path output matches unbounded when no bucket exceeds the cap") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val df = docs((1L, base), (2L, base.replace("word40", "changed")),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+    val bounded = Dedup.minhashNearDups(df, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
+      maxBandPop = 256, chainWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unbounded = Dedup.minhashNearDups(df, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
+      maxBandPop = Int.MaxValue, chainWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bounded == unbounded && bounded.nonEmpty)
+  }
+
   test("minhash verified jaccard equals brute-force jaccard on candidates") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val df = docs((1L, base), (2L, base + " extra"), (3L, "tok1 tok2 tok3 tok4 tok5"))
