@@ -263,6 +263,93 @@ object ScaleBench {
           .count()
         found
       }),
+      // the delegated IMI with margin-gated multi-probe (round-10 verdict
+      // item 2): each half assigns to its 2nd-nearest cell too when the
+      // distance is within (1+margin)·best, so boundary-straddling pairs
+      // become candidates when either endpoint's probe set reaches the
+      // other's primary cell. GRAFT_SCALE_PROBE_MARGIN tunes the margin.
+      "straddle_recall_imi_mp" -> (() => {
+        val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
+        val pool = straddlePool(emb, minCos = 0.9)
+        val found = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
+          minCos = 0.9, nlist = nlistOverride, seed = 42L, probeMargin = margin)
+          .filter(col("vb") === col("va") + lit(plantIdOffset))
+          .count()
+        found
+      }),
+      // profiling: DISTINCT unordered candidate-pair volume of the
+      // multi-probe IMI join on the straddle pool — the quantity the
+      // ≤1.5×-candidates gate bounds (the single-probe analog is
+      // imi_cand_volume's Σ pop·(pop−1)/2, which for multi-probe has no
+      // closed form because pairs dedupe across shared probe cells).
+      "imi_mp_cand_volume" -> (() => {
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        import graft.functions.VectorFunctions
+        import graft.vector.KMeansLite
+        val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
+        val pool = straddlePool(emb, minCos = 0.9)
+        val unitized = pool
+          .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
+          .filter(col("__n") > 0.0)
+          .withColumn("__u", transform(col("embedding"),
+            x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
+        val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, 1 << 14, 42L)
+        val d = sample(0).length; val h = d / 2
+        val n = pool.count().toDouble
+        val kEff = if (nlistOverride > 0) nlistOverride
+          else math.max(16, math.max(math.sqrt(n), n / 128).toInt)
+        val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
+        val lo = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(v => v.toFloat.toDouble))
+        val hi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(v => v.toFloat.toDouble))
+        val loF = lo.map(_.map(_.toFloat)); val hiF = hi.map(_.map(_.toFloat))
+        val primary = unitized.select(col("vec_id").as("doc_id"),
+          (Ann.nearestCentroidExpr(slice(col("__u"), 1, h), lo) * kHalf +
+            Ann.nearestCentroidExpr(slice(col("__u"), h + 1, d - h), hi)).as("cluster")).cache()
+        val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
+          slice(col("__u"), 1, h), loF, 2, margin)
+        val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
+          slice(col("__u"), h + 1, d - h), hiF, 2, margin)
+        val probes = unitized.select(col("vec_id").as("doc_id"),
+          explode(flatten(transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp))))
+            .as("cluster")).cache()
+        val v = primary.as("a")
+          .join(probes.as("b"),
+            col("a.cluster") === col("b.cluster") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("va"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("vb"))
+          .distinct().count()
+        primary.unpersist(false); probes.unpersist(false)
+        v
+      }),
+      // profiling: total probe rows (n + margin-triggered extras) — the
+      // boundary fraction is (rows − n)/n, the factor that prices the
+      // adaptive scheme against a fixed ×maxProbes² explode
+      "imi_mp_probe_rows" -> (() => {
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        import graft.functions.VectorFunctions
+        import graft.vector.KMeansLite
+        val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
+        val pool = straddlePool(emb, minCos = 0.9)
+        val unitized = pool
+          .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
+          .filter(col("__n") > 0.0)
+          .withColumn("__u", transform(col("embedding"),
+            x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
+        val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, 1 << 14, 42L)
+        val d = sample(0).length; val h = d / 2
+        val n = pool.count().toDouble
+        val kEff = if (nlistOverride > 0) nlistOverride
+          else math.max(16, math.max(math.sqrt(n), n / 128).toInt)
+        val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
+        val loF = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(_.toFloat))
+        val hiF = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(_.toFloat))
+        val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
+          slice(col("__u"), 1, h), loF, 2, margin)
+        val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
+          slice(col("__u"), h + 1, d - h), hiF, 2, margin)
+        unitized.select(explode(flatten(
+          transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp)))).as("c")).count()
+      }),
       "pack_sequences" -> (() => {
         val d = docs.select(col("doc_id"), col("lang"),
           TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))

@@ -103,6 +103,99 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Margin-gated multi-probe assignment: array<int> of up to `maxProbes`
+  * nearest centroid ids, ascending by squared L2 (first-index tie-break).
+  * The nearest id is always emitted; the j-th (j ≥ 2) only when its
+  * distance is within the margin of the best — d_j ≤ d_1·(1+margin) —
+  * so only vectors NEAR a Voronoi boundary probe extra cells (the
+  * FAISS-nprobe analog for joins, but adaptive: interior vectors, the
+  * vast majority, stay single-probe and candidate volume grows by the
+  * boundary fraction rather than ×maxProbes). With margin = 0 this
+  * degenerates to a one-element [nearest_centroid] array.
+  */
+case class NearestCentroids(
+    child: Expression, centers: Array[Array[Float]],
+    maxProbes: Int, margin: Double)
+    extends VectorBankExpression {
+  require(maxProbes >= 1, s"maxProbes=$maxProbes must be >= 1")
+  override def prettyName: String = "nearest_centroids"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dim: Int = centers(0).length
+
+  override def nullSafeEval(value: Any): Any = {
+    val a = value.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    checkDim(n)
+    val m = maxProbes
+    val bd = Array.fill(m)(Double.MaxValue)
+    val bi = new Array[Int](m)
+    var j = 0
+    while (j < centers.length) {
+      val c = centers(j)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = a.getFloat(i).toDouble - c(i); s += d * d; i += 1 }
+      if (s < bd(m - 1)) {
+        var pos = m - 1
+        while (pos > 0 && s < bd(pos - 1)) { bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1 }
+        bd(pos) = s; bi(pos) = j
+      }
+      j += 1
+    }
+    val cut = bd(0) * (1.0 + margin)
+    var cnt = 1
+    while (cnt < m && cnt < centers.length && bd(cnt) <= cut) cnt += 1
+    new GenericArrayData(java.util.Arrays.copyOf(bi, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cRef = ctx.addReferenceObj("centers", centers, "float[][]")
+      val n = ctx.freshName("n")
+      val bd = ctx.freshName("bd")
+      val bi = ctx.freshName("bi")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val row = ctx.freshName("row")
+      val pos = ctx.freshName("pos")
+      val cut = ctx.freshName("cut")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $dim) throw new IllegalArgumentException(
+         |  "nearest_centroids: expected $dim-dim vector, got " + $n);
+         |double[] $bd = new double[$maxProbes];
+         |int[] $bi = new int[$maxProbes];
+         |java.util.Arrays.fill($bd, Double.MAX_VALUE);
+         |for (int $j = 0; $j < $cRef.length; $j++) {
+         |  float[] $row = $cRef[$j];
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $row[$i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bd[$maxProbes - 1]) {
+         |    int $pos = $maxProbes - 1;
+         |    while ($pos > 0 && $s < $bd[$pos - 1]) {
+         |      $bd[$pos] = $bd[$pos - 1]; $bi[$pos] = $bi[$pos - 1]; $pos--;
+         |    }
+         |    $bd[$pos] = $s; $bi[$pos] = $j;
+         |  }
+         |}
+         |double $cut = $bd[0] * (1.0 + $margin);
+         |int $cnt = 1;
+         |while ($cnt < $maxProbes && $cnt < $cRef.length && $bd[$cnt] <= $cut) $cnt++;
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($bi, $cnt));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** array<int> of m codebook indices (0-based, first-index tie-break per
   * subspace) — the PQ encode pass. codebooks: m × ksub × (dim/m).
   */
@@ -432,6 +525,9 @@ object QuantizerExpressions {
 
   def nearestCentroid(vec: Column, centers: Array[Array[Float]]): Column =
     c(NearestCentroid(e(vec), centers))
+  def nearestCentroids(
+      vec: Column, centers: Array[Array[Float]], maxProbes: Int, margin: Double): Column =
+    c(NearestCentroids(e(vec), centers, maxProbes, margin))
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
     c(PqEncode(e(vec), codebooks))
   def pqAdc(code: Column, lut: Array[Array[Double]]): Column =

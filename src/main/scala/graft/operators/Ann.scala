@@ -152,10 +152,34 @@ object Ann {
     * effective count from two bounded half-fits, so the DEFAULT path
     * keeps bounded cell population at any corpus size.
     */
+  /** `probeMargin > 0` turns on margin-gated MULTI-PROBE candidate
+    * generation (the FAISS-nprobe analog for joins): one side of the
+    * candidate join is assigned to up to `maxProbes` nearest cells —
+    * but an extra cell only when its distance is within
+    * d_best·(1+probeMargin), so interior vectors (the vast majority)
+    * stay single-probe and candidate volume grows by the boundary
+    * fraction, not ×maxProbes. Boundary-straddling near-dup pairs — the
+    * measured recall gap of the cell-collision scheme (SCALE.md
+    * §straddle) — are recovered when either endpoint's probe set
+    * reaches the other's primary cell. `probeMargin = 0` (default) is
+    * bit-identical to the single-probe join.
+    *
+    * Measured operating point (SCALE.md §straddle, 402k vectors at the
+    * delegation scale): `probeMargin = 0.02` lifts the delegated IMI's
+    * worst-case boundary-straddle recall from 26.2% to 40.1% — ABOVE
+    * capped-flat's 38.6% — at 1.09× capped-flat's candidate volume and
+    * ~1.06× its wall, i.e. the multi-probe composite geometry matches
+    * the flat quantizer's adversarial recall while keeping the bounded
+    * cell population that scales past the driver-fit cap. The margin is
+    * deliberately small: in high dimension nearest-cell distances
+    * concentrate, so even 0.1 fires the second probe on ~70% of vectors
+    * (measured 3.05 probe rows/vector → 5× candidate volume).
+    */
   def ivfNearDupJoin(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nlist: Int = 0, seed: Long = 42L, maxIter: Int = 10,
-      maxFitPoints: Int = 1 << 14, targetCellPop: Int = 128): DataFrame = {
+      maxFitPoints: Int = 1 << 14, targetCellPop: Int = 128,
+      probeMargin: Double = 0.0, maxProbes: Int = 2): DataFrame = {
     // auto-sizing past the driver-fit cap delegates to the inverted
     // multi-index: the flat quantizer cannot add cells beyond
     // maxFitPoints/8, so past n ≈ targetCellPop·(maxFitPoints/8) cell
@@ -172,14 +196,21 @@ object Ann {
         val auto = math.max(16, math.max(math.sqrt(n), n / targetCellPop).toInt)
         if (auto > maxFitPoints / 8)
           return imiNearDupJoin(corpus, idCol, vecCol, minCos, auto,
-            targetCellPop, seed, maxIter, maxFitPoints)
+            targetCellPop, seed, maxIter, maxFitPoints, probeMargin, maxProbes)
         auto
       }
     val (unitized, centers) =
       ivfFit(corpus, vecCol, k, seed, maxIter, maxFitPoints, targetCellPop)
     val assigned = unitized.select(col(idCol).as("doc_id"),
       nearestCentroidExpr(col("__u"), centers).as("cluster"))
-    verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
+    if (probeMargin <= 0.0)
+      verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
+    else {
+      val probes = unitized.select(col(idCol).as("doc_id"),
+        explode(graft.expressions.QuantizerExpressions.nearestCentroids(
+          col("__u"), centers.map(_.map(_.toFloat)), maxProbes, probeMargin)).as("cluster"))
+      verifyCellMatesProbed(corpus, idCol, vecCol, minCos, assigned, probes)
+    }
   }
 
   /** Shared tail of the cell-bucketed near-dup joins: same-cell candidate
@@ -188,7 +219,6 @@ object Ann {
   private def verifyCellMates(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       assignedPlan: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions
     // cached: the assignment subtree (scan + normalize + k·dim kernel)
     // otherwise re-executes for EACH side of the self-join — callers on a
     // long-lived session release it with catalog.clearCache (Bench/Verify
@@ -206,6 +236,41 @@ object Ann {
         col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb")))
     assigned.unpersist(false)
+    verifyPairs(corpus, idCol, vecCol, minCos, cands)
+  }
+
+  /** Multi-probe variant of [[verifyCellMates]]: the candidate join pairs
+    * the single-cell `primaryPlan` assignment against the exploded
+    * `probePlan` (doc_id, cluster) — up to maxProbes rows per doc — so a
+    * pair is a candidate when EITHER endpoint's probe set reaches the
+    * other's primary cell. Pairs can be generated from both directions
+    * and from several shared cells, hence the distinct() before
+    * verification (the single-probe path's a.doc_id < b.doc_id trick
+    * cannot dedupe here because the probe relation is asymmetric).
+    */
+  private def verifyCellMatesProbed(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      primaryPlan: DataFrame, probePlan: DataFrame): DataFrame = {
+    val primary = primaryPlan.cache()
+    val probe = probePlan.cache()
+    val cands = Materialize.eager(primary.as("a")
+      .join(probe.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("va"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("vb"))
+      .distinct())
+    primary.unpersist(false)
+    probe.unpersist(false)
+    verifyPairs(corpus, idCol, vecCol, minCos, cands)
+  }
+
+  /** Shared verification tail: join the candidate (va, vb) pairs back to
+    * their vectors by id and keep exact-cosine matches.
+    */
+  private def verifyPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      cands: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
     val vecs = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
     cands
       .join(vecs.as("x"), col("va") === col("x.doc_id"))
@@ -251,7 +316,8 @@ object Ann {
   def imiNearDupJoin(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nlist: Int = 0, targetCellPop: Int = 128, seed: Long = 42L,
-      maxIter: Int = 10, maxFitPoints: Int = 1 << 14): DataFrame = {
+      maxIter: Int = 10, maxFitPoints: Int = 1 << 14,
+      probeMargin: Double = 0.0, maxProbes: Int = 2): DataFrame = {
     import graft.functions.VectorFunctions
     // effective COMPOSITE cell count: explicit `nlist`, else sized exactly
     // like ivfNearDupJoin's auto-nlist, then split √-wise across the two
@@ -283,7 +349,28 @@ object Ann {
       (nearestCentroidExpr(slice(col("__u"), 1, h), centersLo) * kHalf +
         nearestCentroidExpr(slice(col("__u"), h + 1, d - h), centersHi))
         .as("cluster"))
-    verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
+    if (probeMargin <= 0.0)
+      verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
+    else {
+      // composite multi-probe: the margin-gated probe lists of the two
+      // halves cross-multiply into composite cell ids — for a vector near
+      // a boundary in ONE half that's 2 probes, near both corners 4, and
+      // for the interior majority exactly 1 (its primary cell). This is
+      // the join-shaped cousin of IMI's multi-sequence probe ordering:
+      // the margin gate plays the role of the priority queue's distance
+      // cutoff, selecting the same near-best composite cells without a
+      // per-row queue. The tiny transform/flatten lambdas run interpreted
+      // but over ≤maxProbes² elements — negligible next to the two
+      // codegen'd half-space scans that feed them.
+      val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
+        slice(col("__u"), 1, h), centersLo.map(_.map(_.toFloat)), maxProbes, probeMargin)
+      val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
+        slice(col("__u"), h + 1, d - h), centersHi.map(_.map(_.toFloat)), maxProbes, probeMargin)
+      val probes = unitized.select(col(idCol).as("doc_id"),
+        explode(flatten(transform(loP, lo => transform(hiP, hi => lo * lit(kHalf) + hi))))
+          .as("cluster"))
+      verifyCellMatesProbed(corpus, idCol, vecCol, minCos, assigned, probes)
+    }
   }
 
   /** The quantizer-training prefix of [[ivfNearDupJoin]] — auto-nlist

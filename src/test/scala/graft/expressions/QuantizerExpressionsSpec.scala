@@ -38,6 +38,38 @@ class QuantizerExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("NearestCentroids: head is the argmin; extras only within the margin; ascending") {
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(6)(Array.fill(dim)(rnd.nextFloat()))
+    val margin = 0.4
+    val got = df.select(col("id"),
+        QuantizerExpressions.nearestCentroids(col("v"), centers, 3, margin).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val dists = centers.map(c =>
+        v.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+      val ranked = dists.zipWithIndex.sortBy { case (d, i) => (d, i) }
+      val cut = ranked.head._1 * (1.0 + margin)
+      // want: the ranked prefix (max 3) whose distances stay within margin
+      val want = ranked.take(3).takeWhile(_._1 <= cut).map(_._2).toSeq
+      assert(got(id) == want, s"id=$id got=${got(id)} want=$want")
+      // the head always equals the single-probe assignment
+      assert(got(id).head == dists.indexOf(dists.min))
+    }
+  }
+
+  test("NearestCentroids with margin 0 degenerates to the single nearest id") {
+    val rnd = new scala.util.Random(6)
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextFloat()))
+    val rows = df.select(col("id"),
+        QuantizerExpressions.nearestCentroids(col("v"), centers, 4, 0.0).as("cs"),
+        QuantizerExpressions.nearestCentroid(col("v"), centers).as("c"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == Seq(r.getInt(2)), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("NearestCentroid throws loudly on a dimension mismatch") {
     import spark.implicits._
     val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")

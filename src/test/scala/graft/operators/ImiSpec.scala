@@ -92,6 +92,38 @@ class ImiSpec extends SparkSpec {
     assert(pairs.subsetOf(brute), s"non-brute pairs: ${pairs.diff(brute)}")
   }
 
+  test("multi-probe: pairs are a superset of single-probe, still brute-exact precision") {
+    // noisy near-dups as in the recall-floor fixture, but quantized FINE
+    // (nlist=64 on 340 vectors → composite 8×8 cells) so boundary
+    // straddles actually occur and multi-probe has pairs to recover
+    val planted = corpus.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.0d) + (rand(5) - lit(0.5d)) * lit(0.02d)).cast(FloatType))
+          .as("embedding"))
+    val pool = corpus.select("vec_id", "embedding").union(planted).cache()
+    val floor = 0.995
+    val brute = Dedup.cosinePairs(pool, "vec_id", "embedding", minCos = floor)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
+      minCos = floor, nlist = 64, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
+      minCos = floor, nlist = 64, seed = 42L, probeMargin = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification keeps precision exact in both modes
+    assert(single.subsetOf(brute) && multi.subsetOf(brute))
+    // the margin-gated probe set only ever ADDS candidate pairs
+    assert(single.subsetOf(multi),
+      s"single-probe pairs lost under multi-probe: ${single.diff(multi)}")
+    // the flat join accepts the same knob through the delegation path
+    val flatMulti = Ann.ivfNearDupJoin(pool, "vec_id", "embedding",
+      minCos = floor, nlist = 64, seed = 42L, probeMargin = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flatMulti.subsetOf(brute))
+    pool.unpersist()
+  }
+
   test("imiNearDupJoin is deterministic for a fixed seed") {
     def run() = Ann.imiNearDupJoin(corpus, "vec_id", "embedding",
         minCos = 0.98, seed = 7L)
