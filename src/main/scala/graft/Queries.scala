@@ -40,7 +40,13 @@ object Queries {
     * broke the driver hash on 17 queries in round 2 (pyarrow renders
     * Decimal('2547.40'), DuckDB fetch renders 2547.4).
     */
-  private def dec(c: Column, p: Int = 10, s: Int = 4): Column =
+  // p=22 (18 integer digits), not 10: the determinism round-trip must
+  // never be the thing that overflows — a Decimal(10,4) SUM container
+  // caps at 999,999.9999 and threw NUMERIC_VALUE_OUT_OF_RANGE on q100's
+  // event-value sum at the sf1 scale run (round 11). Values are
+  // unchanged at any SF where (10,4) fit, so all existing oracle hashes
+  // still match; the oracle side mirrors with DECIMAL(22,4).
+  private def dec(c: Column, p: Int = 22, s: Int = 4): Column =
     round(c, s).cast(DecimalType(p, s)).cast(DoubleType)
 
   /** SEC fixture CSV (FIXTURES.md §A1) — resolved against the repo root so
@@ -535,7 +541,7 @@ object Queries {
       val qArr = queryVec(s, dir)
         .map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
       s.sql(
-        s"""SELECT vec_id, CAST(CAST(round(vec_cosine(embedding, $qArr), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
+        s"""SELECT vec_id, CAST(CAST(round(vec_cosine(embedding, $qArr), 4) AS DECIMAL(22,4)) AS DOUBLE) AS score
            |FROM graft_emb WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 15""".stripMargin)
     }),
 
@@ -3450,10 +3456,10 @@ object Queries {
     "q17_clean_text" ->
       """SELECT doc_id, regexp_replace(regexp_replace(lower(text), '<.*?>', '', 'g'), '[^a-z0-9\s]', '', 'g') AS txt FROM documents ORDER BY doc_id""",
     "q18_topk_l2" ->
-      """SELECT vec_id, CAST(CAST(round(list_distance(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS DOUBLE) AS d
+      """SELECT vec_id, CAST(CAST(round(list_distance(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(22,4)) AS DOUBLE) AS d
         |FROM embeddings WHERE vec_id <> 0 ORDER BY d, vec_id LIMIT 10""".stripMargin,
     "q19_topk_ip" ->
-      """SELECT vec_id, CAST(CAST(round(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
+      """SELECT vec_id, CAST(CAST(round(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(22,4)) AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "q20_sink_roundtrip" ->
       "SELECT c_custkey AS id, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer ORDER BY id",
@@ -3465,18 +3471,18 @@ object Queries {
          |g AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM g0),
          |cnt AS (SELECT doc_id, count(*) AS c FROM g GROUP BY 1),
          |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2)
-         |SELECT da, db, CAST(CAST(round(CAST(inter AS DOUBLE)/(ca.c + cb.c - inter), 4) AS DECIMAL(10,4)) AS DOUBLE) AS j
+         |SELECT da, db, CAST(CAST(round(CAST(inter AS DOUBLE)/(ca.c + cb.c - inter), 4) AS DECIMAL(22,4)) AS DOUBLE) AS j
          |FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(ca.c + cb.c - inter) >= 0.05
          |ORDER BY da, db""".stripMargin,
     "q23_cosine_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300)
-        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(10,4)) AS DOUBLE) AS cos
+        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(22,4)) AS DOUBLE) AS cos
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.2
         |ORDER BY va, vb""".stripMargin,
     "q24_topk_cosine" ->
-      """SELECT vec_id, CAST(CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
+      """SELECT vec_id, CAST(CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(22,4)) AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "q25_lang_id" -> duckLangCase,
     "q26_quality" ->
@@ -3569,7 +3575,7 @@ object Queries {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q65_approx_percentile" ->
       """SELECT l_returnflag,
-        |CAST(CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(10,4)) AS DOUBLE) AS p50,
+        |CAST(CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(22,4)) AS DOUBLE) AS p50,
         |true AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q66_partitioned_sink" ->
@@ -3649,7 +3655,7 @@ object Queries {
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |planted AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, list_transform(e, x -> x * 2) AS e FROM base WHERE vec_id < 50),
         |v AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
-        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(10,4)) AS DOUBLE) AS cos
+        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(22,4)) AS DOUBLE) AS cos
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.9
         |ORDER BY va, vb""".stripMargin,
@@ -3658,7 +3664,7 @@ object Queries {
     "q55_batch_topk_window" ->
       """SELECT qid, vec_id, score FROM (
         |  SELECT q.vec_id AS qid, e.vec_id,
-        |    CAST(CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score,
+        |    CAST(CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS DECIMAL(22,4)) AS DOUBLE) AS score,
         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
         |  FROM embeddings q JOIN embeddings e ON q.vec_id < 3 AND e.vec_id >= 3
         |) WHERE rn <= 5 ORDER BY qid, score DESC, vec_id""".stripMargin,
@@ -3674,12 +3680,12 @@ object Queries {
          |  len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), tk -> list_contains([$neg], tk))) AS q
          |FROM documents),
          |s AS (SELECT doc_id, greatest(-1.0, least(1.0, CASE WHEN n > 0 THEN CAST(p - q AS DOUBLE) / n ELSE 0.0 END)) AS sc FROM t)
-         |SELECT doc_id, CAST(CAST(round(sc, 4) AS DECIMAL(10,4)) AS DOUBLE) AS sentiment,
+         |SELECT doc_id, CAST(CAST(round(sc, 4) AS DECIMAL(22,4)) AS DOUBLE) AS sentiment,
          |  CASE WHEN sc > 0.05 THEN 'positive' WHEN sc < -0.05 THEN 'negative' ELSE 'neutral' END AS sentiment_label
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "q40_sql_surface" ->
-      """SELECT vec_id, CAST(CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score
+      """SELECT vec_id, CAST(CAST(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id=0)), 4) AS DECIMAL(22,4)) AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 15""".stripMargin,
     "q41_asof_join" ->
       """SELECT l.event_id, l.user_id, r.ts AS signup_ts
@@ -3706,7 +3712,7 @@ object Queries {
         |  count(*) FILTER (WHERE value > 50) AS n_hi,
         |  bool_or(value > 90) AS any_gt90,
         |  bool_and(value >= 0) AS all_nonneg,
-        |  CAST(CAST(round(sum(value) FILTER (WHERE value > 50), 4) AS DECIMAL(10,4)) AS DOUBLE) AS sum_hi
+        |  CAST(CAST(round(sum(value) FILTER (WHERE value > 50), 4) AS DECIMAL(22,4)) AS DOUBLE) AS sum_hi
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q96_unpivot" ->
       """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val FROM customer
@@ -3836,14 +3842,14 @@ object Queries {
     "q46_batch_topk" ->
       """SELECT qid, vec_id, score FROM (
         |  SELECT q.vec_id AS qid, e.vec_id,
-        |    CAST(CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS DECIMAL(10,4)) AS DOUBLE) AS score,
+        |    CAST(CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS DECIMAL(22,4)) AS DOUBLE) AS score,
         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rn
         |  FROM embeddings q JOIN embeddings e ON q.vec_id < 3 AND e.vec_id >= 3
         |) WHERE rn <= 5 ORDER BY qid, score DESC, vec_id""".stripMargin,
     "q47_percentile" ->
       """SELECT l_returnflag,
-        |CAST(CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(10,4)) AS DOUBLE) AS p50,
-        |CAST(CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DECIMAL(10,4)) AS DOUBLE) AS p95
+        |CAST(CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(22,4)) AS DOUBLE) AS p50,
+        |CAST(CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DECIMAL(22,4)) AS DOUBLE) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q48_rollup" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3958,7 +3964,7 @@ object Queries {
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |planted AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, list_transform(e, x -> x * 2) AS e FROM base WHERE vec_id < 50),
         |v AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
-        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(10,4)) AS DOUBLE) AS cos
+        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(22,4)) AS DOUBLE) AS cos
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.9
         |ORDER BY va, vb""".stripMargin,
@@ -4059,7 +4065,7 @@ object Queries {
         |  UNION ALL
         |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
         |SELECT o_orderkey, o_custkey, o_orderstatus,
-        |  CAST(CAST(round(o_totalprice, 4) AS DECIMAL(10,4)) AS DOUBLE) AS price
+        |  CAST(CAST(round(o_totalprice, 4) AS DECIMAL(22,4)) AS DOUBLE) AS price
         |FROM merged ORDER BY o_orderkey""".stripMargin,
     "q111_stream_static_join" ->
       """WITH d AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)
@@ -4682,7 +4688,7 @@ object Queries {
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |planted AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, list_transform(e, x -> x * 2) AS e FROM base WHERE vec_id < 50),
         |v AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
-        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(10,4)) AS DOUBLE) AS cos
+        |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(CAST(round(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(22,4)) AS DOUBLE) AS cos
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.9
         |ORDER BY va, vb""".stripMargin

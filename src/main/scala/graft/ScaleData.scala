@@ -104,6 +104,7 @@ object ScaleData {
     val dim = df.select(size(col("embedding"))).head().getInt(0)
     val badDim = df.filter(size(col("embedding")) =!= dim).count()
     require(badDim == 0, s"scaleEmbeddings: $badDim rows with dim != $dim")
+    if (replicas > 2 * dim) return scaleEmbeddingsWide(df, replicas, maxId, dim)
     (0 until replicas).map { r =>
       // shift alone has period dim — compose with a global sign flip for
       // r ≥ dim (also orthogonal) so all replicas < 2·dim are distinct and
@@ -122,11 +123,131 @@ object ScaleData {
     }.reduce(_ union _)
   }
 
+  /** Embedding replication past the shift/flip family's distinctness
+    * budget. The column-expression construction above has exactly 2·dim
+    * distinct orthogonal transforms (dim cyclic shifts × a global sign
+    * flip): replica r and r' carry the SAME transform whenever
+    * r ≡ r' (mod dim) with matching flip state, so past 2·dim replicas
+    * the pool silently contains cross-replica EXACT duplicate vectors —
+    * which a near-dup join dutifully reports, inflating result pairs
+    * with replication artifacts. (The 200-replica sf20 pool generated in
+    * round 9 has this: replicas 128-199 twin replicas 64-135, 72·2000 =
+    * 144k artifact pairs inside its recorded 198,000 — the straddle
+    * RECALL numbers are unaffected because they count only planted ids,
+    * but result-pair totals on that pool overstate genuine near-dups.)
+    *
+    * Here replica r = block·(2·dim) + base composes the base transform
+    * T_base (the same shift+flip, so block 0 reproduces the old
+    * construction bit-for-bit) with a per-block seeded coordinate
+    * PERMUTATION P_block (block ≥ 1). Permutations are orthogonal, so
+    * norms and all within-replica dot products stay invariant — each
+    * replica still reproduces the original neighborhood graph — while
+    * distinctness now holds for (64!)-ish blocks: P_b'∘T_β' = P_b∘T_β
+    * with b ≠ b' would need the random permutation pair to land exactly
+    * on one of the 2·dim signed rotations. Runs as a UDF over
+    * corpus × replicas (a test-data tool, like the document cipher).
+    */
+  private def scaleEmbeddingsWide(
+      df: DataFrame, replicas: Int, maxId: Long, dim: Int): DataFrame = {
+    val family = 2 * dim
+    val f = udf((emb: Seq[Float], r: Int) => {
+      val base = r % family
+      val block = r / family
+      val shift = (7 * base) % dim
+      val flip = base >= dim
+      // T_base: rotate left by shift, then optional global sign flip
+      val t = Array.tabulate(dim) { i =>
+        val v = emb((i + shift) % dim)
+        if (flip) -v else v
+      }
+      if (block == 0) t.toSeq
+      else {
+        val perm = new scala.util.Random(block.toLong * 1000003L + 7L)
+          .shuffle((0 until dim).toList).toArray
+        Array.tabulate(dim)(i => t(perm(i))).toSeq
+      }
+    })
+    df.crossJoin(spark_range(df.sparkSession, replicas))
+      .select((col("vec_id") + col("r") * maxId).as("vec_id"),
+        f(col("embedding"), col("r").cast("int")).as("embedding"), col("label"))
+  }
+
+  private def spark_range(spark: SparkSession, n: Int) =
+    spark.range(n.toLong).select(col("id").as("r"))
+
   def scaleLineitem(df: DataFrame, replicas: Int): DataFrame = {
     val maxKey = df.agg(max(col("l_orderkey"))).head().getLong(0) + 1
     (0 until replicas).map { r =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(r * maxKey))
     }.reduce(_ union _)
+  }
+
+  /** Full-schema scale-up for the sf1 CORRECTNESS run (round-10 verdict
+    * item 6): every table the 179 verify queries read, with key shifts
+    * chosen so cross-table joins stay semantically intact.
+    *
+    *  - dimensions (region/nation/customer/supplier/part) copy UNSCALED:
+    *    facts reference the same dimension rows, so each dimension key
+    *    simply owns replicas× more fact rows — the natural shape of a
+    *    fact table growing against a stable dimension.
+    *  - orders + lineitem key-shift o_orderkey/l_orderkey with ONE
+    *    SHARED base (max over both tables' key domains), so the
+    *    orders⋈lineitem equi-join maps each replica onto itself — the
+    *    independently-computed per-table max in [[scaleLineitem]] is
+    *    fine for the single-table scale workloads but would misalign
+    *    the join.
+    *  - events shift event_id AND user_id (sessions/users replicate
+    *    cleanly) while keeping ts untouched — event-time density grows
+    *    replicas×, which is exactly the watermark/session stress the
+    *    sf1 run exists to exercise.
+    *  - documents/embeddings use the structure-preserving transforms
+    *    above.
+    */
+  def scaleVerifyDir(
+      spark: SparkSession, srcDir: String, outDir: String, replicas: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    // each table lands as ONE PLAIN FILE named <table>.parquet, matching
+    // the driver-generated testdata layout exactly — the streaming loader
+    // (Tables.eventsStream) globs for the literal leaf name, so a
+    // Spark-written DIRECTORY of part files is invisible to it (the sf1
+    // q116 failure this function originally caused)
+    def write(df: DataFrame, t: String): Unit = {
+      val staging = s"$outDir/.staging_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val dir = new java.io.File(staging)
+      val part = dir.listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+      val target = new java.io.File(s"$outDir/$t.parquet")
+      if (target.exists()) { def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(target) }
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(read(t), t)
+    }
+    val orders = read("orders")
+    val lineitem = read("lineitem")
+    val orderBase = math.max(
+      orders.agg(max(col("o_orderkey"))).head().getLong(0),
+      lineitem.agg(max(col("l_orderkey"))).head().getLong(0)) + 1
+    write((0 until replicas).map(r =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(r * orderBase)))
+      .reduce(_ union _), "orders")
+    write((0 until replicas).map(r =>
+      lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(r * orderBase)))
+      .reduce(_ union _), "lineitem")
+    val events = read("events")
+    val eventBase = events.agg(max(col("event_id"))).head().getLong(0) + 1
+    val userBase = events.agg(max(col("user_id"))).head().getLong(0) + 1
+    write((0 until replicas).map(r =>
+      events
+        .withColumn("event_id", col("event_id") + lit(r * eventBase))
+        .withColumn("user_id", col("user_id") + lit(r * userBase)))
+      .reduce(_ union _), "events")
+    write(scaleDocuments(read("documents"), replicas), "documents")
+    write(scaleEmbeddings(read("embeddings"), replicas), "embeddings")
   }
 
   def main(args: Array[String]): Unit = {
@@ -142,14 +263,32 @@ object ScaleData {
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional 4th arg: comma-separated table subset (e.g. "embeddings"
+    // for the IMI decade point, where only vectors are needed and the
+    // document cipher's 312-transform family would repeat at 1000
+    // replicas anyway), or "verify" for the full-schema join-consistent
+    // set the 179-query correctness run reads
+    if (args.length > 3 && args(3).trim == "verify") {
+      scaleVerifyDir(spark, srcDir, outDir, replicas)
+      println(s"""{"out":"$outDir","replicas":$replicas,"tables":"verify"}""")
+      spark.stop()
+      return
+    }
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("documents", "embeddings", "lineitem")
     def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
-    scaleDocuments(read("documents"), replicas)
-      .repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    scaleEmbeddings(read("embeddings"), replicas)
-      .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    scaleLineitem(read("lineitem"), replicas)
-      .repartition(16).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    println(s"""{"out":"$outDir","replicas":$replicas}""")
+    if (tables("documents"))
+      scaleDocuments(read("documents"), replicas)
+        .repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (tables("embeddings"))
+      scaleEmbeddings(read("embeddings"), replicas)
+        .repartition(math.max(8, replicas / 50))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (tables("lineitem"))
+      scaleLineitem(read("lineitem"), replicas)
+        .repartition(16).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    println(s"""{"out":"$outDir","replicas":$replicas,"tables":"${tables.mkString(",")}"}""")
     spark.stop()
   }
 }

@@ -118,9 +118,18 @@ object Tables {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the footer probe is memoized per dir: stream-stream queries call
+    // this twice per query and re-probing the same immutable fixture is
+    // pure waste (round-10 ADVICE). Keyed by dir, not session — the
+    // schema is a property of the file, and the test dirs are immutable
+    // within a JVM's lifetime.
+    val rawSchema = eventsSchemaCache.computeIfAbsent(dir,
+      d => spark.read.parquet(s"$d/events.parquet").schema)
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     adaptEventsTs(stream, ntz = false)
   }
+
+  private val eventsSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 }

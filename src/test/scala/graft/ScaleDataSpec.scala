@@ -96,4 +96,48 @@ class ScaleDataSpec extends SparkSpec {
     assert(!r64(0L).sameElements(r0(0L)))
     out.unpersist()
   }
+
+  test("wide embedding replication: distinct past 2*dim, orthogonal, block-0 bit-compat") {
+    import spark.implicits._
+    // dim=64 → the shift/flip family has 128 members; 200 replicas used
+    // to silently twin (replica r vs r-128 shared a transform). The wide
+    // path must keep ALL replicas' transforms distinct.
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat), 0),
+      (1L, Array.tabulate(64)(i => math.cos(2 * i + 1).toFloat), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = ScaleData.scaleEmbeddings(vecs, 200).cache()
+    assert(out.count() == 400)
+    val byReplica = out.collect().map { r =>
+      (r.getLong(0) / 2, r.getLong(0) % 2, r.getSeq[Float](1).toArray)
+    }.groupBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val r0map = byReplica(0L).map(t => t._2 -> t._3).toMap
+    val origDot = dot(r0map(0L), r0map(1L))
+    val origNorm = dot(r0map(0L), r0map(0L))
+    // orthogonality across ALL 200 replicas (permutations preserve dots)
+    byReplica.foreach { case (r, rows) =>
+      val m = rows.map(t => t._2 -> t._3).toMap
+      assert(math.abs(dot(m(0L), m(1L)) - origDot) < 1e-4, s"replica $r cross-dot")
+      assert(math.abs(dot(m(0L), m(0L)) - origNorm) < 1e-4, s"replica $r norm")
+    }
+    // the old construction's failure case: replica 128 twinned replica 64,
+    // replica 199 twinned replica 71. Distinctness must now hold for every
+    // replica pair (probe vector 0's image is a transform fingerprint).
+    val images = byReplica.toSeq.map { case (r, rows) =>
+      r -> rows.find(_._2 == 0L).get._3.toSeq
+    }.toMap
+    assert(images.values.toSet.size == 200,
+      s"only ${images.values.toSet.size} distinct transforms for 200 replicas")
+    assert(images(128L) != images(64L) && images(199L) != images(71L))
+    // block 0 (replicas < 128) must be bit-identical to the column path
+    val narrow = ScaleData.scaleEmbeddings(vecs, 100).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    (0L until 200L by 37L).filter(_ < 100L).foreach { id =>
+      assert(narrow(id) == out.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap.apply(id), s"id $id")
+    }
+    out.unpersist()
+  }
 }

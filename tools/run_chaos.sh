@@ -104,6 +104,87 @@ chaos_verify_phase() {
   python3 "$CHECKER" "$SF" "$out"
 }
 
+# Delegated-IMI join under executor SIGKILL (round-10 verdict item 5):
+# q179 exercises verifyCellMates' lineage-safe materialization in the
+# batch phase, but only at a scale where ivfNearDupJoin's auto path does
+# NOT delegate (delegation fires past ~262k vectors). This phase runs
+# the composite two-half-quantizer join on the sf20 pool (400k vectors,
+# where the delegation branch is the one executing) under local-cluster
+# with the killer loop, and requires the chaos result to equal a clean
+# single-JVM reference count computed in the same invocation.
+chaos_imi_phase() {
+  local dir=${IMI_DIR:-/tmp/graft_sf20}
+  if [ ! -d "$dir" ]; then
+    echo "[chaos/imi] $dir missing — generate with: java ... graft.ScaleData /root/testdata/sf0.1 $dir 200" >&2
+    return 5
+  fi
+  local clean_log=/tmp/graft_chaos_imi_clean.log
+  java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "/opt/spark/jars/*:$CLASSES" graft.ScaleBench "$dir" chaos_clean imi_neardup \
+    > "$clean_log" 2>&1 \
+    || { echo "[chaos/imi] clean reference run failed" >&2; tail -3 "$clean_log" >&2; return 5; }
+  local expect
+  expect=$(grep -o '"rows":{[^}]*}' "$clean_log" | grep -o '"imi_neardup":[0-9]*' | cut -d: -f2)
+  [ -n "$expect" ] || { echo "[chaos/imi] could not parse clean count" >&2; return 5; }
+  echo "[chaos/imi] clean reference: $expect pairs" >&2
+
+  local driver_log
+  driver_log=$(mktemp /tmp/graft_chaos_imi.XXXXXX.log)
+  # retry budgets sized for a preemption-routine cluster: the default
+  # maxFailures=4 aborts when a task is retried onto executors that are
+  # themselves mid-shutdown — with only 2 executors and a kill every
+  # INTERVAL seconds, that is a churn ratio no real deployment sees
+  # without also raising these (the failure mode is scheduler retry
+  # placement, not engine state: no lineage/checkpoint loss involved).
+  # Executors get 8g (vs the verify phases' 4g): the 400k-vector join's
+  # shuffle + persisted candidate blocks OOM a 4g heap outright (exit
+  # 52), and OOM churn stacked on chaos kills trips the standalone
+  # master's maxExecutorRetries, failing the app before the join can
+  # demonstrate recovery.
+  SPARK_HOME=${SPARK_HOME:-/opt/spark} \
+  SPARK_SCALA_VERSION=2.13 \
+  SPARK_GRAFT_MASTER=${IMI_MASTER:-local-cluster[2,8,8192]} \
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} java $ADD_OPENS -Xmx8g \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Dspark.task.maxFailures=8 -Dspark.stage.maxConsecutiveAttempts=8 \
+    -Dspark.executor.memory=6g \
+    -cp "/opt/spark/jars/*:$CLASSES" \
+    graft.ScaleBench "$dir" chaos_imi imi_neardup > >(tee "$driver_log") 2>&1 &
+  local driver=$!
+
+  local killed=0 victim
+  while [ $killed -lt "$KILLS" ] && kill -0 $driver 2>/dev/null; do
+    sleep "$INTERVAL"
+    victim=$(pick_victim $driver || true)
+    if [ -n "${victim:-}" ]; then
+      echo "[chaos/imi] SIGKILL executor pid $victim" >&2
+      kill -9 "$victim" 2>/dev/null && killed=$((killed+1))
+    fi
+  done
+  echo "[chaos/imi] killed $killed executors" >&2
+
+  wait $driver
+  local rc=$?
+  if [ $rc -ne 0 ]; then
+    echo "[chaos/imi] driver exited rc=$rc — the delegated join failed outright" >&2
+    return $rc
+  fi
+  local losses
+  losses=$(grep -c "Lost executor" "$driver_log" || true)
+  echo "[chaos/imi] executor-loss events observed: $losses" >&2
+  if [ "$losses" -lt 1 ]; then
+    echo "[chaos/imi] FAIL: no executor loss observed — chaos never landed; rerun with a smaller INTERVAL" >&2
+    return 3
+  fi
+  local got
+  got=$(grep -o '"rows":{[^}]*}' "$driver_log" | grep -o '"imi_neardup":[0-9]*' | cut -d: -f2)
+  if [ "$got" != "$expect" ]; then
+    echo "[chaos/imi] FAIL: chaos count $got != clean count $expect" >&2
+    return 6
+  fi
+  echo "[chaos/imi] OK: chaos count $got == clean count under $losses executor losses" >&2
+}
+
 # CommitLog writer killed between claim and rename. Three processes:
 #  A commits v0; B parks at the failpoint holding the v1 claim and is
 #  SIGKILLed there (kill-landing is asserted: sentinel present, marker
@@ -155,6 +236,7 @@ for phase in $PHASES; do
     batch)     chaos_verify_phase batch "$OUT" $BATCH_QUERIES ;;
     streaming) chaos_verify_phase streaming "${OUT}_streaming" $STREAM_QUERIES ;;
     commit)    chaos_commit_phase ;;
+    imi)       chaos_imi_phase ;;
     *) echo "unknown phase $phase" >&2; false ;;
   esac
   rc=$?
