@@ -117,34 +117,42 @@ object Layout {
       .option(s"parquet.bloom.filter.expected.ndv#$bloomCol", expectedNdv.toString)
       .parquet(path)
 
-  /** Inspect the first data file's footer for `column`: (codec names,
-    * bloom-filter present, min/max statistics present) across its row
+  /** Inspect EVERY data file's footer for `column`: (codec names,
+    * bloom-filter present, min/max statistics present) across all row
     * groups — the write-side contract check that tuned options actually
-    * reached the files.
+    * reached the files. Files with zero row groups are skipped: Spark
+    * legitimately emits empty part files for empty partitions (observed
+    * at the sf1 scale run, where the alphabetically-first part-00000
+    * carried 0 rows and a first-file-only probe reported the whole
+    * dataset untuned), and an empty file has no chunks to carry a codec,
+    * bloom, or stats — it cannot violate the contract. Footer reads are
+    * O(files) driver work against footer bytes only, fine for a gate
+    * over a bounded output; at fleet scale, sample.
     */
   def parquetColumnInfo(spark: SparkSession, path: String,
       column: String): (Set[String], Boolean, Boolean) = {
+    import scala.jdk.CollectionConverters._
     val p = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
-    val file = fs.listStatus(p)
+    val files = fs.listStatus(p)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .minBy(_.getPath.getName).getPath
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-    try {
-      import scala.jdk.CollectionConverters._
-      val cols = reader.getFooter.getBlocks.asScala
+      .sortBy(_.getPath.getName).map(_.getPath)
+    val cols = files.flatMap { file =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try reader.getFooter.getBlocks.asScala
         .flatMap(_.getColumns.asScala)
-        .filter(_.getPath.toDotString == column)
-      val codecs = cols.map(_.getCodec.name).toSet
-      val bloom = cols.nonEmpty && cols.forall(_.getBloomFilterOffset >= 0)
-      val stats = cols.nonEmpty && cols.forall { c =>
-        val st = c.getStatistics
-        st != null && !st.isEmpty && st.hasNonNullValue
-      }
-      (codecs, bloom, stats)
-    } finally reader.close()
+        .filter(_.getPath.toDotString == column).toSeq
+      finally reader.close()
+    }
+    val codecs = cols.map(_.getCodec.name).toSet
+    val bloom = cols.nonEmpty && cols.forall(_.getBloomFilterOffset >= 0)
+    val stats = cols.nonEmpty && cols.forall { c =>
+      val st = c.getStatistics
+      st != null && !st.isEmpty && st.hasNonNullValue
+    }
+    (codecs, bloom, stats)
   }
 
   /** Minimal atomic commit protocol — the transaction-log kernel under
