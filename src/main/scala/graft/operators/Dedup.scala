@@ -289,20 +289,29 @@ object Dedup {
   /** SimHash near-dup pairs: candidates are generated by banding the 64-bit
     * signature into 4 × 16-bit blocks (pigeonhole: any pair with hamming
     * distance ≤ 3 shares at least one exact block), then verified by full
-    * hamming distance. Equi-join on (block_idx, block_value) — bucket-local.
+    * hamming distance. Equi-join on (block_idx, block_value) — bucket-local,
+    * with per-bucket pair generation BOUNDED exactly like the MinHash
+    * path ([[bandedCandidatePairs]]): a simhash mega-cluster (near-
+    * identical templated docs → identical signatures → the same four
+    * block buckets) would otherwise make one bucket's |bucket|²/2 pair
+    * generation dominate; past `maxBucketPop` it switches to the linear
+    * star+chain window, and hamming verification still filters every
+    * emitted pair.
     */
-  def simhashNearDups(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(
+      sig: DataFrame, maxHamming: Int = 3,
+      maxBucketPop: Int = 256, chainWidth: Int = 8): DataFrame = {
     val blocks = (0 until 4).map(i =>
       shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)))
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(blocks: _*)).as(Seq("blk", "bv")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
+    val banded = sig.select(col("doc_id"),
+      posexplode(array(blocks: _*)).as(Seq("band", "bh")))
+    val cands = bandedCandidatePairs(banded, maxBucketPop, chainWidth)
+    val sigs = sig.select(col("doc_id"), col("simhash"))
+    cands
+      .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        hamming(col("sa.simhash"), col("sb.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -331,7 +340,8 @@ object Dedup {
     */
   def cosineNearDupsLsh(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      minCos: Double, bits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
+      minCos: Double, bits: Int = 12, tables: Int = 6, seed: Long = 42L,
+      maxBucketPop: Int = 256, chainWidth: Int = 8): DataFrame = {
     val rnd = new scala.util.Random(seed)
     // tables × bits seeded hyperplanes, carried as ONE reference object in
     // a single codegen'd kernel (all tables' sign bits in one pass over the
@@ -347,10 +357,14 @@ object Dedup {
     // shuffle); candidates join them back by id for verification
     val sigs = df.select(col(idCol).as("doc_id"),
       explode(graft.expressions.QuantizerExpressions.hyperplaneSigs(col(vecCol), planes)).as("sig"))
-    val cands = sigs.as("a")
-      .join(sigs.as("b"), col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))
-      .distinct()
+    // same per-bucket population bound as the MinHash/SimHash bands: a
+    // mega-cluster of (near-)identical vectors lands in the same sig
+    // bucket in every table, and the unbounded self-join would go
+    // quadratic in cluster size. The sig is already table-tagged, so it
+    // alone is the bucket key (band carries no extra information here).
+    val banded = sigs.select(col("doc_id"), lit(0).as("band"), col("sig").as("bh"))
+    val cands = bandedCandidatePairs(banded, maxBucketPop, chainWidth)
+      .select(col("da").as("va"), col("db").as("vb"))
     val vecs = df.select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
     cands
       .join(vecs.as("x"), col("va") === col("x.doc_id"))

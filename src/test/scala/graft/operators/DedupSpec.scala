@@ -114,6 +114,53 @@ class DedupSpec extends SparkSpec {
     assert(bounded == unbounded && bounded.nonEmpty)
   }
 
+  test("simhash mega-cluster: identical signatures stay linear and fully connected") {
+    import spark.implicits._
+    // 60 docs with the SAME signature — every block bucket holds all 60;
+    // unbounded banding would emit 60*59/2 = 1770 pairs from each of the
+    // four blocks. Cap 10, chain 2: star+chain bounds it.
+    val sig = (1L to 60L).map(id => (id, 0x0123456789abcdefL)).toDF("doc_id", "simhash")
+    val out = Dedup.simhashNearDups(sig, maxHamming = 3, maxBucketPop = 10, chainWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.forall(_._3 == 0))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    // bounded well below exhaustive; star keeps every member adjacent to
+    // the representative, chain keeps neighbors adjacent
+    assert(pairs.size < 200, s"got ${pairs.size}")
+    assert((2L to 60L).forall(i => pairs.contains((1L, i))))
+    assert((1L to 59L).forall(i => pairs.contains((i, i + 1))))
+  }
+
+  test("simhash bounded path equals unbounded when no bucket exceeds the cap") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val df = docs((1L, base), (2L, base.replace("word3", "changed")),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+    val sig = Dedup.simhash(df, "doc_id", "text")
+    def collect(cap: Int) =
+      Dedup.simhashNearDups(sig, maxHamming = 16, maxBucketPop = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(collect(256) == collect(Int.MaxValue))
+  }
+
+  test("cosine LSH mega-cluster: identical vectors stay linear and fully connected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val v = Seq.fill(16)(rnd.nextFloat())
+    // 50 identical vectors (one near-dup mega-cluster) + unrelated noise
+    val cluster = (1L to 50L).map(i => (i, v))
+    val noise = (100L to 109L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = (cluster ++ noise).toDF("vec_id", "embedding")
+    val out = Dedup.cosineNearDupsLsh(df, "vec_id", "embedding", dim = 16,
+      minCos = 0.95, maxBucketPop = 8, chainWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exhaustive would be 50*49/2 = 1225 cluster pairs; the bound keeps it
+    // linear while the star preserves one-hop connectivity
+    assert(out.length < 300, s"got ${out.length}")
+    val set = out.toSet
+    assert((2L to 50L).forall(i => set.contains((1L, i))))
+    assert(out.forall { case (a, b) => a <= 50 && b <= 50 })
+  }
+
   test("minhash verified jaccard equals brute-force jaccard on candidates") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val df = docs((1L, base), (2L, base + " extra"), (3L, "tok1 tok2 tok3 tok4 tok5"))
