@@ -15,6 +15,18 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("pointer doubling: a deep chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // a 400-hop path graph: plain neighbor propagation needs 400 rounds
+    // (and would throw at the default maxIter=25); doubling needs ~9.
+    // maxIter=15 both proves the log behavior and keeps the old
+    // linear-propagation implementation from ever passing this test.
+    val pairs = (0L until 400L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = Clusters.connectedComponents(pairs, maxIter = 15).collect()
+    assert(got.length == 401)
+    assert(got.forall(_.getLong(1) == 0L))
+  }
+
   test("dropDuplicateClusters keeps one representative per cluster plus untouched rows") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
