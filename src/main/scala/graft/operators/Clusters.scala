@@ -70,6 +70,12 @@ object Clusters {
       val updated = pairs.sparkSession
         .createDataFrame(updatedPlan.rdd, updatedPlan.schema)
         .cache()
+      // pin the cache COMPLETELY before the previous round's cache is
+      // released below: the changed-check's limit(1) can short-circuit
+      // with only some partitions computed, and a partially-filled cache
+      // whose parent was unpersisted recomputes the missing partitions
+      // through every earlier round's lineage
+      updated.count()
       val changed = updated.as("u").join(labels.as("l"), "id")
         .filter(col("u.label") =!= col("l.label")).limit(1).count()
       labels.unpersist()
