@@ -149,10 +149,7 @@ object Dedup {
     val ranked = banded
       .withColumn("pop", count(lit(1)).over(bucket))
       .withColumn("rn", row_number().over(bucket.orderBy("doc_id")).cast(LongType))
-    // the self-join carries only the bucket key + id through its shuffle
-    // (pop/rn are window bookkeeping the pair generation doesn't need)
     val small = ranked.filter(col("pop") <= maxPop)
-      .select(col("doc_id"), col("band"), col("bh"))
     val smallPairs = small.as("a")
       .join(small.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc_id") < col("b.doc_id"))
