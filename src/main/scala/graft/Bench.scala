@@ -39,12 +39,18 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       val sfRe = """"sf":"([^"]*)"""".r
       val recordSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
+      // a record with NO sf field is treated like a mismatch, not a pass:
+      // a legacy/hand-edited prior of unknown scale factor re-opens the
+      // exact failure mode this gate closes (k×-vs-prior against another
+      // SF's times replays the whole suite or masks every regression)
       val sfMismatch = (expectSf, recordSf) match {
         case (Some(want), Some(got)) => want != got
+        case (Some(_), None) => true
         case _ => false
       }
       if (sfMismatch) {
-        System.err.println(s"[bench] prior $path is for sf=${recordSf.get}, " +
+        System.err.println(s"[bench] prior $path is for " +
+          s"sf=${recordSf.getOrElse("<unrecorded>")}, " +
           s"current run is ${expectSf.get} — prior-based replay trigger disabled")
         return Map.empty
       }

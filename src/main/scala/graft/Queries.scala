@@ -395,8 +395,14 @@ object Queries {
       // side's shared-shingle join, the quadratic cost the LSH path exists
       // to avoid
       val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      // maxBandPop lifted: this gate pins EXHAUSTIVE pair-level recall vs
+      // the brute truth set, which the bounded star+chain default trades
+      // away inside an oversized bucket — a 500-doc fixture whose band
+      // bucket topped 256 members would fail here data-dependently. The
+      // 500-doc input is small enough that all-pairs is cheap.
       val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
-          n = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+          n = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
+          maxBandPop = Int.MaxValue)
         .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val brute = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
         .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1339,7 +1345,12 @@ object Queries {
       val sig = Dedup.simhash(
         t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text").cache()
       try {
-        val banded = Dedup.simhashNearDups(sig, maxHamming = 3)
+        // maxBucketPop lifted: this gate pins EXACT equality banded==brute,
+        // which the bounded star+chain default breaks if any 16-bit block
+        // bucket among the 500 docs exceeds 256 members (identical
+        // signatures collapse into one bucket). 500 docs → all-pairs cheap.
+        val banded = Dedup.simhashNearDups(sig, maxHamming = 3,
+            maxBucketPop = Int.MaxValue)
           .select(col("da"), col("db"), col("hamming").cast(LongType)).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         val a = sig.select(col("doc_id").as("da"), col("simhash").as("sa"))

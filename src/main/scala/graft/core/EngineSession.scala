@@ -118,18 +118,40 @@ object Tables {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the footer probe is memoized per dir: stream-stream queries call
-    // this twice per query and re-probing the same immutable fixture is
-    // pure waste (round-10 ADVICE). Keyed by dir, not session — the
-    // schema is a property of the file, and the test dirs are immutable
-    // within a JVM's lifetime.
-    val rawSchema = eventsSchemaCache.computeIfAbsent(dir,
-      d => spark.read.parquet(s"$d/events.parquet").schema)
+    // the footer probe is memoized: stream-stream queries call this twice
+    // per query and re-probing the same immutable fixture is pure waste
+    // (round-10 ADVICE). The key folds in the file tree's total length +
+    // max mtime so an in-place fixture rewrite (a test regenerating
+    // events.parquet mid-JVM) naturally misses instead of silently
+    // streaming with a stale schema (round-11 ADVICE); a stat walk is
+    // ~µs against the footer probe's full Spark job.
+    val rawSchema = eventsSchemaCache.computeIfAbsent(
+      (dir, eventsFingerprint(dir)),
+      k => spark.read.parquet(s"${k._1}/events.parquet").schema)
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     adaptEventsTs(stream, ntz = false)
   }
 
+  /** Cheap content fingerprint of `dir`/events.parquet (file, or Spark
+    * directory layout of part files): total byte length + max mtime over
+    * the tree. Collisions require a same-length same-mtime rewrite —
+    * not a mode any fixture generator here produces.
+    */
+  private def eventsFingerprint(dir: String): (Long, Long) = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        f.listFiles() match {
+          case null => (0L, f.lastModified())
+          case kids => kids.foldLeft((0L, f.lastModified())) { case ((len, mt), k) =>
+            val (kl, km) = walk(k); (len + kl, math.max(mt, km))
+          }
+        }
+      else (f.length(), f.lastModified())
+    walk(new java.io.File(dir, "events.parquet"))
+  }
+
   private val eventsSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, (Long, Long)), org.apache.spark.sql.types.StructType]()
 }

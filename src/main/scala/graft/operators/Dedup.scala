@@ -170,6 +170,11 @@ object Dedup {
     val bigPairs = probes
       .join(big.select(col("band"), col("bh"), col("doc_id").as("__dst"), col("rn")),
         Seq("band", "bh", "rn"))
+      // rank-based self-exclusion (rn =!= __srcRn) is not id-based: with
+      // duplicate doc_id rows inside one bucket, least/greatest would emit
+      // (x,x) pairs that the small-bucket a.doc_id < b.doc_id predicate
+      // excludes — and jaccard(x,x)=1.0 would sail through verification
+      .filter(col("__src") =!= col("__dst"))
       .select(least(col("__src"), col("__dst")).as("da"),
         greatest(col("__src"), col("__dst")).as("db"))
     smallPairs.unionByName(bigPairs).distinct()

@@ -55,6 +55,18 @@ class BenchSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("priorTimes: a prior with NO sf field is discarded when an sf is expected") {
+    // legacy/hand-edited record of unknown scale factor must not pass the
+    // gate — it re-opens the cross-SF replay-trigger failure the gate closes
+    val record = """{"metric":"total","value":9.9,"unit":"sec","queries":""" +
+      """{"q01_scan_project":0.62},"replayed":[]}"""
+    val f = java.nio.file.Files.createTempFile("bench_prior_nosf", ".json")
+    java.nio.file.Files.writeString(f, record)
+    assert(Bench.priorTimes(f.toString, Some("/root/testdata/sf0.1")).isEmpty)
+    assert(Bench.priorTimes(f.toString).nonEmpty) // no expectation still keeps it
+    java.nio.file.Files.delete(f)
+  }
+
   test("regressedVsPrior: the r9 escape case (0.43s -> 1.96s, under the 2s floor) replays") {
     assert(Bench.regressedVsPrior(1.96, Some(0.427)))
   }

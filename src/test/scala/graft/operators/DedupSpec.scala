@@ -74,6 +74,23 @@ class DedupSpec extends SparkSpec {
     assert((2L to 30L).forall(i => set.contains((1L, i))))
   }
 
+  test("bandedCandidatePairs: duplicate doc_id rows in an oversized bucket emit no self-pairs") {
+    import spark.implicits._
+    // every doc_id appears twice in the same bucket — rank-based exclusion
+    // alone (rn =!= srcRn) would pair a doc with its own duplicate row and
+    // least/greatest would collapse it to (x,x), which jaccard(x,x)=1.0
+    // then passes downstream verification
+    val banded = (1L to 15L).flatMap(id => Seq((id, 0, 77L), (id, 0, 77L)))
+      .toDF("doc_id", "band", "bh")
+    val out = Dedup.bandedCandidatePairs(banded, maxPop = 10, chainWidth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall { case (da, db) => da < db }, "self-pair (x,x) leaked")
+    // and the small-bucket path never emitted them either, so behavior agrees
+    val small = Dedup.bandedCandidatePairs(banded, maxPop = 1000, chainWidth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(small.forall { case (da, db) => da < db })
+  }
+
   test("minhash mega-cluster: bounded candidates still connect the full cluster") {
     // 40 near-identical docs (one shared template, tiny unique tail) — the
     // templated-page case that survives exact dedup and saturates every

@@ -136,7 +136,8 @@ chaos_imi_phase() {
   # INTERVAL seconds, that is a churn ratio no real deployment sees
   # without also raising these (the failure mode is scheduler retry
   # placement, not engine state: no lineage/checkpoint loss involved).
-  # Executors get 8g (vs the verify phases' 4g): the 400k-vector join's
+  # Executors get 6g heaps inside 8192m workers (vs the verify phases'
+  # 4g) — the 2g headroom absorbs off-heap/overhead: the 400k-vector join's
   # shuffle + persisted candidate blocks OOM a 4g heap outright (exit
   # 52), and OOM churn stacked on chaos kills trips the standalone
   # master's maxExecutorRetries, failing the app before the join can
