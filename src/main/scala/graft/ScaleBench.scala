@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Ann, Dedup, Similarity}
+import graft.operators.{Ann, Clusters, Dedup, Similarity}
 
 /** Headline-operator scaling harness (round-6 verdict, next-round item 1):
   * runs the six 100-TB-claim workloads — MinHash+LSH dedup, the composed
@@ -25,6 +25,83 @@ object ScaleBench {
 
   /** How many near-threshold pairs the straddle probes plant. */
   val straddleCount = 2000
+
+  /** Marginal-similarity mega-cluster: the workload that measures the
+    * star+chain RECALL contract (round-11 verdict item 1) rather than its
+    * cost. Members share a 62-word template — 60 template-internal
+    * 3-shingles — plus a per-member unique tail of w ∈ [24,36] words, so
+    * pairwise jaccard = 60 / (60 + wi + wj) STRADDLES a 0.5 threshold:
+    * a pair verifies iff wi + wj ≤ 60. Width layout:
+    *  - most ids: w = 24 + xxhash(id) mod 13 (uniform — the realistic
+    *    marginal cluster, where each link passes with probability ~0.5);
+    *  - a contiguous block of `blockLen` ids starting at members/2: w=36,
+    *    the adversarial case for a consecutive-rank chain window (every
+    *    block-internal link sums to 72 > 60, so the chain cannot cross
+    *    it; block members verify only against w=24 partners).
+    * Ground truth is ONE component over all members: every member pairs
+    * at exactly j = 60/120 = 0.5 (or better) with every w=24 member, and
+    * w=24 members are ~1/13 of the cluster. Tail words embed the member
+    * id, so tails never collide across members or with the template.
+    */
+  def plantMarginalCluster(
+      base: org.apache.spark.sql.DataFrame, members: Int,
+      blockLen: Int = 48, sparseConnectors: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val template = (1 to 62).map(i => s"marginal segment token$i").mkString(" ")
+    val blockStart = members / 2
+    // sparseConnectors: the HARSH regime — 90% of members at w=36 (every
+    // high-high link fails: 72 > 60) and 10% at w=24 (the only viable
+    // partners; high-low sums to exactly 60 → j = 0.5, passes). Each
+    // high-w member verifies against only ~10% of candidates, so a
+    // linear candidate generator gets few tries where the all-pairs form
+    // gets hundreds — the true stress of the star+chain contract.
+    val width =
+      if (sparseConnectors)
+        when(pmod(xxhash64(col("id"), lit(11)), lit(10)) === 0, lit(24)).otherwise(lit(36))
+      else
+        when(col("id") >= blockStart && col("id") < blockStart + blockLen, lit(36))
+          .otherwise(pmod(xxhash64(col("id"), lit(7)), lit(13)).cast("int") + lit(24))
+    val planted = base.sparkSession.range(members.toLong)
+      .withColumn("__w", width)
+      .select((col("id") + lit(plantIdOffset)).as("doc_id"),
+        concat(lit(template + " "),
+          array_join(transform(sequence(lit(1), col("__w")),
+            k => concat(lit("u"), col("id").cast("string"), lit("w"), k.cast("string"))),
+            " ")).as("text"))
+    base.select("doc_id", "text").unionByName(planted)
+  }
+
+  /** Recovered-membership measurement for [[plantMarginalCluster]]:
+    * candidates → exact-jaccard verification → connected components,
+    * restricted to planted members. Logs the fragmentation breakdown
+    * (largest component, component count, isolated members) and returns
+    * the LARGEST recovered component size — members is the perfect score.
+    */
+  def marginalCoverage(
+      base: org.apache.spark.sql.DataFrame, members: Int,
+      maxBandPop: Int, chainWidth: Int = 8, label: String = "",
+      sparseConnectors: Boolean = false): Long = {
+    val pool = plantMarginalCluster(base, members, sparseConnectors = sparseConnectors)
+    val pairs = Dedup.minhashNearDups(pool, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
+        maxBandPop = maxBandPop, chainWidth = chainWidth)
+      .filter(col("da") >= plantIdOffset) // da < db, so both ends planted
+      .select("da", "db").cache()
+    val nPairs = pairs.count()
+    if (nPairs == 0) { pairs.unpersist(false); return 0L }
+    val cc = Clusters.connectedComponents(pairs)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+    val largest = sizes.agg(max(col("n"))).head().getLong(0)
+    val nComp = sizes.count()
+    val inAny = cc.count()
+    System.err.println(
+      f"[scale] marginal$label members=$members maxBandPop=$maxBandPop " +
+        f"chainWidth=$chainWidth: verified_pairs=$nPairs largest=$largest " +
+        f"components=$nComp isolated=${members - inAny} " +
+        f"coverage=${largest.toDouble / members}%.4f")
+    pairs.unpersist(false)
+    largest
+  }
 
   /** Near-threshold planted pool for the straddle_recall_* probes: the
     * first [[straddleCount]] vectors each get a copy rotated by θ with
@@ -75,6 +152,8 @@ object ScaleBench {
     // assignment-vs-candidate tradeoff experiment).
     val only = args.drop(2).toSet
     val nlistOverride = sys.env.get("GRAFT_SCALE_NLIST").map(_.toInt).getOrElse(0)
+    val marginalMembers =
+      sys.env.get("GRAFT_SCALE_MARGINAL_MEMBERS").map(_.toInt).getOrElse(10000)
     // master-aware (SPARK_GRAFT_MASTER → local-cluster): the same harness
     // that produced the local[32] scaling table runs the headliners with
     // separate executor JVMs, so the SCALE.md cluster delta measures real
@@ -135,6 +214,30 @@ object ScaleBench {
         Dedup.minhashNearDups(plantMegaCluster(docs, 5000), "doc_id", "text",
           n = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
           maxBandPop = Int.MaxValue).count()),
+      // the star+chain RECALL measurement (round-11 verdict item 1): a
+      // cluster whose pairwise jaccard straddles the 0.5 threshold (see
+      // plantMarginalCluster). Result value is the largest recovered
+      // component among planted members; the unbounded arm is the
+      // LSH-recall ceiling, so bounded-vs-unbounded is the recall cost
+      // attributable to the candidate bound itself. Member count via
+      // GRAFT_SCALE_MARGINAL_MEMBERS (default 10000; the unbounded arm
+      // needs a smaller cluster — at 10k its all-pairs verification
+      // spilled past 60 GB of local disk before failing).
+      "marginal_mega_bounded" -> (() =>
+        marginalCoverage(docs, marginalMembers, maxBandPop = 256, label = "_bounded")),
+      "marginal_mega_unbounded" -> (() =>
+        marginalCoverage(docs, marginalMembers, maxBandPop = Int.MaxValue,
+          label = "_unbounded")),
+      // harsh regime: 90% of members mutually fail verification and only
+      // 10% are viable connectors (see plantMarginalCluster) — the case
+      // where a linear candidate generator gets ~10 viable tries where
+      // all-pairs gets hundreds
+      "marginal_sparse_bounded" -> (() =>
+        marginalCoverage(docs, marginalMembers, maxBandPop = 256,
+          label = "_sparse_bounded", sparseConnectors = true)),
+      "marginal_sparse_unbounded" -> (() =>
+        marginalCoverage(docs, marginalMembers, maxBandPop = Int.MaxValue,
+          label = "_sparse_unbounded", sparseConnectors = true)),
       "curation_pipeline" -> (() => {
         val curated = graft.pipeline.Curation.curate(docs, "doc_id", "text",
           graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))

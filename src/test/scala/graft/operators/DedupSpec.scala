@@ -116,6 +116,26 @@ class DedupSpec extends SparkSpec {
     assert(cc.map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("marginal-similarity mega-cluster: the bound costs no cluster recovery " +
+      "(star+chain coverage equals all-pairs)") {
+    // the round-11 contract measurement at spec scale: a cluster whose
+    // pairwise jaccard STRADDLES the 0.5 threshold (60/(60+wi+wj), widths
+    // 24..36 plus a chain-adversarial w=36 block — see
+    // ScaleBench.plantMarginalCluster), where star links can fail
+    // verification. Recovered membership through candidates → verify →
+    // connectedComponents must match the unbounded all-pairs ceiling —
+    // fragmentation attributable to the bound itself is zero.
+    import spark.implicits._
+    val base = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val bounded = graft.ScaleBench.marginalCoverage(
+      base, members = 500, maxBandPop = 64, label = "_spec_bounded")
+    val unbounded = graft.ScaleBench.marginalCoverage(
+      base, members = 500, maxBandPop = Int.MaxValue, label = "_spec_unbounded")
+    assert(bounded == unbounded,
+      s"bound-attributable fragmentation: bounded=$bounded unbounded=$unbounded")
+    assert(bounded >= 475, s"largest recovered component $bounded < 95% of 500")
+  }
+
   test("minhash: bounded path output matches unbounded when no bucket exceeds the cap") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val df = docs((1L, base), (2L, base.replace("word40", "changed")),
