@@ -238,6 +238,23 @@ object ScaleBench {
       "marginal_sparse_unbounded" -> (() =>
         marginalCoverage(docs, marginalMembers, maxBandPop = Int.MaxValue,
           label = "_sparse_unbounded", sparseConnectors = true)),
+      // CC-dominated workload for the chaos harness (round-11 verdict
+      // item 3): 64 interleaved chain components over n nodes (edge
+      // i → i+64), diameter n/64 — the worst case pointer doubling
+      // exists for, so the run spends its whole wall inside multi-round
+      // label propagation with live caches, per-round unpersists, and
+      // LogicalRDD plan truncation. Result is Σ labels: component r's
+      // minimum id is r, so the exact value is (n/64)·Σr = a checksum
+      // over every node's final label — any mislabeled node under
+      // executor loss shifts it. GRAFT_SCALE_CC_NODES sizes n.
+      "cc_chain" -> (() => {
+        val n = sys.env.get("GRAFT_SCALE_CC_NODES").map(_.toLong).getOrElse(2000000L)
+        val stride = 64L
+        val edges = spark.range(n - stride)
+          .select(col("id").as("da"), (col("id") + stride).as("db"))
+        val cc = Clusters.connectedComponents(edges)
+        cc.agg(sum(col("cluster_id"))).head().getLong(0)
+      }),
       "curation_pipeline" -> (() => {
         val curated = graft.pipeline.Curation.curate(docs, "doc_id", "text",
           graft.pipeline.Curation.Config(langs = Set("en"), minQuality = 0.5, minTokens = 5))
@@ -373,9 +390,11 @@ object ScaleBench {
       // other's primary cell. GRAFT_SCALE_PROBE_MARGIN tunes the margin.
       "straddle_recall_imi_mp" -> (() => {
         val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
+        val mp = sys.env.get("GRAFT_SCALE_MAX_PROBES").map(_.toInt).getOrElse(2)
         val pool = straddlePool(emb, minCos = 0.9)
         val found = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
-          minCos = 0.9, nlist = nlistOverride, seed = 42L, probeMargin = margin)
+          minCos = 0.9, nlist = nlistOverride, seed = 42L, probeMargin = margin,
+          maxProbes = mp)
           .filter(col("vb") === col("va") + lit(plantIdOffset))
           .count()
         found
@@ -390,6 +409,7 @@ object ScaleBench {
         import graft.functions.VectorFunctions
         import graft.vector.KMeansLite
         val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
+        val mp = sys.env.get("GRAFT_SCALE_MAX_PROBES").map(_.toInt).getOrElse(2)
         val pool = straddlePool(emb, minCos = 0.9)
         val unitized = pool
           .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
@@ -409,9 +429,9 @@ object ScaleBench {
           (Ann.nearestCentroidExpr(slice(col("__u"), 1, h), lo) * kHalf +
             Ann.nearestCentroidExpr(slice(col("__u"), h + 1, d - h), hi)).as("cluster")).cache()
         val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), 1, h), loF, 2, margin)
+          slice(col("__u"), 1, h), loF, mp, margin)
         val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), h + 1, d - h), hiF, 2, margin)
+          slice(col("__u"), h + 1, d - h), hiF, mp, margin)
         val probes = unitized.select(col("vec_id").as("doc_id"),
           explode(flatten(transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp))))
             .as("cluster")).cache()
@@ -432,6 +452,7 @@ object ScaleBench {
         import graft.functions.VectorFunctions
         import graft.vector.KMeansLite
         val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
+        val mp = sys.env.get("GRAFT_SCALE_MAX_PROBES").map(_.toInt).getOrElse(2)
         val pool = straddlePool(emb, minCos = 0.9)
         val unitized = pool
           .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
@@ -447,9 +468,9 @@ object ScaleBench {
         val loF = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(_.toFloat))
         val hiF = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(_.toFloat))
         val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), 1, h), loF, 2, margin)
+          slice(col("__u"), 1, h), loF, mp, margin)
         val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), h + 1, d - h), hiF, 2, margin)
+          slice(col("__u"), h + 1, d - h), hiF, mp, margin)
         unitized.select(explode(flatten(
           transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp)))).as("c")).count()
       }),

@@ -186,6 +186,81 @@ chaos_imi_phase() {
   echo "[chaos/imi] OK: chaos count $got == clean count under $losses executor losses" >&2
 }
 
+# Pointer-doubling connectedComponents under executor SIGKILL (round-11
+# verdict item 4): the CC loop is stateful across rounds and mixes cache
+# pinning, unpersist of the previous round, and per-round plan
+# truncation to a LogicalRDD — the machinery class where the r9 chaos
+# harness found the q84 lineage bug. The cc_chain workload is
+# CC-DOMINATED by construction (64 interleaved chain components,
+# diameter n/64 — the worst case doubling exists for), so the killer
+# loop lands executor deaths inside mid-round label-propagation jobs
+# with live caches. The result is a checksum over every node's final
+# label (Σ labels; exact value (n/64)·Σr), compared against a clean
+# single-JVM reference computed in the same invocation — any node
+# mislabeled during recovery shifts it.
+chaos_cc_phase() {
+  local nodes=${CC_NODES:-2000000}
+  local clean_log=/tmp/graft_chaos_cc_clean.log
+  GRAFT_SCALE_CC_NODES=$nodes \
+  java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "/opt/spark/jars/*:$CLASSES" graft.ScaleBench "$SF" chaos_cc_clean cc_chain \
+    > "$clean_log" 2>&1 \
+    || { echo "[chaos/cc] clean reference run failed" >&2; tail -3 "$clean_log" >&2; return 5; }
+  local expect
+  expect=$(grep -o '"rows":{[^}]*}' "$clean_log" | grep -o '"cc_chain":[0-9]*' | cut -d: -f2)
+  [ -n "$expect" ] || { echo "[chaos/cc] could not parse clean checksum" >&2; return 5; }
+  echo "[chaos/cc] clean reference checksum: $expect" >&2
+
+  local driver_log
+  driver_log=$(mktemp /tmp/graft_chaos_cc.XXXXXX.log)
+  # same retry-budget rationale as the imi phase: 2 executors with a
+  # kill every INTERVAL seconds is churn no real deployment sees
+  # without also raising maxFailures
+  GRAFT_SCALE_CC_NODES=$nodes \
+  SPARK_HOME=${SPARK_HOME:-/opt/spark} \
+  SPARK_SCALA_VERSION=2.13 \
+  SPARK_GRAFT_MASTER=${CC_MASTER:-local-cluster[2,8,6144]} \
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} java $ADD_OPENS -Xmx8g \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Dspark.task.maxFailures=8 -Dspark.stage.maxConsecutiveAttempts=8 \
+    -Dspark.executor.memory=4g \
+    -cp "/opt/spark/jars/*:$CLASSES" \
+    graft.ScaleBench "$SF" chaos_cc cc_chain > >(tee "$driver_log") 2>&1 &
+  local driver=$!
+
+  local killed=0 victim
+  while [ $killed -lt "$KILLS" ] && kill -0 $driver 2>/dev/null; do
+    sleep "$INTERVAL"
+    victim=$(pick_victim $driver || true)
+    if [ -n "${victim:-}" ]; then
+      echo "[chaos/cc] SIGKILL executor pid $victim" >&2
+      kill -9 "$victim" 2>/dev/null && killed=$((killed+1))
+    fi
+  done
+  echo "[chaos/cc] killed $killed executors" >&2
+
+  wait $driver
+  local rc=$?
+  if [ $rc -ne 0 ]; then
+    echo "[chaos/cc] driver exited rc=$rc — the CC run failed outright" >&2
+    return $rc
+  fi
+  local losses
+  losses=$(grep -c "Lost executor" "$driver_log" || true)
+  echo "[chaos/cc] executor-loss events observed: $losses" >&2
+  if [ "$losses" -lt 1 ]; then
+    echo "[chaos/cc] FAIL: no executor loss observed — chaos never landed; rerun with a smaller INTERVAL" >&2
+    return 3
+  fi
+  local got
+  got=$(grep -o '"rows":{[^}]*}' "$driver_log" | grep -o '"cc_chain":[0-9]*' | cut -d: -f2)
+  if [ "$got" != "$expect" ]; then
+    echo "[chaos/cc] FAIL: chaos checksum $got != clean checksum $expect" >&2
+    return 6
+  fi
+  echo "[chaos/cc] OK: chaos checksum $got == clean checksum under $losses executor losses" >&2
+}
+
 # CommitLog writer killed between claim and rename. Three processes:
 #  A commits v0; B parks at the failpoint holding the v1 claim and is
 #  SIGKILLed there (kill-landing is asserted: sentinel present, marker
@@ -238,6 +313,7 @@ for phase in $PHASES; do
     streaming) chaos_verify_phase streaming "${OUT}_streaming" $STREAM_QUERIES ;;
     commit)    chaos_commit_phase ;;
     imi)       chaos_imi_phase ;;
+    cc)        chaos_cc_phase ;;
     *) echo "unknown phase $phase" >&2; false ;;
   esac
   rc=$?
