@@ -425,13 +425,14 @@ object ScaleBench {
         val lo = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(v => v.toFloat.toDouble))
         val hi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(v => v.toFloat.toDouble))
         val loF = lo.map(_.map(_.toFloat)); val hiF = hi.map(_.map(_.toFloat))
+        val mEff = if (margin < 0) Ann.autoProbeMargin(kHalf) else margin
         val primary = unitized.select(col("vec_id").as("doc_id"),
           (Ann.nearestCentroidExpr(slice(col("__u"), 1, h), lo) * kHalf +
             Ann.nearestCentroidExpr(slice(col("__u"), h + 1, d - h), hi)).as("cluster")).cache()
         val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), 1, h), loF, mp, margin)
+          slice(col("__u"), 1, h), loF, mp, mEff)
         val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), h + 1, d - h), hiF, mp, margin)
+          slice(col("__u"), h + 1, d - h), hiF, mp, mEff)
         val probes = unitized.select(col("vec_id").as("doc_id"),
           explode(flatten(transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp))))
             .as("cluster")).cache()
@@ -467,10 +468,11 @@ object ScaleBench {
         val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
         val loF = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(_.toFloat))
         val hiF = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(_.toFloat))
+        val mEff = if (margin < 0) Ann.autoProbeMargin(kHalf) else margin
         val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), 1, h), loF, mp, margin)
+          slice(col("__u"), 1, h), loF, mp, mEff)
         val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), h + 1, d - h), hiF, mp, margin)
+          slice(col("__u"), h + 1, d - h), hiF, mp, mEff)
         unitized.select(explode(flatten(
           transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp)))).as("c")).count()
       }),

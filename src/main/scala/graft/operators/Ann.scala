@@ -174,6 +174,11 @@ object Ann {
     * deliberately small: in high dimension nearest-cell distances
     * concentrate, so even 0.1 fires the second probe on ~70% of vectors
     * (measured 3.05 probe rows/vector → 5× candidate volume).
+    * `probeMargin < 0` selects the margin AUTOMATICALLY and scale-aware
+    * — see [[autoProbeMargin]]: on the delegated IMI branch it widens
+    * with the per-half cell count so the straddle-recall floor holds as
+    * corpora grow; on the flat branch it resolves to the fixed 0.02
+    * reference point (flat fineness is delegation-bounded).
     */
   def ivfNearDupJoin(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
@@ -203,12 +208,18 @@ object Ann {
       ivfFit(corpus, vecCol, k, seed, maxIter, maxFitPoints, targetCellPop)
     val assigned = unitized.select(col(idCol).as("doc_id"),
       nearestCentroidExpr(col("__u"), centers).as("cluster"))
-    if (probeMargin <= 0.0)
+    // probeMargin < 0 = AUTO. On the FLAT branch the resolution is the
+    // fixed 0.02 reference point: flat fineness is bounded (delegation
+    // caps nlist at maxFitPoints/8), so the recall decay the IMI rule
+    // compensates for cannot occur here and the 402k-measured operating
+    // point applies at every scale this branch serves.
+    val margin = if (probeMargin < 0) 0.02 else probeMargin
+    if (margin <= 0.0)
       verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
     else {
       val probes = unitized.select(col(idCol).as("doc_id"),
         explode(graft.expressions.QuantizerExpressions.nearestCentroids(
-          col("__u"), centers.map(_.map(_.toFloat)), maxProbes, probeMargin)).as("cluster"))
+          col("__u"), centers.map(_.map(_.toFloat)), maxProbes, margin)).as("cluster"))
       verifyCellMatesProbed(corpus, idCol, vecCol, minCos, assigned, probes)
     }
   }
@@ -313,6 +324,24 @@ object Ann {
     * recovers 523 vs capped-flat's 771 (0.68×; misses ×1.20 — inside
     * the doubling bound) at 1.8× less wall.
     */
+  /** Scale-aware multi-probe margin (round-12, SCALE.md §straddle): the
+    * fixed margin's straddle recall DECAYS with cell fineness — 0.02
+    * recovers 40.1% at kHalf=57 (402k vectors) but 31.6% at kHalf=125
+    * (2M) — because a fixed-θ displacement crosses more, relatively
+    * tighter cell boundaries as cells refine, so the margin must widen
+    * with the per-half cell count to keep the probed shell at constant
+    * PHYSICAL width. margin = 4e-4·kHalf is anchored at BOTH measured
+    * scales: it reproduces the 0.02/402k operating point (40.1% recall,
+    * 1.09× capped-flat volume) and selects 0.05 at 2M, measured 42.5%
+    * recall at 0.38× capped-flat's candidate volume — both above the
+    * 38.6% flat-equivalent bar, i.e. the recall floor no longer drifts
+    * down as corpora grow. Clamped to [0.01, 0.1]: below 0.01 the probe
+    * adds nothing measurable; above 0.1 the boundary fraction explodes
+    * (3.05 probe rows/vector measured at 0.1 even at 402k).
+    */
+  def autoProbeMargin(kHalf: Int): Double =
+    math.min(0.1, math.max(0.01, 4e-4 * kHalf))
+
   def imiNearDupJoin(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nlist: Int = 0, targetCellPop: Int = 128, seed: Long = 42L,
@@ -349,7 +378,10 @@ object Ann {
       (nearestCentroidExpr(slice(col("__u"), 1, h), centersLo) * kHalf +
         nearestCentroidExpr(slice(col("__u"), h + 1, d - h), centersHi))
         .as("cluster"))
-    if (probeMargin <= 0.0)
+    // probeMargin < 0 = AUTO: widen with the fitted cell fineness so the
+    // straddle-recall floor holds as the corpus grows (see autoProbeMargin)
+    val margin = if (probeMargin < 0) autoProbeMargin(kHalf) else probeMargin
+    if (margin <= 0.0)
       verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
     else {
       // composite multi-probe: the margin-gated probe lists of the two
@@ -363,9 +395,9 @@ object Ann {
       // but over ≤maxProbes² elements — negligible next to the two
       // codegen'd half-space scans that feed them.
       val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
-        slice(col("__u"), 1, h), centersLo.map(_.map(_.toFloat)), maxProbes, probeMargin)
+        slice(col("__u"), 1, h), centersLo.map(_.map(_.toFloat)), maxProbes, margin)
       val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
-        slice(col("__u"), h + 1, d - h), centersHi.map(_.map(_.toFloat)), maxProbes, probeMargin)
+        slice(col("__u"), h + 1, d - h), centersHi.map(_.map(_.toFloat)), maxProbes, margin)
       val probes = unitized.select(col(idCol).as("doc_id"),
         explode(flatten(transform(loP, lo => transform(hiP, hi => lo * lit(kHalf) + hi))))
           .as("cluster"))

@@ -124,6 +124,42 @@ class ImiSpec extends SparkSpec {
     pool.unpersist()
   }
 
+  test("autoProbeMargin: anchored at both measured scales, clamped") {
+    // the rule reproduces the two measured operating points (SCALE.md
+    // §straddle): 0.02 at kHalf=57 (402k pool) and 0.05 at kHalf=125 (2M)
+    assert(math.abs(Ann.autoProbeMargin(57) - 0.0228) < 1e-12)
+    assert(math.abs(Ann.autoProbeMargin(125) - 0.05) < 1e-12)
+    assert(Ann.autoProbeMargin(4) == 0.01)    // floor
+    assert(Ann.autoProbeMargin(2048) == 0.1)  // cap
+  }
+
+  test("probeMargin = -1 (auto) behaves like an explicit margin: superset of " +
+      "single-probe, brute-exact precision, both join shapes") {
+    val planted = corpus.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.0d) + (rand(5) - lit(0.5d)) * lit(0.02d)).cast(FloatType))
+          .as("embedding"))
+    val pool = corpus.select("vec_id", "embedding").union(planted).cache()
+    val floor = 0.995
+    val brute = Dedup.cosinePairs(pool, "vec_id", "embedding", minCos = floor)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
+      minCos = floor, nlist = 64, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
+      minCos = floor, nlist = 64, seed = 42L, probeMargin = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(brute))
+    assert(single.subsetOf(auto),
+      s"single-probe pairs lost under auto multi-probe: ${single.diff(auto)}")
+    val flatAuto = Ann.ivfNearDupJoin(pool, "vec_id", "embedding",
+      minCos = floor, nlist = 64, seed = 42L, probeMargin = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flatAuto.subsetOf(brute))
+    pool.unpersist()
+  }
+
   test("imiNearDupJoin is deterministic for a fixed seed") {
     def run() = Ann.imiNearDupJoin(corpus, "vec_id", "embedding",
         minCos = 0.98, seed = 7L)
