@@ -47,7 +47,12 @@ object ScaleBench {
       base: org.apache.spark.sql.DataFrame, members: Int,
       blockLen: Int = 48, sparseConnectors: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
-    val template = (1 to 62).map(i => s"marginal segment token$i").mkString(" ")
+    // each template word must be a SINGLE whitespace token: 62 tokens →
+    // exactly 60 template-internal 3-shingles, so shared = 60 and pairwise
+    // jaccard = 60/(60+wi+wj) genuinely straddles 0.5 (a 3-words-per-entry
+    // template would share 184 shingles and every pair would pass — the
+    // round-12 measurement was vacuous for exactly that reason)
+    val template = (1 to 62).map(i => s"marginaltoken$i").mkString(" ")
     val blockStart = members / 2
     // sparseConnectors: the HARSH regime — 90% of members at w=36 (every
     // high-high link fails: 72 > 60) and 10% at w=24 (the only viable
@@ -71,16 +76,25 @@ object ScaleBench {
     base.select("doc_id", "text").unionByName(planted)
   }
 
+  /** Full measurement record for [[marginalStats]]: `largest` recovered
+    * component size (members = perfect), `verifiedPairs` that survived
+    * exact-jaccard, `components` and `isolated` member counts.
+    */
+  final case class MarginalStats(
+      largest: Long, verifiedPairs: Long, components: Long, isolated: Long)
+
   /** Recovered-membership measurement for [[plantMarginalCluster]]:
     * candidates → exact-jaccard verification → connected components,
     * restricted to planted members. Logs the fragmentation breakdown
     * (largest component, component count, isolated members) and returns
-    * the LARGEST recovered component size — members is the perfect score.
+    * the full [[MarginalStats]] so callers (DedupSpec's gate) can assert
+    * the workload actually straddles — verified pairs well BELOW the
+    * all-pairs count — not just that coverage holds.
     */
-  def marginalCoverage(
+  def marginalStats(
       base: org.apache.spark.sql.DataFrame, members: Int,
       maxBandPop: Int, chainWidth: Int = 8, label: String = "",
-      sparseConnectors: Boolean = false): Long = {
+      sparseConnectors: Boolean = false): MarginalStats = {
     val pool = plantMarginalCluster(base, members, sparseConnectors = sparseConnectors)
     val pairs = Dedup.minhashNearDups(pool, "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
@@ -88,7 +102,7 @@ object ScaleBench {
       .filter(col("da") >= plantIdOffset) // da < db, so both ends planted
       .select("da", "db").cache()
     val nPairs = pairs.count()
-    if (nPairs == 0) { pairs.unpersist(false); return 0L }
+    if (nPairs == 0) { pairs.unpersist(false); return MarginalStats(0L, 0L, 0L, members.toLong) }
     val cc = Clusters.connectedComponents(pairs)
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n"))
     val largest = sizes.agg(max(col("n"))).head().getLong(0)
@@ -100,8 +114,15 @@ object ScaleBench {
         f"components=$nComp isolated=${members - inAny} " +
         f"coverage=${largest.toDouble / members}%.4f")
     pairs.unpersist(false)
-    largest
+    MarginalStats(largest, nPairs, nComp, members - inAny)
   }
+
+  /** [[marginalStats]] reduced to the headline value for the timed arms. */
+  def marginalCoverage(
+      base: org.apache.spark.sql.DataFrame, members: Int,
+      maxBandPop: Int, chainWidth: Int = 8, label: String = "",
+      sparseConnectors: Boolean = false): Long =
+    marginalStats(base, members, maxBandPop, chainWidth, label, sparseConnectors).largest
 
   /** Near-threshold planted pool for the straddle_recall_* probes: the
     * first [[straddleCount]] vectors each get a copy rotated by θ with

@@ -120,14 +120,19 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the footer probe is memoized: stream-stream queries call this twice
     // per query and re-probing the same immutable fixture is pure waste
-    // (round-10 ADVICE). The key folds in the file tree's total length +
+    // (round-10 ADVICE). The entry carries the file tree's total length +
     // max mtime so an in-place fixture rewrite (a test regenerating
     // events.parquet mid-JVM) naturally misses instead of silently
     // streaming with a stale schema (round-11 ADVICE); a stat walk is
-    // ~µs against the footer probe's full Spark job.
-    val rawSchema = eventsSchemaCache.computeIfAbsent(
-      (dir, eventsFingerprint(dir)),
-      k => spark.read.parquet(s"${k._1}/events.parquet").schema)
+    // ~µs against the footer probe's full Spark job. One entry per dir,
+    // REPLACED on fingerprint mismatch (round-12 ADVICE) — keying by
+    // (dir, fingerprint) accumulated an entry per rewrite, and mtime's
+    // 1s granularity on some filesystems could then serve a stale schema
+    // for a same-length same-second rewrite from an old key.
+    val fp = eventsFingerprint(dir)
+    val rawSchema = eventsSchemaCache.compute(dir, (d, old) =>
+      if (old != null && old._1 == fp) old
+      else (fp, spark.read.parquet(s"$d/events.parquet").schema))._2
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     adaptEventsTs(stream, ntz = false)
@@ -151,7 +156,8 @@ object Tables {
     walk(new java.io.File(dir, "events.parquet"))
   }
 
+  // dir → (fingerprint, schema); bounded at one live entry per dir
   private val eventsSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, (Long, Long)), org.apache.spark.sql.types.StructType]()
+      String, ((Long, Long), org.apache.spark.sql.types.StructType)]()
 }

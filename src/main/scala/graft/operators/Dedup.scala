@@ -79,6 +79,15 @@ object Dedup {
     * bucket's |bucket|²/2 pair generation dominate the whole job —
     * switches to a chain window (each member paired with its
     * `chainWidth` successors in doc_id order), linear in bucket size.
+    *
+    * Recall note: for clusters whose pairwise similarity sits NEAR
+    * `minJaccard`, the residual misses (isolated members in SCALE.md's
+    * marginal-cluster measurement) are LSH banding misses — pairs whose
+    * signatures collide in no band — identical in bounded and unbounded
+    * arms. They are tuned via `bands`/`numHashes` (more bands at fewer
+    * rows each raises the candidate probability at the threshold), not
+    * via `maxBandPop`/`chainWidth`, which only bound pair generation
+    * inside buckets that already collided.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,

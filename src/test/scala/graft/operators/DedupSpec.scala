@@ -116,24 +116,51 @@ class DedupSpec extends SparkSpec {
     assert(cc.map(_.getLong(1)).toSet == Set(1L))
   }
 
-  test("marginal-similarity mega-cluster: the bound costs no cluster recovery " +
-      "(star+chain coverage equals all-pairs)") {
+  test("marginal-similarity mega-cluster: the bound's recovery cost is ~zero " +
+      "while the workload genuinely straddles the threshold") {
     // the round-11 contract measurement at spec scale: a cluster whose
     // pairwise jaccard STRADDLES the 0.5 threshold (60/(60+wi+wj), widths
     // 24..36 plus a chain-adversarial w=36 block — see
-    // ScaleBench.plantMarginalCluster), where star links can fail
-    // verification. Recovered membership through candidates → verify →
-    // connectedComponents must match the unbounded all-pairs ceiling —
-    // fragmentation attributable to the bound itself is zero.
+    // ScaleBench.plantMarginalCluster), where star links genuinely fail
+    // verification (~46% of uniform links). Recovered membership through
+    // candidates → verify → connectedComponents must stay within ~1% of
+    // the unbounded all-pairs-within-buckets ceiling, at a fraction of
+    // its verified-pair volume.
     import spark.implicits._
     val base = Seq.empty[(Long, String)].toDF("doc_id", "text")
-    val bounded = graft.ScaleBench.marginalCoverage(
+    val bounded = graft.ScaleBench.marginalStats(
       base, members = 500, maxBandPop = 64, label = "_spec_bounded")
-    val unbounded = graft.ScaleBench.marginalCoverage(
+    val unbounded = graft.ScaleBench.marginalStats(
       base, members = 500, maxBandPop = Int.MaxValue, label = "_spec_unbounded")
-    assert(bounded == unbounded,
-      s"bound-attributable fragmentation: bounded=$bounded unbounded=$unbounded")
-    assert(bounded >= 475, s"largest recovered component $bounded < 95% of 500")
+    // NON-VACUITY (round-12 advice): the workload must actually straddle.
+    // Widths sum past 60 for ~46% of uniform pairs and for every
+    // block-internal pair, and 4-row/8-band LSH at j≈0.5 surfaces only
+    // ~40% of passing pairs as candidates — so verified pairs must sit
+    // FAR below the C(500,2)=124,750 all-pairs ceiling. Round 12's
+    // 3-words-per-template-entry bug made every pair pass (~97% of the
+    // ceiling verified); this assertion fails if that ever regresses.
+    val ceiling = 500L * 499L / 2L
+    assert(unbounded.verifiedPairs < (ceiling * 6) / 10,
+      s"straddle degenerated to all-pass: ${unbounded.verifiedPairs} of $ceiling verified")
+    assert(unbounded.verifiedPairs > ceiling / 20,
+      s"straddle degenerated to nothing-passes: ${unbounded.verifiedPairs} of $ceiling")
+    // the bound must actually bound: far fewer verified pairs than the
+    // all-pairs-within-buckets arm (observed ~6x fewer at these params)
+    assert(bounded.verifiedPairs * 3 < unbounded.verifiedPairs,
+      s"bound not binding: ${bounded.verifiedPairs} vs ${unbounded.verifiedPairs}")
+    // the bound may not fragment the cluster beyond what banding already
+    // does: both arms recover ONE component, and the bound costs at most
+    // ~1% of members vs the all-pairs-within-buckets ceiling (measured:
+    // 414 vs 416 of 500). The remaining ~17% isolation is identical in
+    // both arms — LSH banding misses at j≈0.5, maximally correlated here
+    // because every pair shares the SAME 60 template shingles (a member
+    // with no all-template-min band matches nobody; see SCALE.md).
+    assert(bounded.components == 1 && unbounded.components == 1,
+      s"fragmented: bounded=${bounded.components} unbounded=${unbounded.components} components")
+    assert(unbounded.largest - bounded.largest <= 5,
+      s"bound-attributable loss: bounded=${bounded.largest} unbounded=${unbounded.largest}")
+    assert(bounded.largest >= 375,
+      s"largest recovered component ${bounded.largest} < 75% of 500")
   }
 
   test("minhash: bounded path output matches unbounded when no bucket exceeds the cap") {

@@ -119,7 +119,10 @@ chaos_imi_phase() {
     return 5
   fi
   local clean_log=/tmp/graft_chaos_imi_clean.log
-  java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  # SPARK_GRAFT_MASTER= (empty) pins the clean reference to the in-process
+  # master even when the caller exported a cluster master (round-12 ADVICE)
+  env SPARK_GRAFT_MASTER= \
+    java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "/opt/spark/jars/*:$CLASSES" graft.ScaleBench "$dir" chaos_clean imi_neardup \
     > "$clean_log" 2>&1 \
     || { echo "[chaos/imi] clean reference run failed" >&2; tail -3 "$clean_log" >&2; return 5; }
@@ -201,8 +204,10 @@ chaos_imi_phase() {
 chaos_cc_phase() {
   local nodes=${CC_NODES:-2000000}
   local clean_log=/tmp/graft_chaos_cc_clean.log
-  GRAFT_SCALE_CC_NODES=$nodes \
-  java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  # SPARK_GRAFT_MASTER= (empty) pins the clean reference to the in-process
+  # master even when the caller exported a cluster master (round-12 ADVICE)
+  env SPARK_GRAFT_MASTER= GRAFT_SCALE_CC_NODES=$nodes \
+    java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "/opt/spark/jars/*:$CLASSES" graft.ScaleBench "$SF" chaos_cc_clean cc_chain \
     > "$clean_log" 2>&1 \
     || { echo "[chaos/cc] clean reference run failed" >&2; tail -3 "$clean_log" >&2; return 5; }
