@@ -101,6 +101,19 @@ object Bench {
     try SparkEntry.queries("q01_scan_project")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // the first string-function execution in a JVM pays ~1.2-1.5 s of lazy
+    // collation/codegen class initialization (measured: a ONE-ROW
+    // lower(trim(...)) costs 1.48 s cold, 0.01 s warm — r13 bisect of the
+    // "q03 8x regression", which was this init landing on the first
+    // lower/trim query once the replay-vs-prior rerun stopped masking it).
+    // A one-row probe absorbs it here, where setup cost belongs.
+    try spark.range(1)
+      .select(org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.trim(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.col("id").cast("string"),
+          org.apache.spark.sql.functions.lit(" x ")))).as("v"))
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
