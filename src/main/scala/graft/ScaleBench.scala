@@ -175,6 +175,12 @@ object ScaleBench {
     val nlistOverride = sys.env.get("GRAFT_SCALE_NLIST").map(_.toInt).getOrElse(0)
     val marginalMembers =
       sys.env.get("GRAFT_SCALE_MARGINAL_MEMBERS").map(_.toInt).getOrElse(10000)
+    // chain width for the marginal arms — the knob the sparse-connector
+    // regime's bound-attributable coverage gap trades against (SCALE.md:
+    // more chain slots per bucket appearance = more verification tries
+    // per member where viable partners are rare)
+    val marginalChainWidth =
+      sys.env.get("GRAFT_SCALE_CHAIN_WIDTH").map(_.toInt).getOrElse(8)
     // master-aware (SPARK_GRAFT_MASTER → local-cluster): the same harness
     // that produced the local[32] scaling table runs the headliners with
     // separate executor JVMs, so the SCALE.md cluster delta measures real
@@ -245,19 +251,22 @@ object ScaleBench {
       // needs a smaller cluster — at 10k its all-pairs verification
       // spilled past 60 GB of local disk before failing).
       "marginal_mega_bounded" -> (() =>
-        marginalCoverage(docs, marginalMembers, maxBandPop = 256, label = "_bounded")),
+        marginalCoverage(docs, marginalMembers, maxBandPop = 256,
+          chainWidth = marginalChainWidth, label = "_bounded")),
       "marginal_mega_unbounded" -> (() =>
         marginalCoverage(docs, marginalMembers, maxBandPop = Int.MaxValue,
-          label = "_unbounded")),
+          chainWidth = marginalChainWidth, label = "_unbounded")),
       // harsh regime: 90% of members mutually fail verification and only
       // 10% are viable connectors (see plantMarginalCluster) — the case
       // where a linear candidate generator gets ~10 viable tries where
       // all-pairs gets hundreds
       "marginal_sparse_bounded" -> (() =>
         marginalCoverage(docs, marginalMembers, maxBandPop = 256,
+          chainWidth = marginalChainWidth,
           label = "_sparse_bounded", sparseConnectors = true)),
       "marginal_sparse_unbounded" -> (() =>
         marginalCoverage(docs, marginalMembers, maxBandPop = Int.MaxValue,
+          chainWidth = marginalChainWidth,
           label = "_sparse_unbounded", sparseConnectors = true)),
       // CC-dominated workload for the chaos harness (round-11 verdict
       // item 3): 64 interleaved chain components over n nodes (edge
