@@ -247,9 +247,9 @@ object ScaleBench {
       // component among planted members; the unbounded arm is the
       // LSH-recall ceiling, so bounded-vs-unbounded is the recall cost
       // attributable to the candidate bound itself. Member count via
-      // GRAFT_SCALE_MARGINAL_MEMBERS (default 10000; the unbounded arm
-      // needs a smaller cluster — at 10k its all-pairs verification
-      // spilled past 60 GB of local disk before failing).
+      // GRAFT_SCALE_MARGINAL_MEMBERS (default 10000; at 10k the
+      // unbounded arm runs ~8-11x the bounded wall — SCALE.md's
+      // round-13 table).
       "marginal_mega_bounded" -> (() =>
         marginalCoverage(docs, marginalMembers, maxBandPop = 256,
           chainWidth = marginalChainWidth, label = "_bounded")),

@@ -330,14 +330,18 @@ object Ann {
     * (2M) — because a fixed-θ displacement crosses more, relatively
     * tighter cell boundaries as cells refine, so the margin must widen
     * with the per-half cell count to keep the probed shell at constant
-    * PHYSICAL width. margin = 4e-4·kHalf is anchored at BOTH measured
-    * scales: it reproduces the 0.02/402k operating point (40.1% recall,
-    * 1.09× capped-flat volume) and selects 0.05 at 2M, measured 42.5%
-    * recall at 0.38× capped-flat's candidate volume — both above the
-    * 38.6% flat-equivalent bar, i.e. the recall floor no longer drifts
-    * down as corpora grow. Clamped to [0.01, 0.1]: below 0.01 the probe
-    * adds nothing measurable; above 0.1 the boundary fraction explodes
-    * (3.05 probe rows/vector measured at 0.1 even at 402k).
+    * PHYSICAL width. margin = 4e-4·kHalf is anchored at kHalf = 57
+    * (402k vectors, 43.1% straddle recall) and kHalf = 125 (2M, 42.6%)
+    * and VALIDATED OFF-ANCHOR at kHalf = 177 (4M, margin 0.0708:
+    * 42.6% again, where single-probe has decayed to 19.0%) — the floor
+    * is measured flat across a decade of n. The cost is not flat:
+    * holding it grows the candidate volume ~2× per decade over
+    * single-probe (2.19× at 402k → 4.27× at 4M; SCALE.md §off-anchor).
+    * Clamped to [0.01, 0.1]: below 0.01 the probe adds nothing
+    * measurable; above 0.1 the boundary fraction explodes (3.05 probe
+    * rows/vector measured at 0.1 even at 402k). The clamp binds at
+    * kHalf = 250 (n ≈ 8M at default targetCellPop) — past it, raise
+    * maxProbes or targetCellPop instead of the margin.
     */
   def autoProbeMargin(kHalf: Int): Double =
     math.min(0.1, math.max(0.01, 4e-4 * kHalf))
