@@ -94,10 +94,11 @@ object ScaleBench {
   def marginalStats(
       base: org.apache.spark.sql.DataFrame, members: Int,
       maxBandPop: Int, chainWidth: Int = 8, label: String = "",
-      sparseConnectors: Boolean = false): MarginalStats = {
+      sparseConnectors: Boolean = false,
+      numHashes: Int = 32, bands: Int = 8): MarginalStats = {
     val pool = plantMarginalCluster(base, members, sparseConnectors = sparseConnectors)
     val pairs = Dedup.minhashNearDups(pool, "doc_id", "text",
-        n = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
+        n = 3, numHashes = numHashes, bands = bands, minJaccard = 0.5,
         maxBandPop = maxBandPop, chainWidth = chainWidth)
       .filter(col("da") >= plantIdOffset) // da < db, so both ends planted
       .select("da", "db").cache()
@@ -110,7 +111,8 @@ object ScaleBench {
     val inAny = cc.count()
     System.err.println(
       f"[scale] marginal$label members=$members maxBandPop=$maxBandPop " +
-        f"chainWidth=$chainWidth: verified_pairs=$nPairs largest=$largest " +
+        f"chainWidth=$chainWidth numHashes=$numHashes bands=$bands: " +
+        f"verified_pairs=$nPairs largest=$largest " +
         f"components=$nComp isolated=${members - inAny} " +
         f"coverage=${largest.toDouble / members}%.4f")
     pairs.unpersist(false)
@@ -121,8 +123,10 @@ object ScaleBench {
   def marginalCoverage(
       base: org.apache.spark.sql.DataFrame, members: Int,
       maxBandPop: Int, chainWidth: Int = 8, label: String = "",
-      sparseConnectors: Boolean = false): Long =
-    marginalStats(base, members, maxBandPop, chainWidth, label, sparseConnectors).largest
+      sparseConnectors: Boolean = false,
+      numHashes: Int = 32, bands: Int = 8): Long =
+    marginalStats(base, members, maxBandPop, chainWidth, label,
+      sparseConnectors, numHashes, bands).largest
 
   /** Near-threshold planted pool for the straddle_recall_* probes: the
     * first [[straddleCount]] vectors each get a copy rotated by θ with
@@ -181,6 +185,13 @@ object ScaleBench {
     // per member where viable partners are rare)
     val marginalChainWidth =
       sys.env.get("GRAFT_SCALE_CHAIN_WIDTH").map(_.toInt).getOrElse(8)
+    // LSH geometry for the marginal arms — the knobs the ISOLATION
+    // residual trades against (isolation is banding misses, so it moves
+    // with bands/rows-per-band, not with the candidate generator)
+    val marginalNumHashes =
+      sys.env.get("GRAFT_SCALE_NUM_HASHES").map(_.toInt).getOrElse(32)
+    val marginalBands =
+      sys.env.get("GRAFT_SCALE_BANDS").map(_.toInt).getOrElse(8)
     // master-aware (SPARK_GRAFT_MASTER → local-cluster): the same harness
     // that produced the local[32] scaling table runs the headliners with
     // separate executor JVMs, so the SCALE.md cluster delta measures real
@@ -252,10 +263,12 @@ object ScaleBench {
       // round-13 table).
       "marginal_mega_bounded" -> (() =>
         marginalCoverage(docs, marginalMembers, maxBandPop = 256,
-          chainWidth = marginalChainWidth, label = "_bounded")),
+          chainWidth = marginalChainWidth, label = "_bounded",
+          numHashes = marginalNumHashes, bands = marginalBands)),
       "marginal_mega_unbounded" -> (() =>
         marginalCoverage(docs, marginalMembers, maxBandPop = Int.MaxValue,
-          chainWidth = marginalChainWidth, label = "_unbounded")),
+          chainWidth = marginalChainWidth, label = "_unbounded",
+          numHashes = marginalNumHashes, bands = marginalBands)),
       // harsh regime: 90% of members mutually fail verification and only
       // 10% are viable connectors (see plantMarginalCluster) — the case
       // where a linear candidate generator gets ~10 viable tries where
@@ -263,11 +276,13 @@ object ScaleBench {
       "marginal_sparse_bounded" -> (() =>
         marginalCoverage(docs, marginalMembers, maxBandPop = 256,
           chainWidth = marginalChainWidth,
-          label = "_sparse_bounded", sparseConnectors = true)),
+          label = "_sparse_bounded", sparseConnectors = true,
+          numHashes = marginalNumHashes, bands = marginalBands)),
       "marginal_sparse_unbounded" -> (() =>
         marginalCoverage(docs, marginalMembers, maxBandPop = Int.MaxValue,
           chainWidth = marginalChainWidth,
-          label = "_sparse_unbounded", sparseConnectors = true)),
+          label = "_sparse_unbounded", sparseConnectors = true,
+          numHashes = marginalNumHashes, bands = marginalBands)),
       // CC-dominated workload for the chaos harness (round-11 verdict
       // item 3): 64 interleaved chain components over n nodes (edge
       // i → i+64), diameter n/64 — the worst case pointer doubling
