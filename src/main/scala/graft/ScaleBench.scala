@@ -521,6 +521,81 @@ object ScaleBench {
         unitized.select(explode(flatten(
           transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp)))).as("c")).count()
       }),
+      // straddle recall with PLANTED-ONLY verification: identical candidate
+      // geometry to straddle_recall_imi_mp (same sample/seeds/kEff/kHalf/
+      // margin resolution — deliberately mirrored from the imiNearDupJoin
+      // path like the two volume probes above), but the candidate stream is
+      // filtered to the planted (va, va+plantIdOffset) pairs BEFORE the
+      // distinct + cosine verification. Per-pair verification is independent
+      // of every other pair, so the planted-pair recall count is EQUAL BY
+      // CONSTRUCTION to what the full engine join reports — the equivalence
+      // is additionally pinned by running this arm next to the full join on
+      // the SAME pool at both shapes (942==942 mp at 4M, 347==347 single at
+      // 16M — SCALE.md §past-clamp). Why it exists:
+      // the full verify join materializes the ENTIRE candidate stream with
+      // both vectors attached (~n·275 rows at auto margin), which past
+      // n ≈ 8M exceeds a single box's shuffle disk (measured: 16M and 12M
+      // auto-margin arms both filled >75 GB and died on ENOSPC) — on a real
+      // cluster that shuffle spreads over hundreds of disks, but the recall
+      // CURVE still has to be measured here. GRAFT_SCALE_PROBE_MARGIN=0
+      // selects the single-probe join shape (primary×primary, a<b), any
+      // other value the multi-probe shape (primary×probes, least/greatest).
+      "straddle_recall_planted" -> (() => {
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        import graft.functions.VectorFunctions
+        import graft.vector.KMeansLite
+        val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
+        val mp = sys.env.get("GRAFT_SCALE_MAX_PROBES").map(_.toInt).getOrElse(2)
+        val pool = straddlePool(emb, minCos = 0.9)
+        val unitized = pool
+          .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
+          .filter(col("__n") > 0.0)
+          .withColumn("__u", transform(col("embedding"),
+            x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
+        val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, 1 << 14, 42L)
+        val d = sample(0).length; val h = d / 2
+        val n = pool.count().toDouble
+        val kEff = if (nlistOverride > 0) nlistOverride
+          else math.max(16, math.max(math.sqrt(n), n / 128).toInt)
+        val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
+        val lo = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(v => v.toFloat.toDouble))
+        val hi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(v => v.toFloat.toDouble))
+        val mEff = if (margin < 0) Ann.autoProbeMargin(kHalf) else margin
+        val primary = unitized.select(col("vec_id").as("doc_id"),
+          (Ann.nearestCentroidExpr(slice(col("__u"), 1, h), lo) * kHalf +
+            Ann.nearestCentroidExpr(slice(col("__u"), h + 1, d - h), hi)).as("cluster")).cache()
+        val plantedCands =
+          if (mEff <= 0.0)
+            primary.as("a").join(primary.as("b"),
+              col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
+              .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))
+              .filter(col("vb") === col("va") + lit(plantIdOffset))
+              .distinct()
+          else {
+            val loF = lo.map(_.map(_.toFloat)); val hiF = hi.map(_.map(_.toFloat))
+            val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
+              slice(col("__u"), 1, h), loF, mp, mEff)
+            val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
+              slice(col("__u"), h + 1, d - h), hiF, mp, mEff)
+            val probes = unitized.select(col("vec_id").as("doc_id"),
+              explode(flatten(transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp))))
+                .as("cluster"))
+            primary.as("a").join(probes.as("b"),
+              col("a.cluster") === col("b.cluster") && col("a.doc_id") =!= col("b.doc_id"))
+              .select(least(col("a.doc_id"), col("b.doc_id")).as("va"),
+                greatest(col("a.doc_id"), col("b.doc_id")).as("vb"))
+              .filter(col("vb") === col("va") + lit(plantIdOffset))
+              .distinct()
+          }
+        val vecs = pool.select(col("vec_id").as("doc_id"), col("embedding").as("__v"))
+        val found = plantedCands
+          .join(vecs.as("x"), col("va") === col("x.doc_id"))
+          .join(vecs.as("y"), col("vb") === col("y.doc_id"))
+          .filter(VectorFunctions.cosine(col("x.__v"), col("y.__v")) >= 0.9)
+          .count()
+        primary.unpersist(false)
+        found
+      }),
       "pack_sequences" -> (() => {
         val d = docs.select(col("doc_id"), col("lang"),
           TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))

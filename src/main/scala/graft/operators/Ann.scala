@@ -340,8 +340,14 @@ object Ann {
     * Clamped to [0.01, 0.1]: below 0.01 the probe adds nothing
     * measurable; above 0.1 the boundary fraction explodes (3.05 probe
     * rows/vector measured at 0.1 even at 402k). The clamp binds at
-    * kHalf = 250 (n ≈ 8M at default targetCellPop) — past it, raise
-    * maxProbes or targetCellPop instead of the margin.
+    * kHalf = 250 (n ≈ 8M at default targetCellPop), and the past-clamp
+    * region is MEASURED (SCALE.md §past-clamp, 12M/16M pools): the
+    * clamped point sits 2.0-2.3 recall points under the unclamped rule
+    * line while pinning probe rows at ~3.04/vector (the unclamped rule
+    * keeps growing), and `maxProbes = 3` at the clamped margin recovers
+    * recall to ABOVE the two-probe floor (56.4%/54.1% vs the 42-44%
+    * floor) for 1.7× the probe rows — so past n ≈ 8M, keep AUTO margin
+    * and raise maxProbes rather than the margin.
     */
   def autoProbeMargin(kHalf: Int): Double =
     math.min(0.1, math.max(0.01, 4e-4 * kHalf))
