@@ -169,6 +169,65 @@ object ScaleBench {
       .union(spark.createDataset(planted).toDF("vec_id", "embedding"))
   }
 
+  /** The straddle-pool IMI geometry shared by the multi-probe profiling/
+    * recall arms ([[straddlePool]] + the quantizer construction mirrored
+    * from `Ann.imiNearDupJoin`: same unitization, same one collected
+    * sample, same seeds 42/43, same kEff/kHalf sizing, same margin
+    * resolution). Factored out so the three arms cannot drift apart;
+    * op order is bit-identical to the previously-inline blocks (the
+    * float↔double round-trips included — `lo` carries the engine's
+    * toFloat.toDouble centers, and `lo.map(_.map(_.toFloat))` recovers
+    * exactly the floats a direct-toFloat fit would give).
+    */
+  private case class StraddleGeometry(
+      pool: org.apache.spark.sql.DataFrame,
+      unitized: org.apache.spark.sql.DataFrame,
+      kHalf: Int, d: Int, h: Int,
+      lo: Array[Array[Double]], hi: Array[Array[Double]], mEff: Double)
+
+  private def imiStraddleGeometry(
+      emb: org.apache.spark.sql.DataFrame, nlistOverride: Int,
+      margin: Double): StraddleGeometry = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    import graft.functions.VectorFunctions
+    import graft.vector.KMeansLite
+    val pool = straddlePool(emb, minCos = 0.9)
+    val unitized = pool
+      .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
+      .filter(col("__n") > 0.0)
+      .withColumn("__u", transform(col("embedding"),
+        x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
+    val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, 1 << 14, 42L)
+    val d = sample(0).length; val h = d / 2
+    val n = pool.count().toDouble
+    val kEff = if (nlistOverride > 0) nlistOverride
+      else math.max(16, math.max(math.sqrt(n), n / 128).toInt)
+    val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
+    val lo = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(v => v.toFloat.toDouble))
+    val hi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(v => v.toFloat.toDouble))
+    val mEff = if (margin < 0) Ann.autoProbeMargin(kHalf) else margin
+    StraddleGeometry(pool, unitized, kHalf, d, h, lo, hi, mEff)
+  }
+
+  /** (doc_id, cluster) primary composite-cell assignment over `g`. */
+  private def straddlePrimary(g: StraddleGeometry) =
+    g.unitized.select(col("vec_id").as("doc_id"),
+      (Ann.nearestCentroidExpr(slice(col("__u"), 1, g.h), g.lo) * g.kHalf +
+        Ann.nearestCentroidExpr(slice(col("__u"), g.h + 1, g.d - g.h), g.hi))
+        .as("cluster"))
+
+  /** Exploded (doc_id, cluster) margin-gated probe rows over `g`. */
+  private def straddleProbes(g: StraddleGeometry, mp: Int) = {
+    val loF = g.lo.map(_.map(_.toFloat)); val hiF = g.hi.map(_.map(_.toFloat))
+    val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
+      slice(col("__u"), 1, g.h), loF, mp, g.mEff)
+    val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
+      slice(col("__u"), g.h + 1, g.d - g.h), hiF, mp, g.mEff)
+    g.unitized.select(col("vec_id").as("doc_id"),
+      explode(flatten(transform(loP, l => transform(hiP, hp => l * lit(g.kHalf) + hp))))
+        .as("cluster"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val label = if (args.length > 1) args(1) else dir
@@ -450,37 +509,11 @@ object ScaleBench {
       // imi_cand_volume's Σ pop·(pop−1)/2, which for multi-probe has no
       // closed form because pairs dedupe across shared probe cells).
       "imi_mp_cand_volume" -> (() => {
-        import org.apache.spark.sql.types.{DoubleType, FloatType}
-        import graft.functions.VectorFunctions
-        import graft.vector.KMeansLite
         val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
         val mp = sys.env.get("GRAFT_SCALE_MAX_PROBES").map(_.toInt).getOrElse(2)
-        val pool = straddlePool(emb, minCos = 0.9)
-        val unitized = pool
-          .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
-          .filter(col("__n") > 0.0)
-          .withColumn("__u", transform(col("embedding"),
-            x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
-        val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, 1 << 14, 42L)
-        val d = sample(0).length; val h = d / 2
-        val n = pool.count().toDouble
-        val kEff = if (nlistOverride > 0) nlistOverride
-          else math.max(16, math.max(math.sqrt(n), n / 128).toInt)
-        val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
-        val lo = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(v => v.toFloat.toDouble))
-        val hi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(v => v.toFloat.toDouble))
-        val loF = lo.map(_.map(_.toFloat)); val hiF = hi.map(_.map(_.toFloat))
-        val mEff = if (margin < 0) Ann.autoProbeMargin(kHalf) else margin
-        val primary = unitized.select(col("vec_id").as("doc_id"),
-          (Ann.nearestCentroidExpr(slice(col("__u"), 1, h), lo) * kHalf +
-            Ann.nearestCentroidExpr(slice(col("__u"), h + 1, d - h), hi)).as("cluster")).cache()
-        val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), 1, h), loF, mp, mEff)
-        val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), h + 1, d - h), hiF, mp, mEff)
-        val probes = unitized.select(col("vec_id").as("doc_id"),
-          explode(flatten(transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp))))
-            .as("cluster")).cache()
+        val g = imiStraddleGeometry(emb, nlistOverride, margin)
+        val primary = straddlePrimary(g).cache()
+        val probes = straddleProbes(g, mp).cache()
         val v = primary.as("a")
           .join(probes.as("b"),
             col("a.cluster") === col("b.cluster") && col("a.doc_id") =!= col("b.doc_id"))
@@ -494,32 +527,10 @@ object ScaleBench {
       // boundary fraction is (rows − n)/n, the factor that prices the
       // adaptive scheme against a fixed ×maxProbes² explode
       "imi_mp_probe_rows" -> (() => {
-        import org.apache.spark.sql.types.{DoubleType, FloatType}
-        import graft.functions.VectorFunctions
-        import graft.vector.KMeansLite
         val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
         val mp = sys.env.get("GRAFT_SCALE_MAX_PROBES").map(_.toInt).getOrElse(2)
-        val pool = straddlePool(emb, minCos = 0.9)
-        val unitized = pool
-          .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
-          .filter(col("__n") > 0.0)
-          .withColumn("__u", transform(col("embedding"),
-            x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
-        val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, 1 << 14, 42L)
-        val d = sample(0).length; val h = d / 2
-        val n = pool.count().toDouble
-        val kEff = if (nlistOverride > 0) nlistOverride
-          else math.max(16, math.max(math.sqrt(n), n / 128).toInt)
-        val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
-        val loF = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(_.toFloat))
-        val hiF = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(_.toFloat))
-        val mEff = if (margin < 0) Ann.autoProbeMargin(kHalf) else margin
-        val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), 1, h), loF, mp, mEff)
-        val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
-          slice(col("__u"), h + 1, d - h), hiF, mp, mEff)
-        unitized.select(explode(flatten(
-          transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp)))).as("c")).count()
+        val g = imiStraddleGeometry(emb, nlistOverride, margin)
+        straddleProbes(g, mp).count()
       }),
       // straddle recall with PLANTED-ONLY verification: identical candidate
       // geometry to straddle_recall_imi_mp (same sample/seeds/kEff/kHalf/
@@ -541,53 +552,26 @@ object ScaleBench {
       // selects the single-probe join shape (primary×primary, a<b), any
       // other value the multi-probe shape (primary×probes, least/greatest).
       "straddle_recall_planted" -> (() => {
-        import org.apache.spark.sql.types.{DoubleType, FloatType}
         import graft.functions.VectorFunctions
-        import graft.vector.KMeansLite
         val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
         val mp = sys.env.get("GRAFT_SCALE_MAX_PROBES").map(_.toInt).getOrElse(2)
-        val pool = straddlePool(emb, minCos = 0.9)
-        val unitized = pool
-          .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
-          .filter(col("__n") > 0.0)
-          .withColumn("__u", transform(col("embedding"),
-            x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
-        val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, 1 << 14, 42L)
-        val d = sample(0).length; val h = d / 2
-        val n = pool.count().toDouble
-        val kEff = if (nlistOverride > 0) nlistOverride
-          else math.max(16, math.max(math.sqrt(n), n / 128).toInt)
-        val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
-        val lo = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(v => v.toFloat.toDouble))
-        val hi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(v => v.toFloat.toDouble))
-        val mEff = if (margin < 0) Ann.autoProbeMargin(kHalf) else margin
-        val primary = unitized.select(col("vec_id").as("doc_id"),
-          (Ann.nearestCentroidExpr(slice(col("__u"), 1, h), lo) * kHalf +
-            Ann.nearestCentroidExpr(slice(col("__u"), h + 1, d - h), hi)).as("cluster")).cache()
+        val g = imiStraddleGeometry(emb, nlistOverride, margin)
+        val primary = straddlePrimary(g).cache()
         val plantedCands =
-          if (mEff <= 0.0)
+          if (g.mEff <= 0.0)
             primary.as("a").join(primary.as("b"),
               col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
               .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))
               .filter(col("vb") === col("va") + lit(plantIdOffset))
               .distinct()
-          else {
-            val loF = lo.map(_.map(_.toFloat)); val hiF = hi.map(_.map(_.toFloat))
-            val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
-              slice(col("__u"), 1, h), loF, mp, mEff)
-            val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
-              slice(col("__u"), h + 1, d - h), hiF, mp, mEff)
-            val probes = unitized.select(col("vec_id").as("doc_id"),
-              explode(flatten(transform(loP, l => transform(hiP, hp => l * lit(kHalf) + hp))))
-                .as("cluster"))
-            primary.as("a").join(probes.as("b"),
+          else
+            primary.as("a").join(straddleProbes(g, mp).as("b"),
               col("a.cluster") === col("b.cluster") && col("a.doc_id") =!= col("b.doc_id"))
               .select(least(col("a.doc_id"), col("b.doc_id")).as("va"),
                 greatest(col("a.doc_id"), col("b.doc_id")).as("vb"))
               .filter(col("vb") === col("va") + lit(plantIdOffset))
               .distinct()
-          }
-        val vecs = pool.select(col("vec_id").as("doc_id"), col("embedding").as("__v"))
+        val vecs = g.pool.select(col("vec_id").as("doc_id"), col("embedding").as("__v"))
         val found = plantedCands
           .join(vecs.as("x"), col("va") === col("x.doc_id"))
           .join(vecs.as("y"), col("vb") === col("y.doc_id"))
