@@ -140,7 +140,7 @@ object ScaleBench {
     * co-locate in BOTH halves to become a candidate. Driver-side
     * construction is bounded (straddleCount·dim floats).
     */
-  private def straddlePool(
+  private[graft] def straddlePool(
       emb: org.apache.spark.sql.DataFrame, minCos: Double)
       : org.apache.spark.sql.DataFrame = {
     val spark = emb.sparkSession
@@ -226,6 +226,49 @@ object ScaleBench {
     g.unitized.select(col("vec_id").as("doc_id"),
       explode(flatten(transform(loP, l => transform(hiP, hp => l * lit(g.kHalf) + hp))))
         .as("cluster"))
+  }
+
+  /** Planted-straddle recall under planted-only verification: build the
+    * candidate geometry via [[imiStraddleGeometry]], filter candidates to
+    * the planted (va, va+[[plantIdOffset]]) pairs BEFORE the distinct +
+    * cosine verification, verify, count. Per-pair verification is
+    * independent of every other pair, so this equals what the full
+    * `Ann.imiNearDupJoin` reports for the planted pairs — an equality
+    * ScaleBenchSpec pins against the engine join at both join shapes on
+    * every CI run (and which was pinned at scale on the same pools:
+    * 942==942 mp at 4M, 347==347 single at 16M — SCALE.md §past-clamp).
+    * margin = 0 selects the single-probe join shape (primary×primary,
+    * a<b), margin ≠ 0 the multi-probe shape (primary×probes,
+    * least/greatest); margin < 0 resolves AUTO like the engine.
+    */
+  private[graft] def plantedStraddleRecall(
+      emb: org.apache.spark.sql.DataFrame, nlistOverride: Int,
+      margin: Double, mp: Int): Long = {
+    import graft.functions.VectorFunctions
+    val g = imiStraddleGeometry(emb, nlistOverride, margin)
+    val primary = straddlePrimary(g).cache()
+    val plantedCands =
+      if (g.mEff <= 0.0)
+        primary.as("a").join(primary.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))
+          .filter(col("vb") === col("va") + lit(plantIdOffset))
+          .distinct()
+      else
+        primary.as("a").join(straddleProbes(g, mp).as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("va"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("vb"))
+          .filter(col("vb") === col("va") + lit(plantIdOffset))
+          .distinct()
+    val vecs = g.pool.select(col("vec_id").as("doc_id"), col("embedding").as("__v"))
+    val found = plantedCands
+      .join(vecs.as("x"), col("va") === col("x.doc_id"))
+      .join(vecs.as("y"), col("vb") === col("y.doc_id"))
+      .filter(VectorFunctions.cosine(col("x.__v"), col("y.__v")) >= 0.9)
+      .count()
+    primary.unpersist(false)
+    found
   }
 
   def main(args: Array[String]): Unit = {
@@ -532,53 +575,19 @@ object ScaleBench {
         val g = imiStraddleGeometry(emb, nlistOverride, margin)
         straddleProbes(g, mp).count()
       }),
-      // straddle recall with PLANTED-ONLY verification: identical candidate
-      // geometry to straddle_recall_imi_mp (same sample/seeds/kEff/kHalf/
-      // margin resolution — deliberately mirrored from the imiNearDupJoin
-      // path like the two volume probes above), but the candidate stream is
-      // filtered to the planted (va, va+plantIdOffset) pairs BEFORE the
-      // distinct + cosine verification. Per-pair verification is independent
-      // of every other pair, so the planted-pair recall count is EQUAL BY
-      // CONSTRUCTION to what the full engine join reports — the equivalence
-      // is additionally pinned by running this arm next to the full join on
-      // the SAME pool at both shapes (942==942 mp at 4M, 347==347 single at
-      // 16M — SCALE.md §past-clamp). Why it exists:
-      // the full verify join materializes the ENTIRE candidate stream with
-      // both vectors attached (~n·275 rows at auto margin), which past
-      // n ≈ 8M exceeds a single box's shuffle disk (measured: 16M and 12M
-      // auto-margin arms both filled >75 GB and died on ENOSPC) — on a real
-      // cluster that shuffle spreads over hundreds of disks, but the recall
-      // CURVE still has to be measured here. GRAFT_SCALE_PROBE_MARGIN=0
-      // selects the single-probe join shape (primary×primary, a<b), any
-      // other value the multi-probe shape (primary×probes, least/greatest).
+      // straddle recall with planted-only verification (see
+      // plantedStraddleRecall's scaladoc for the equivalence argument and
+      // its CI/scale pins). Why it exists: the full verify join
+      // materializes the ENTIRE candidate stream with both vectors
+      // attached (~n·275 rows at auto margin), which past n ≈ 8M exceeds
+      // a single box's shuffle disk (measured: 16M and 12M auto-margin
+      // arms both filled >75 GB and died on ENOSPC) — on a real cluster
+      // that shuffle spreads over hundreds of disks, but the recall curve
+      // still has to be measured here.
       "straddle_recall_planted" -> (() => {
-        import graft.functions.VectorFunctions
         val margin = sys.env.get("GRAFT_SCALE_PROBE_MARGIN").map(_.toDouble).getOrElse(0.02)
         val mp = sys.env.get("GRAFT_SCALE_MAX_PROBES").map(_.toInt).getOrElse(2)
-        val g = imiStraddleGeometry(emb, nlistOverride, margin)
-        val primary = straddlePrimary(g).cache()
-        val plantedCands =
-          if (g.mEff <= 0.0)
-            primary.as("a").join(primary.as("b"),
-              col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
-              .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb"))
-              .filter(col("vb") === col("va") + lit(plantIdOffset))
-              .distinct()
-          else
-            primary.as("a").join(straddleProbes(g, mp).as("b"),
-              col("a.cluster") === col("b.cluster") && col("a.doc_id") =!= col("b.doc_id"))
-              .select(least(col("a.doc_id"), col("b.doc_id")).as("va"),
-                greatest(col("a.doc_id"), col("b.doc_id")).as("vb"))
-              .filter(col("vb") === col("va") + lit(plantIdOffset))
-              .distinct()
-        val vecs = g.pool.select(col("vec_id").as("doc_id"), col("embedding").as("__v"))
-        val found = plantedCands
-          .join(vecs.as("x"), col("va") === col("x.doc_id"))
-          .join(vecs.as("y"), col("vb") === col("y.doc_id"))
-          .filter(VectorFunctions.cosine(col("x.__v"), col("y.__v")) >= 0.9)
-          .count()
-        primary.unpersist(false)
-        found
+        plantedStraddleRecall(emb, nlistOverride, margin, mp)
       }),
       "pack_sequences" -> (() => {
         val d = docs.select(col("doc_id"), col("lang"),
