@@ -10,6 +10,17 @@ case "$SF" in
   */sf0.1|*/sf0.1/) OUT=${SPARK_GRAFT_BENCH_OUT:-BENCH_full.json} ;;
   *)                OUT=${SPARK_GRAFT_BENCH_OUT:-/tmp/BENCH_$(basename "$SF").json} ;;
 esac
+# Quiet-box tripwire (the BENCH_r12 lesson: a record taken right after
+# heavy ScaleBench/chaos work read +18% with no code cause). Concurrent
+# load and low free disk are the two contamination signatures we have
+# actually observed — warn loudly, don't block, so an intentional
+# loaded-box run is still possible but never silent.
+LOAD=$(cut -d' ' -f1 /proc/loadavg)
+AVAIL_G=$(df --output=avail -BG . 2>/dev/null | tail -1 | tr -dc '0-9')
+if [ "${LOAD%%.*}" -ge 4 ] || { [ -n "$AVAIL_G" ] && [ "$AVAIL_G" -lt 20 ]; }; then
+  echo "[bench] WARNING: box not quiet (loadavg=$LOAD, free disk=${AVAIL_G:-?}G)" >&2
+  echo "[bench] WARNING: treat this record as contaminated; re-run quiet before recording" >&2
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
