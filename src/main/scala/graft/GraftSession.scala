@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(cpus: String): SparkSession.Builder = {
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // empty counts as unset: `env SPARK_GRAFT_MASTER= cmd` is the natural
+    // shell idiom for "pin to the in-process master" (the chaos script's
+    // clean-reference runs use it), and master("") throws in Spark
+    val master = sys.env.get("SPARK_GRAFT_MASTER").filter(_.nonEmpty)
+      .getOrElse(s"local[$cpus]")
     val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)

@@ -170,61 +170,43 @@ object ScaleBench {
   }
 
   /** The straddle-pool IMI geometry shared by the multi-probe profiling/
-    * recall arms ([[straddlePool]] + the quantizer construction mirrored
-    * from `Ann.imiNearDupJoin`: same unitization, same one collected
-    * sample, same seeds 42/43, same kEff/kHalf sizing, same margin
-    * resolution). Factored out so the three arms cannot drift apart;
-    * op order is bit-identical to the previously-inline blocks (the
-    * float↔double round-trips included — `lo` carries the engine's
-    * toFloat.toDouble centers, and `lo.map(_.map(_.toFloat))` recovers
-    * exactly the floats a direct-toFloat fit would give).
+    * recall arms: [[straddlePool]] + the ENGINE's own quantizer training
+    * ([[Ann.imiFit]] — the same method `imiNearDupJoin` calls, so the
+    * harness cannot drift from the join it prices) + the engine's margin
+    * resolution.
     */
   private case class StraddleGeometry(
       pool: org.apache.spark.sql.DataFrame,
-      unitized: org.apache.spark.sql.DataFrame,
-      kHalf: Int, d: Int, h: Int,
-      lo: Array[Array[Double]], hi: Array[Array[Double]], mEff: Double)
+      model: graft.operators.Ann.ImiModel, mEff: Double)
 
   private def imiStraddleGeometry(
       emb: org.apache.spark.sql.DataFrame, nlistOverride: Int,
       margin: Double): StraddleGeometry = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    import graft.functions.VectorFunctions
-    import graft.vector.KMeansLite
     val pool = straddlePool(emb, minCos = 0.9)
-    val unitized = pool
-      .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
-      .filter(col("__n") > 0.0)
-      .withColumn("__u", transform(col("embedding"),
-        x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
-    val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, 1 << 14, 42L)
-    val d = sample(0).length; val h = d / 2
-    val n = pool.count().toDouble
-    val kEff = if (nlistOverride > 0) nlistOverride
-      else math.max(16, math.max(math.sqrt(n), n / 128).toInt)
-    val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
-    val lo = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(v => v.toFloat.toDouble))
-    val hi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(v => v.toFloat.toDouble))
-    val mEff = if (margin < 0) Ann.autoProbeMargin(kHalf) else margin
-    StraddleGeometry(pool, unitized, kHalf, d, h, lo, hi, mEff)
+    val m = Ann.imiFit(pool, "embedding", nlist = nlistOverride)
+    val mEff = if (margin < 0) Ann.autoProbeMargin(m.kHalf) else margin
+    StraddleGeometry(pool, m, mEff)
   }
 
   /** (doc_id, cluster) primary composite-cell assignment over `g`. */
-  private def straddlePrimary(g: StraddleGeometry) =
-    g.unitized.select(col("vec_id").as("doc_id"),
-      (Ann.nearestCentroidExpr(slice(col("__u"), 1, g.h), g.lo) * g.kHalf +
-        Ann.nearestCentroidExpr(slice(col("__u"), g.h + 1, g.d - g.h), g.hi))
+  private def straddlePrimary(g: StraddleGeometry) = {
+    val m = g.model
+    m.unitized.select(col("vec_id").as("doc_id"),
+      (Ann.nearestCentroidExpr(slice(col("__u"), 1, m.h), m.centersLo) * m.kHalf +
+        Ann.nearestCentroidExpr(slice(col("__u"), m.h + 1, m.d - m.h), m.centersHi))
         .as("cluster"))
+  }
 
   /** Exploded (doc_id, cluster) margin-gated probe rows over `g`. */
   private def straddleProbes(g: StraddleGeometry, mp: Int) = {
-    val loF = g.lo.map(_.map(_.toFloat)); val hiF = g.hi.map(_.map(_.toFloat))
+    val m = g.model
+    val loF = m.centersLo.map(_.map(_.toFloat)); val hiF = m.centersHi.map(_.map(_.toFloat))
     val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
-      slice(col("__u"), 1, g.h), loF, mp, g.mEff)
+      slice(col("__u"), 1, m.h), loF, mp, g.mEff)
     val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
-      slice(col("__u"), g.h + 1, g.d - g.h), hiF, mp, g.mEff)
-    g.unitized.select(col("vec_id").as("doc_id"),
-      explode(flatten(transform(loP, l => transform(hiP, hp => l * lit(g.kHalf) + hp))))
+      slice(col("__u"), m.h + 1, m.d - m.h), hiF, mp, g.mEff)
+    m.unitized.select(col("vec_id").as("doc_id"),
+      explode(flatten(transform(loP, l => transform(hiP, hp => l * lit(m.kHalf) + hp))))
         .as("cluster"))
   }
 
@@ -479,25 +461,13 @@ object ScaleBench {
           .agg(sum(expr("p * (p - 1) div 2"))).head().getLong(0)
       }),
       "imi_cand_volume" -> (() => {
-        import org.apache.spark.sql.types.{DoubleType, FloatType}
-        import graft.functions.VectorFunctions
-        import graft.vector.KMeansLite
-        val unitized = emb.select("vec_id", "embedding")
-          .withColumn("__n", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
-          .filter(col("__n") > 0.0)
-          .withColumn("__u", transform(col("embedding"),
-            x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
-        val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, 1 << 14, 42L)
-        val d = sample(0).length; val h = d / 2
-        val kEff = if (nlistOverride > 0) nlistOverride
-          else math.max(16, math.max(math.sqrt(emb.count().toDouble),
-            emb.count().toDouble / 128).toInt)
-        val kHalf = math.min(math.max(4, math.ceil(math.sqrt(kEff.toDouble)).toInt), (1 << 14) / 8)
-        val lo = KMeansLite.fit(sample.map(_.take(h)), kHalf, 10, 42L).map(_.map(v => v.toFloat.toDouble))
-        val hi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, 10, 43L).map(_.map(v => v.toFloat.toDouble))
-        unitized.select(
-            (Ann.nearestCentroidExpr(slice(col("__u"), 1, h), lo) * kHalf +
-              Ann.nearestCentroidExpr(slice(col("__u"), h + 1, d - h), hi)).as("c"))
+        // raw table, NOT the straddle pool — the recorded volumes (SCALE.md)
+        // are base-corpus numbers; geometry comes from the engine's own fit
+        val m = Ann.imiFit(emb.select("vec_id", "embedding"), "embedding",
+          nlist = nlistOverride)
+        m.unitized.select(
+            (Ann.nearestCentroidExpr(slice(col("__u"), 1, m.h), m.centersLo) * m.kHalf +
+              Ann.nearestCentroidExpr(slice(col("__u"), m.h + 1, m.d - m.h), m.centersHi)).as("c"))
           .groupBy("c").agg(count(lit(1)).as("p"))
           .agg(sum(expr("p * (p - 1) div 2"))).head().getLong(0)
       }),

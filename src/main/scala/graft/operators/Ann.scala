@@ -352,11 +352,27 @@ object Ann {
   def autoProbeMargin(kHalf: Int): Double =
     math.min(0.1, math.max(0.01, 4e-4 * kHalf))
 
-  def imiNearDupJoin(
-      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+  /** The fitted IMI composite quantizer: the unit-normalized frame (with
+    * `__u`), the per-half cell count, dims, and the two half-space center
+    * banks (carrying the engine's float32 round-trip).
+    */
+  case class ImiModel(
+      unitized: DataFrame, kHalf: Int, d: Int, h: Int,
+      centersLo: Array[Array[Double]], centersHi: Array[Array[Double]])
+
+  /** The quantizer-training prefix of [[imiNearDupJoin]] — the IMI analog
+    * of [[ivfFit]]: auto-kEff sizing (corpus count), unit-normalization,
+    * ONE bounded sample collect, two seeded half-space Lloyd fits.
+    * Factored out for the same reason ivfFit was, plus one more: the
+    * ScaleBench straddle harness (probe-volume and planted-recall arms)
+    * builds its candidate geometry from this exact method, so the
+    * measurements in SCALE.md §past-clamp price the geometry the join
+    * actually plans — one implementation, no drift.
+    */
+  def imiFit(
+      corpus: DataFrame, vecCol: String,
       nlist: Int = 0, targetCellPop: Int = 128, seed: Long = 42L,
-      maxIter: Int = 10, maxFitPoints: Int = 1 << 14,
-      probeMargin: Double = 0.0, maxProbes: Int = 2): DataFrame = {
+      maxIter: Int = 10, maxFitPoints: Int = 1 << 14): ImiModel = {
     import graft.functions.VectorFunctions
     // effective COMPOSITE cell count: explicit `nlist`, else sized exactly
     // like ivfNearDupJoin's auto-nlist, then split √-wise across the two
@@ -376,7 +392,7 @@ object Ann {
         transform(col(vecCol), x => (x.cast(DoubleType) / col("__n")).cast(FloatType)))
     val sample = KMeansLite.sampleVectors(unitized, "__u", 1.0, maxFitPoints, seed)
     val d = sample(0).length
-    require(d >= 2, s"imiNearDupJoin: dim=$d cannot be split into halves")
+    require(d >= 2, s"imiFit: dim=$d cannot be split into halves")
     val h = d / 2
     // both halves fit from the ONE collected sample; distinct seeds so the
     // two k-means++ streams are independent
@@ -384,6 +400,16 @@ object Ann {
       .map(_.map(v => v.toFloat.toDouble))
     val centersHi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, maxIter, seed + 1)
       .map(_.map(v => v.toFloat.toDouble))
+    ImiModel(unitized, kHalf, d, h, centersLo, centersHi)
+  }
+
+  def imiNearDupJoin(
+      corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      nlist: Int = 0, targetCellPop: Int = 128, seed: Long = 42L,
+      maxIter: Int = 10, maxFitPoints: Int = 1 << 14,
+      probeMargin: Double = 0.0, maxProbes: Int = 2): DataFrame = {
+    val m = imiFit(corpus, vecCol, nlist, targetCellPop, seed, maxIter, maxFitPoints)
+    val ImiModel(unitized, kHalf, d, h, centersLo, centersHi) = m
     val assigned = unitized.select(col(idCol).as("doc_id"),
       (nearestCentroidExpr(slice(col("__u"), 1, h), centersLo) * kHalf +
         nearestCentroidExpr(slice(col("__u"), h + 1, d - h), centersHi))

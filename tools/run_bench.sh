@@ -16,7 +16,10 @@ esac
 # actually observed — warn loudly, don't block, so an intentional
 # loaded-box run is still possible but never silent.
 LOAD=$(cut -d' ' -f1 /proc/loadavg)
-AVAIL_G=$(df --output=avail -BG . 2>/dev/null | tail -1 | tr -dc '0-9')
+# check SPARK's shuffle disk (local dir), not the repo filesystem — the
+# observed contamination mechanism is shuffle-spill exhaustion on /tmp
+SHUFFLE_DIR=${SPARK_LOCAL_DIRS%%,*}; SHUFFLE_DIR=${SHUFFLE_DIR:-/tmp}
+AVAIL_G=$(df --output=avail -BG "$SHUFFLE_DIR" 2>/dev/null | tail -1 | tr -dc '0-9')
 if [ "${LOAD%%.*}" -ge 4 ] || { [ -n "$AVAIL_G" ] && [ "$AVAIL_G" -lt 20 ]; }; then
   echo "[bench] WARNING: box not quiet (loadavg=$LOAD, free disk=${AVAIL_G:-?}G)" >&2
   echo "[bench] WARNING: treat this record as contaminated; re-run quiet before recording" >&2

@@ -119,9 +119,12 @@ chaos_imi_phase() {
     return 5
   fi
   local clean_log=/tmp/graft_chaos_imi_clean.log
-  # SPARK_GRAFT_MASTER= (empty) pins the clean reference to the in-process
-  # master even when the caller exported a cluster master (round-12 ADVICE)
-  env SPARK_GRAFT_MASTER= \
+  # unset SPARK_GRAFT_MASTER to pin the clean reference to the in-process
+  # master even when the caller exported a cluster master (round-12 ADVICE).
+  # env -u, not `env SPARK_GRAFT_MASTER=`: an EMPTY value used to reach
+  # SparkSession.builder().master("") and crash (GraftSession now also
+  # treats empty as unset, belt and suspenders)
+  env -u SPARK_GRAFT_MASTER \
     java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "/opt/spark/jars/*:$CLASSES" graft.ScaleBench "$dir" chaos_clean imi_neardup \
     > "$clean_log" 2>&1 \
@@ -204,9 +207,9 @@ chaos_imi_phase() {
 chaos_cc_phase() {
   local nodes=${CC_NODES:-2000000}
   local clean_log=/tmp/graft_chaos_cc_clean.log
-  # SPARK_GRAFT_MASTER= (empty) pins the clean reference to the in-process
-  # master even when the caller exported a cluster master (round-12 ADVICE)
-  env SPARK_GRAFT_MASTER= GRAFT_SCALE_CC_NODES=$nodes \
+  # unset SPARK_GRAFT_MASTER (see chaos_imi_phase — env -u, not an
+  # empty value) to pin the clean reference to the in-process master
+  env -u SPARK_GRAFT_MASTER GRAFT_SCALE_CC_NODES=$nodes \
     java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "/opt/spark/jars/*:$CLASSES" graft.ScaleBench "$SF" chaos_cc_clean cc_chain \
     > "$clean_log" 2>&1 \
