@@ -559,6 +559,18 @@ object ScaleBench {
         val mp = sys.env.get("GRAFT_SCALE_MAX_PROBES").map(_.toInt).getOrElse(2)
         plantedStraddleRecall(emb, nlistOverride, margin, mp)
       }),
+      // diagnostic: a content fingerprint of the fitted IMI centers on the
+      // straddle pool — run clean vs under chaos kills to attribute any
+      // result divergence to the FIT stage (sample nondeterminism) vs the
+      // join/verify stages (recovery nondeterminism)
+      "imi_fit_hash" -> (() => {
+        val pool = straddlePool(emb, minCos = 0.9)
+        val m = Ann.imiFit(pool, "embedding", nlist = nlistOverride)
+        val h = java.util.Arrays.deepHashCode(
+          m.centersLo.asInstanceOf[Array[AnyRef]]) * 31L +
+          java.util.Arrays.deepHashCode(m.centersHi.asInstanceOf[Array[AnyRef]])
+        math.abs(h)
+      }),
       "pack_sequences" -> (() => {
         val d = docs.select(col("doc_id"), col("lang"),
           TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))
