@@ -192,6 +192,94 @@ chaos_imi_phase() {
   echo "[chaos/imi] OK: chaos count $got == clean count under $losses executor losses" >&2
 }
 
+# Fit-SENSITIVE chaos equality (round 13): the imi phase's count
+# equality is blind to quantizer-fit divergence — its artifact-free
+# pool has zero natural pairs (0 == 0 always), and the old pool's
+# exact-dup twins collide in ANY geometry. This phase runs the planted
+# STRADDLE workload, whose recall moves with the fit, plus a direct
+# fingerprint of the fitted centers, and requires both to be
+# BIT-EQUAL between an in-process clean run and a local-cluster run
+# under the killer loop. This is the gate that would have caught the
+# retry-nondeterministic training sample (SCALE.md: sample(frac)
+# .limit(k) kept arrival-order rows; fixed by the content-addressed
+# sampleVectors) — and it now pins that determinism contract: the
+# in-process vs cluster comparison only holds BECAUSE the sample is
+# content-addressed (master/layout-independent).
+chaos_straddle_phase() {
+  local dir=${IMI_DIR:-/tmp/graft_sf20}
+  if [ ! -d "$dir" ]; then
+    echo "[chaos/straddle] $dir missing — generate with: java ... graft.ScaleData /root/testdata/sf0.1 $dir 200" >&2
+    return 5
+  fi
+  local clean_log=/tmp/graft_chaos_straddle_clean.log
+  env -u SPARK_GRAFT_MASTER \
+    java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "/opt/spark/jars/*:$CLASSES" graft.ScaleBench "$dir" chaos_straddle_clean \
+    imi_fit_hash straddle_recall_imi > "$clean_log" 2>&1 \
+    || { echo "[chaos/straddle] clean reference run failed" >&2; tail -3 "$clean_log" >&2; return 5; }
+  local expect_fit expect_found
+  expect_fit=$(grep -o '"rows":{[^}]*}' "$clean_log" | grep -o '"imi_fit_hash":[0-9]*' | cut -d: -f2)
+  expect_found=$(grep -o '"rows":{[^}]*}' "$clean_log" | grep -o '"straddle_recall_imi":[0-9]*' | cut -d: -f2)
+  [ -n "$expect_fit" ] && [ -n "$expect_found" ] \
+    || { echo "[chaos/straddle] could not parse clean reference" >&2; return 5; }
+  if [ "$expect_found" -eq 0 ]; then
+    echo "[chaos/straddle] FAIL: clean straddle count is 0 — the workload is not fit-sensitive on this pool" >&2
+    return 5
+  fi
+  echo "[chaos/straddle] clean reference: fit $expect_fit, found $expect_found" >&2
+
+  local driver_log
+  driver_log=$(mktemp /tmp/graft_chaos_straddle.XXXXXX.log)
+  SPARK_HOME=${SPARK_HOME:-/opt/spark} \
+  SPARK_SCALA_VERSION=2.13 \
+  SPARK_GRAFT_MASTER=${IMI_MASTER:-local-cluster[2,8,8192]} \
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} java $ADD_OPENS -Xmx8g \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Dspark.task.maxFailures=8 -Dspark.stage.maxConsecutiveAttempts=8 \
+    -Dspark.executor.memory=6g \
+    -cp "/opt/spark/jars/*:$CLASSES" \
+    graft.ScaleBench "$dir" chaos_straddle imi_fit_hash straddle_recall_imi \
+    > >(tee "$driver_log") 2>&1 &
+  local driver=$!
+
+  local killed=0 victim
+  while [ $killed -lt "$KILLS" ] && kill -0 $driver 2>/dev/null; do
+    sleep "$INTERVAL"
+    victim=$(pick_victim $driver || true)
+    if [ -n "${victim:-}" ]; then
+      echo "[chaos/straddle] SIGKILL executor pid $victim" >&2
+      kill -9 "$victim" 2>/dev/null && killed=$((killed+1))
+    fi
+  done
+  echo "[chaos/straddle] killed $killed executors" >&2
+
+  wait $driver
+  local rc=$?
+  if [ $rc -ne 0 ]; then
+    echo "[chaos/straddle] driver exited rc=$rc — the workload failed outright" >&2
+    return $rc
+  fi
+  local losses
+  losses=$(grep -c "Lost executor" "$driver_log" || true)
+  echo "[chaos/straddle] executor-loss events observed: $losses" >&2
+  if [ "$losses" -lt 1 ]; then
+    echo "[chaos/straddle] FAIL: no executor loss observed — chaos never landed; rerun with a smaller INTERVAL" >&2
+    return 3
+  fi
+  local got_fit got_found
+  got_fit=$(grep -o '"rows":{[^}]*}' "$driver_log" | grep -o '"imi_fit_hash":[0-9]*' | cut -d: -f2)
+  got_found=$(grep -o '"rows":{[^}]*}' "$driver_log" | grep -o '"straddle_recall_imi":[0-9]*' | cut -d: -f2)
+  if [ "$got_fit" != "$expect_fit" ]; then
+    echo "[chaos/straddle] FAIL: chaos fit fingerprint $got_fit != clean $expect_fit — the training sample diverged under recovery" >&2
+    return 6
+  fi
+  if [ "$got_found" != "$expect_found" ]; then
+    echo "[chaos/straddle] FAIL: chaos count $got_found != clean count $expect_found (fit identical — divergence is in the join/verify recovery path)" >&2
+    return 6
+  fi
+  echo "[chaos/straddle] OK: fit $got_fit and count $got_found bit-equal to clean under $losses executor losses" >&2
+}
+
 # Pointer-doubling connectedComponents under executor SIGKILL (round-11
 # verdict item 4): the CC loop is stateful across rounds and mixes cache
 # pinning, unpersist of the previous round, and per-round plan
@@ -321,6 +409,7 @@ for phase in $PHASES; do
     streaming) chaos_verify_phase streaming "${OUT}_streaming" $STREAM_QUERIES ;;
     commit)    chaos_commit_phase ;;
     imi)       chaos_imi_phase ;;
+    straddle)  chaos_straddle_phase ;;
     cc)        chaos_cc_phase ;;
     *) echo "unknown phase $phase" >&2; false ;;
   esac
