@@ -228,6 +228,13 @@ object ScaleBench {
       margin: Double, mp: Int): Long = {
     import graft.functions.VectorFunctions
     val g = imiStraddleGeometry(emb, nlistOverride, margin)
+    // mp ≤ 0 = AUTO, resolved exactly like the engine join (round 14):
+    // autoMaxProbes under an AUTO margin, the historical 2 otherwise — so
+    // GRAFT_SCALE_MAX_PROBES=0 measures the PACKAGED defaults, not an arm.
+    val mpEff =
+      if (mp > 0) mp
+      else if (margin < 0) Ann.autoMaxProbes(g.model.kHalf)
+      else 2
     val primary = straddlePrimary(g).cache()
     val plantedCands =
       if (g.mEff <= 0.0)
@@ -237,7 +244,7 @@ object ScaleBench {
           .filter(col("vb") === col("va") + lit(plantIdOffset))
           .distinct()
       else
-        primary.as("a").join(straddleProbes(g, mp).as("b"),
+        primary.as("a").join(straddleProbes(g, mpEff).as("b"),
           col("a.cluster") === col("b.cluster") && col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("va"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("vb"))
@@ -566,10 +573,21 @@ object ScaleBench {
       "imi_fit_hash" -> (() => {
         val pool = straddlePool(emb, minCos = 0.9)
         val m = Ann.imiFit(pool, "embedding", nlist = nlistOverride)
-        val h = java.util.Arrays.deepHashCode(
-          m.centersLo.asInstanceOf[Array[AnyRef]]) * 31L +
-          java.util.Arrays.deepHashCode(m.centersHi.asInstanceOf[Array[AnyRef]])
-        math.abs(h)
+        // 64-bit FNV-1a over every center's raw double bits (both half
+        // banks, in order). deepHashCode*31 had ~2^37 effective range and
+        // math.abs folded two states onto one value — too weak for a
+        // "bit-equal fingerprint" gate. Masked to 63 bits only so the
+        // chaos scripts' [0-9]* JSON grep keeps parsing it (a sign-bit
+        // mask is the one unavoidable 2→1 fold; 63 bits ≫ enough).
+        var h = 0xcbf29ce484222325L
+        for (bank <- Seq(m.centersLo, m.centersHi); c <- bank; x <- c) {
+          var bits = java.lang.Double.doubleToRawLongBits(x)
+          var i = 0
+          while (i < 8) {
+            h ^= bits & 0xffL; h *= 0x100000001b3L; bits >>>= 8; i += 1
+          }
+        }
+        h & Long.MaxValue
       }),
       "pack_sequences" -> (() => {
         val d = docs.select(col("doc_id"), col("lang"),

@@ -352,6 +352,19 @@ object Ann {
   def autoProbeMargin(kHalf: Int): Double =
     math.min(0.1, math.max(0.01, 4e-4 * kHalf))
 
+  /** AUTO maxProbes, the clamp's companion (SCALE.md §past-clamp): once
+    * the unclamped margin rule 4e-4·kHalf exceeds [[autoProbeMargin]]'s
+    * 0.1 clamp — kHalf > 250, n ≈ 8M at the default targetCellPop — the
+    * margin can no longer widen and straddle recall sits 2.0-2.3 points
+    * under the rule line. The MEASURED recovery (8M/12M/16M pools) is
+    * maxProbes = 3 at the clamped margin: 54-56 % recall vs the 42-44 %
+    * two-probe floor for 1.7× the probe rows (5.2 vs 3.05 rows/vector,
+    * still scale-invariant). Before round 14 that guidance lived only in
+    * SCALE.md prose — a 12M-vector user taking the defaults silently ate
+    * the clamp decay; this packages it as the AUTO-mode default.
+    */
+  def autoMaxProbes(kHalf: Int): Int = if (4e-4 * kHalf > 0.1) 3 else 2
+
   /** The fitted IMI composite quantizer: the unit-normalized frame (with
     * `__u`), the per-half cell count, dims, and the two half-space center
     * banks (carrying the engine's float32 round-trip).
@@ -407,7 +420,7 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nlist: Int = 0, targetCellPop: Int = 128, seed: Long = 42L,
       maxIter: Int = 10, maxFitPoints: Int = 1 << 14,
-      probeMargin: Double = 0.0, maxProbes: Int = 2): DataFrame = {
+      probeMargin: Double = 0.0, maxProbes: Int = 0): DataFrame = {
     val m = imiFit(corpus, vecCol, nlist, targetCellPop, seed, maxIter, maxFitPoints)
     val ImiModel(unitized, kHalf, d, h, centersLo, centersHi) = m
     val assigned = unitized.select(col(idCol).as("doc_id"),
@@ -417,6 +430,14 @@ object Ann {
     // probeMargin < 0 = AUTO: widen with the fitted cell fineness so the
     // straddle-recall floor holds as the corpus grows (see autoProbeMargin)
     val margin = if (probeMargin < 0) autoProbeMargin(kHalf) else probeMargin
+    // maxProbes ≤ 0 = AUTO: 2 probes per half normally; 3 once AUTO margin
+    // hits its clamp (kHalf > 250 — see autoMaxProbes). Explicit margins
+    // keep the historical 2 so a caller pinning the margin isn't surprised
+    // by a probe-count change underneath it.
+    val mpEff =
+      if (maxProbes > 0) maxProbes
+      else if (probeMargin < 0) autoMaxProbes(kHalf)
+      else 2
     if (margin <= 0.0)
       verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
     else {
@@ -431,9 +452,9 @@ object Ann {
       // but over ≤maxProbes² elements — negligible next to the two
       // codegen'd half-space scans that feed them.
       val loP = graft.expressions.QuantizerExpressions.nearestCentroids(
-        slice(col("__u"), 1, h), centersLo.map(_.map(_.toFloat)), maxProbes, margin)
+        slice(col("__u"), 1, h), centersLo.map(_.map(_.toFloat)), mpEff, margin)
       val hiP = graft.expressions.QuantizerExpressions.nearestCentroids(
-        slice(col("__u"), h + 1, d - h), centersHi.map(_.map(_.toFloat)), maxProbes, margin)
+        slice(col("__u"), h + 1, d - h), centersHi.map(_.map(_.toFloat)), mpEff, margin)
       val probes = unitized.select(col(idCol).as("doc_id"),
         explode(flatten(transform(loP, lo => transform(hiP, hi => lo * lit(kHalf) + hi))))
           .as("cluster"))

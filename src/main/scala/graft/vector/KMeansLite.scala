@@ -183,11 +183,26 @@ object KMeansLite {
     * The second hash key breaks ordering ties; vectors that tie on BOTH
     * 64-bit hashes are content-equal in practice, and content-equal rows
     * are interchangeable as k-means training points.
+    *
+    * Semantic change vs the old Bernoulli `sample(fraction)` (besides
+    * determinism): content-EQUAL rows now pass or fail the fraction trim
+    * ATOMICALLY — the hash is a function of the values, so all copies of
+    * a duplicate vector land on the same side of the threshold. On
+    * duplicate-heavy corpora a sub-1.0 fraction therefore weights
+    * duplicates differently than independent per-row draws did; for
+    * k-means training that is acceptable (and arguably better — the
+    * sample reflects distinct content), but it is a real distribution
+    * change, noted here next to the tie-break note it interacts with.
     */
   def sampleVectors(
       df: org.apache.spark.sql.DataFrame, vecCol: String,
       fraction: Double, maxPoints: Int, seed: Long): Array[Array[Double]] = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    // the trim quantizes to millionths: fractions in (0, 1e-6) would
+    // round the threshold to 0 and silently select NOTHING (then blow up
+    // in callers that index sample(0)) — reject them loudly instead
+    require(fraction >= 1.0 || fraction * 1e6 >= 1.0,
+      s"sampleVectors: fraction=$fraction is below the 1e-6 trim resolution — would select nothing")
     val h1 = xxhash64(lit(seed), col(vecCol))
     val h2 = xxhash64(lit(seed + 1), col(vecCol))
     val hashed = df.select(col(vecCol).as("__sv_v"), h1.as("__sv_h1"), h2.as("__sv_h2"))

@@ -133,6 +133,40 @@ class ImiSpec extends SparkSpec {
     assert(Ann.autoProbeMargin(2048) == 0.1)  // cap
   }
 
+  test("autoMaxProbes: switches 2 -> 3 exactly where the margin clamp binds") {
+    // the clamp binds when 4e-4*kHalf > 0.1, i.e. kHalf > 250 (n ~ 8M at
+    // the default targetCellPop). Below/at the boundary the AUTO default
+    // must stay the historical 2; past it the measured recovery is 3
+    // (SCALE.md past-clamp grid: 54-56% recall vs the 42-44% clamped
+    // floor for 1.7x the probe rows).
+    assert(Ann.autoMaxProbes(57) == 2)   // 402k anchor
+    assert(Ann.autoMaxProbes(125) == 2)  // 2M anchor
+    assert(Ann.autoMaxProbes(250) == 2)  // last pre-clamp kHalf
+    assert(Ann.autoMaxProbes(251) == 3)  // first clamped kHalf
+    assert(Ann.autoMaxProbes(354) == 3)  // 16M grid row
+    // consistency with the margin rule: AUTO probes rise IFF the margin
+    // clamped (the two rules must agree on where "past the clamp" starts)
+    for (k <- Seq(57, 125, 250, 251, 307, 354, 2048))
+      assert((Ann.autoMaxProbes(k) == 3) == (4e-4 * k > Ann.autoProbeMargin(k)),
+        s"autoMaxProbes and autoProbeMargin disagree on the clamp point at kHalf=$k")
+  }
+
+  test("AUTO maxProbes under AUTO margin equals explicit maxProbes=2 below the clamp") {
+    // below the clamp (tiny kHalf here) the packaged defaults must be
+    // bit-identical to the historical explicit (auto margin, 2 probes) —
+    // the round-14 default change may only alter behavior past kHalf=250
+    val pool = corpus.select("vec_id", "embedding").cache()
+    val floor = 0.98
+    val auto = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
+      minCos = floor, nlist = 64, seed = 42L, probeMargin = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val explicit = Ann.imiNearDupJoin(pool, "vec_id", "embedding",
+      minCos = floor, nlist = 64, seed = 42L, probeMargin = -1.0, maxProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == explicit)
+    pool.unpersist()
+  }
+
   test("probeMargin = -1 (auto) behaves like an explicit margin: superset of " +
       "single-probe, brute-exact precision, both join shapes") {
     val planted = corpus.filter(col("vec_id") < 40)

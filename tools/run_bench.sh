@@ -15,7 +15,10 @@ esac
 # load and low free disk are the two contamination signatures we have
 # actually observed — warn loudly, don't block, so an intentional
 # loaded-box run is still possible but never silent.
-LOAD=$(cut -d' ' -f1 /proc/loadavg)
+# default to 0 when /proc/loadavg is unreadable/empty — the bare test
+# would otherwise abort with "integer expression expected" (ADVICE r13)
+LOAD=$(cut -d' ' -f1 /proc/loadavg 2>/dev/null || echo 0)
+LOAD=${LOAD:-0}
 # check SPARK's shuffle disk (local dir), not the repo filesystem — the
 # observed contamination mechanism is shuffle-spill exhaustion on /tmp
 SHUFFLE_DIR=${SPARK_LOCAL_DIRS%%,*}; SHUFFLE_DIR=${SHUFFLE_DIR:-/tmp}
