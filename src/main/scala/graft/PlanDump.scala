@@ -27,9 +27,14 @@ object PlanDump {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    // optional trailing args: restrict the dump to the named queries
+    // optional trailing args: restrict the dump to the named queries.
+    // Names OUTSIDE the headline list are honored too (appended in sorted
+    // order) — the scale-factor plan-flip audits dump per-row expression
+    // suites (q77/q122/q163/q50) that are deliberately not headliners.
     val only = args.drop(1).toSet
-    val selected = if (only.isEmpty) headline else headline.filter(only)
+    val selected =
+      if (only.isEmpty) headline
+      else headline.filter(only) ++ only.diff(headline.toSet).toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -184,7 +184,7 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nlist: Int = 0, seed: Long = 42L, maxIter: Int = 10,
       maxFitPoints: Int = 1 << 14, targetCellPop: Int = 128,
-      probeMargin: Double = 0.0, maxProbes: Int = 2): DataFrame = {
+      probeMargin: Double = 0.0, maxProbes: Int = 0): DataFrame = {
     // auto-sizing past the driver-fit cap delegates to the inverted
     // multi-index: the flat quantizer cannot add cells beyond
     // maxFitPoints/8, so past n ≈ targetCellPop·(maxFitPoints/8) cell
@@ -214,12 +214,17 @@ object Ann {
     // compensates for cannot occur here and the 402k-measured operating
     // point applies at every scale this branch serves.
     val margin = if (probeMargin < 0) 0.02 else probeMargin
+    // maxProbes ≤ 0 = AUTO. The flat branch is fineness-bounded (the
+    // clamp can never bind here), so AUTO is always the historical 2;
+    // the default exists so the DELEGATED path above inherits the IMI
+    // join's past-clamp auto-raise instead of pinning 2 through it.
+    val mpEff = if (maxProbes > 0) maxProbes else 2
     if (margin <= 0.0)
       verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
     else {
       val probes = unitized.select(col(idCol).as("doc_id"),
         explode(graft.expressions.QuantizerExpressions.nearestCentroids(
-          col("__u"), centers.map(_.map(_.toFloat)), maxProbes, margin)).as("cluster"))
+          col("__u"), centers.map(_.map(_.toFloat)), mpEff, margin)).as("cluster"))
       verifyCellMatesProbed(corpus, idCol, vecCol, minCos, assigned, probes)
     }
   }
