@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.core.Tables
 import graft.functions.{CleanFunctions => CF, TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Dedup, Similarity}
+import graft.operators.{Ann, Dedup, Similarity, SortedDerive}
 import graft.text.RuleNer
 import graft.vector.Featurizer
 
@@ -151,9 +151,12 @@ object Queries {
 
     // O13 combined regex scrub
     "q04_scrub" -> ((s, dir) =>
-      t(s, dir, "events").select(
-        col("event_id"),
-        CF.scrub(col("props")).as("props_clean")).orderBy("event_id")),
+      // sort-first (SortedDerive scaladoc): regex scrub at sort width
+      SortedDerive(t(s, dir, "events"), Seq("event_id"), Seq("props")) { sorted =>
+        sorted.select(
+          col("event_id"),
+          CF.scrub(col("props")).as("props_clean"))
+      }),
 
     // O15 null-default (null synthesized via nullif to exercise the default)
     "q05_null_default" -> ((s, dir) =>
@@ -238,9 +241,13 @@ object Queries {
 
     // O14 two-pass clean-text
     "q17_clean_text" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        CF.cleanText(col("text")).as("txt")).orderBy("doc_id")),
+      // sort-first (SortedDerive scaladoc): fused-alternation regex pass
+      // at sort width
+      SortedDerive(t(s, dir, "documents"), Seq("doc_id"), Seq("text")) { sorted =>
+        sorted.select(
+          col("doc_id"),
+          CF.cleanText(col("text")).as("txt"))
+      }),
 
     // O31 exact L2 top-k on real vectors
     "q18_topk_l2" -> ((s, dir) => {
@@ -296,30 +303,40 @@ object Queries {
 
     // heuristic language ID
     "q25_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        TF.langId(col("text")).as("lang_pred")).orderBy("doc_id")),
+      // sort-first (SortedDerive scaladoc): n-gram language ID at sort width
+      SortedDerive(t(s, dir, "documents"), Seq("doc_id"),
+          Seq("lang", "text")) { sorted =>
+        sorted.select(
+          col("doc_id"), col("lang"),
+          TF.langId(col("text")).as("lang_pred"))
+      }),
 
     // quality scoring
     "q26_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TF.tokenCount(col("text")).as("n_tokens"),
-        TF.punctCount(col("text")).as("n_punct"),
-        TF.qualityScoreRounded(col("text")).as("score")).orderBy("doc_id")),
+      SortedDerive(t(s, dir, "documents"), Seq("doc_id"), Seq("text")) { sorted =>
+        sorted.select(
+          col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.punctCount(col("text")).as("n_punct"),
+          TF.qualityScoreRounded(col("text")).as("score"))
+      }),
 
     // token counting (whitespace + BPE-ish)
     "q27_token_count" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TF.tokenCount(col("text")).as("ws_tokens"),
-        TF.bpeishCount(col("text")).as("bpe_tokens")).orderBy("doc_id")),
+      SortedDerive(t(s, dir, "documents"), Seq("doc_id"), Seq("text")) { sorted =>
+        sorted.select(
+          col("doc_id"),
+          TF.tokenCount(col("text")).as("ws_tokens"),
+          TF.bpeishCount(col("text")).as("bpe_tokens"))
+      }),
 
     // document fingerprinting
     "q28_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TF.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+      SortedDerive(t(s, dir, "documents"), Seq("doc_id"), Seq("text")) { sorted =>
+        sorted.select(
+          col("doc_id"),
+          TF.fingerprint(col("text")).as("fp"))
+      }),
 
     // grouped aggregation with partial (map-side) combine — TPC-H Q1 shape
     "q29_agg_pushdown" -> ((s, dir) =>
@@ -978,15 +995,21 @@ object Queries {
 
     // map-typed column functions: JSON props → map<string,int>, then
     // size / sorted-keys / element_at — the semi-structured column surface
-    "q77_map_functions" -> ((s, dir) => {
-      val m = from_json(col("props"), MapType(StringType, IntegerType))
-      t(s, dir, "events").select(
-          col("event_id"),
-          size(m).as("nkeys"),
-          array_join(array_sort(map_keys(m)), ",").as("keys"),
-          element_at(m, "k").as("k_val"))
-        .orderBy("event_id")
-    }),
+    "q77_map_functions" -> ((s, dir) =>
+      // sort-first + single aliased parse (SortedDerive scaladoc): the
+      // registered shape parsed props 3× per row at scan width (14.2 s at
+      // sf1, core-count-invariant); this plan is 1.35 s — same rows, same
+      // order, parse once at post-exchange width
+      SortedDerive(t(s, dir, "events"), Seq("event_id"), Seq("props")) { sorted =>
+        sorted
+          .select(col("event_id"),
+            from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+          .select(
+            col("event_id"),
+            size(col("m")).as("nkeys"),
+            array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+            element_at(col("m"), "k").as("k_val"))
+      }),
 
     // time-based RANGE window frame: per-user sliding 10-minute aggregate
     // ordered by event time — the frame spec rows-based windows can't
@@ -1209,10 +1232,15 @@ object Queries {
 
     // JSON field extraction from the props payload
     "q50_json_extract" -> ((s, dir) =>
-      t(s, dir, "events").select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
-        .orderBy("event_id")),
+      // sort-first (SortedDerive scaladoc); this is the one use where the
+      // derivation narrows hard (one int from a ~100-B string), so on a
+      // well-split source derive-first would shuffle less — here the parse
+      // cost dominates and the source is single-row-group
+      SortedDerive(t(s, dir, "events"), Seq("event_id"), Seq("props")) { sorted =>
+        sorted.select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      }),
 
     // the reference's flagship SEC ETL end-to-end (ingest → clean →
     // metadata → single-file CSV store with read-back verify), graded
@@ -1680,20 +1708,22 @@ object Queries {
     // emails/phones/SSNs + per-kind audit counts. The testdata corpus has
     // no PII, so deterministic synthetic PII is appended from doc_id —
     // identically in the oracle — making every redaction branch live
-    "q108_pii_redact" -> ((s, dir) => {
-      val seeded = t(s, dir, "documents").withColumn("text",
-        concat(col("text"),
-          lit(" reach user"), col("doc_id").cast(StringType),
-          lit("@example.com tel 555-867-"),
-          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
-          lit(" ssn "),
-          lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
-          lit("-45-6789")))
-      graft.pipeline.TrainingData.redactPii(seeded, "text")
-        .select(col("doc_id"), col("n_emails"), col("n_phones"),
-          col("n_ssns"), col("redacted"))
-        .orderBy("doc_id")
-    }),
+    "q108_pii_redact" -> ((s, dir) =>
+      // sort-first (SortedDerive scaladoc): the PII regex battery (seeding
+      // concat included) runs post-exchange at sort width
+      SortedDerive(t(s, dir, "documents"), Seq("doc_id"), Seq("text")) { sorted =>
+        val seeded = sorted.withColumn("text",
+          concat(col("text"),
+            lit(" reach user"), col("doc_id").cast(StringType),
+            lit("@example.com tel 555-867-"),
+            lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+            lit(" ssn "),
+            lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
+            lit("-45-6789")))
+        graft.pipeline.TrainingData.redactPii(seeded, "text")
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            col("n_ssns"), col("redacted"))
+      }),
 
     // benchmark decontamination (TrainingData.contaminatedDocIds): training
     // docs sharing any 20-char shingle with the eval slice (doc_id % 97 = 0)
@@ -1767,19 +1797,23 @@ object Queries {
     // higher-order array functions as one codegen'd pass: filter / exists /
     // forall / transform / slice / aggregate over the token array — no
     // explode, no shuffle, no UDF (the lambda forms Catalyst compiles)
-    "q113_hof_suite" -> ((s, dir) => {
-      val toks = TF.tokens(lower(col("text")))
-      t(s, dir, "documents").select(
-          col("doc_id"),
-          size(filter(toks, tk => length(tk) > 3)).as("n_long"),
-          exists(toks, tk => tk === "the").as("has_the"),
-          forall(toks, tk => length(tk) < 50).as("all_short"),
-          array_join(slice(transform(filter(toks, tk => length(tk) > 3),
-            tk => upper(tk)), 1, 5), ",").as("top5_upper"),
-          aggregate(transform(toks, tk => length(tk)), lit(0),
-            (acc, x) => acc + x).as("tok_chars"))
-        .orderBy("doc_id")
-    }),
+    "q113_hof_suite" -> ((s, dir) =>
+      // sort-first + single aliased tokenization (SortedDerive scaladoc):
+      // the registered shape re-tokenized text for each of the five HOF
+      // columns at scan width
+      SortedDerive(t(s, dir, "documents"), Seq("doc_id"), Seq("text")) { sorted =>
+        sorted
+          .select(col("doc_id"), TF.tokens(lower(col("text"))).as("toks"))
+          .select(
+            col("doc_id"),
+            size(filter(col("toks"), tk => length(tk) > 3)).as("n_long"),
+            exists(col("toks"), tk => tk === "the").as("has_the"),
+            forall(col("toks"), tk => length(tk) < 50).as("all_short"),
+            array_join(slice(transform(filter(col("toks"), tk => length(tk) > 3),
+              tk => upper(tk)), 1, 5), ",").as("top5_upper"),
+            aggregate(transform(col("toks"), tk => length(tk)), lit(0),
+              (acc, x) => acc + x).as("tok_chars"))
+      }),
 
     // seeded STRATIFIED sample (q88 is uniform): per-stratum Bernoulli
     // fractions via sampleBy; gates pin per-stratum counts to a 5σ
@@ -1891,18 +1925,21 @@ object Queries {
       // bytes is not enough — Jackson stops at the root object's close and
       // tolerates a suffix, DuckDB's json_valid doesn't
       val schema = StructType(Seq(StructField("k", IntegerType)))
-      t(s, dir, "events")
-        .withColumn("raw",
-          when(col("event_id") % 13 === 0,
-            expr("substring(props, 1, length(props) - 1)"))
-            .otherwise(col("props")))
-        .withColumn("parsed", from_json(col("raw"), schema))
-        .select(col("event_id"),
-          coalesce(col("parsed.k"), lit(-1)).as("k"),
-          col("parsed.k").isNotNull.as("valid"),
-          when(col("parsed.k").isNotNull,
-            to_json(struct(col("parsed.k").as("k")))).as("reser"))
-        .orderBy("event_id")
+      // sort-first + single aliased parse (SortedDerive scaladoc): the
+      // parsed struct feeds four output columns
+      SortedDerive(t(s, dir, "events"), Seq("event_id"), Seq("props")) { sorted =>
+        sorted
+          .withColumn("raw",
+            when(col("event_id") % 13 === 0,
+              expr("substring(props, 1, length(props) - 1)"))
+              .otherwise(col("props")))
+          .select(col("event_id"), from_json(col("raw"), schema).as("parsed"))
+          .select(col("event_id"),
+            coalesce(col("parsed.k"), lit(-1)).as("k"),
+            col("parsed.k").isNotNull.as("valid"),
+            when(col("parsed.k").isNotNull,
+              to_json(struct(col("parsed.k").as("k")))).as("reser"))
+      }
     }),
 
     // BATCH sessionization — the gaps-and-islands form of q62's streaming
@@ -1990,7 +2027,12 @@ object Queries {
     // at 100 TB one malformed cell must not kill a 6-hour run (the ANSI
     // dialect Spark 4 defaults to makes bare cast/divide THROW)
     "q122_try_functions" -> ((s, dir) =>
-      t(s, dir, "events").select(
+      // sort-first (SortedDerive scaladoc): the try_* exception plumbing is
+      // pure compute over four scalar inputs — post-exchange it runs at
+      // sort width instead of the source layout's scan width
+      SortedDerive(t(s, dir, "events"), Seq("event_id"),
+          Seq("value", "user_id", "event_type")) { sorted =>
+        sorted.select(
           col("event_id"),
           expr("try_divide(value, user_id % 5)").as("safe_div"),
           coalesce(expr("try_cast((CASE WHEN user_id % 2 = 0 " +
@@ -2004,22 +2046,25 @@ object Queries {
           coalesce(when(col("user_id") % 100 === 0 && col("user_id") > 0,
               expr("try_add(9223372036854775807L, user_id)"))
             .otherwise(lit(Long.MaxValue)), lit(0L)).as("safe_add"))
-        .orderBy("event_id")),
+      }),
 
     // VARIANT (Spark 4's semi-structured type): parse once into the binary
     // variant encoding, then typed path extraction — the schema-on-read
     // scale path for ragged JSON (parse_json → variant_get beats repeated
     // string re-parsing; shredding pushes paths into the scan)
     "q123_variant" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("v", parse_json(col("props")))
-        .select(
-          col("event_id"),
-          variant_get(col("v"), "$.k", "int").as("k"),
-          coalesce(try_variant_get(col("v"), "$.missing", "int"), lit(-1))
-            .as("missing"),
-          schema_of_variant(col("v")).as("vschema"))
-        .orderBy("event_id")),
+      // sort-first (SortedDerive scaladoc): parse_json → variant once at
+      // sort width, three typed extractions over the binary encoding
+      SortedDerive(t(s, dir, "events"), Seq("event_id"), Seq("props")) { sorted =>
+        sorted
+          .select(col("event_id"), parse_json(col("props")).as("v"))
+          .select(
+            col("event_id"),
+            variant_get(col("v"), "$.k", "int").as("k"),
+            coalesce(try_variant_get(col("v"), "$.missing", "int"), lit(-1))
+              .as("missing"),
+            schema_of_variant(col("v")).as("vschema"))
+      }),
 
     // XML scan surface (from_xml under an explicit schema): typed field
     // extraction out of an XML payload constructed identically on both
@@ -2027,16 +2072,23 @@ object Queries {
     "q124_xml" -> ((s, dir) => {
       val xmlSchema = StructType(Seq(
         StructField("k", IntegerType), StructField("t", StringType)))
-      t(s, dir, "events")
-        .withColumn("k0", get_json_object(col("props"), "$.k").cast(IntegerType))
-        .withColumn("xml", concat(lit("<r><k>"), col("k0"),
-          lit("</k><t>"), col("event_type"), lit("</t></r>")))
-        .withColumn("parsed", from_xml(col("xml"), xmlSchema))
-        .select(col("event_id"),
-          col("parsed.k").as("k"), col("parsed.t").as("t"),
-          (col("parsed.k") === col("k0") &&
-            col("parsed.t") === col("event_type")).as("roundtrip_ok"))
-        .orderBy("event_id")
+      // sort-first + aliased parses (SortedDerive scaladoc): one JSON
+      // extract, one XML parse, then the roundtrip compare — all post-
+      // exchange
+      SortedDerive(t(s, dir, "events"), Seq("event_id"),
+          Seq("props", "event_type")) { sorted =>
+        sorted
+          .select(col("event_id"), col("event_type"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k0"))
+          .select(col("event_id"), col("event_type"), col("k0"),
+            from_xml(concat(lit("<r><k>"), col("k0"),
+              lit("</k><t>"), col("event_type"), lit("</t></r>")),
+              xmlSchema).as("parsed"))
+          .select(col("event_id"),
+            col("parsed.k").as("k"), col("parsed.t").as("t"),
+            (col("parsed.k") === col("k0") &&
+              col("parsed.t") === col("event_type")).as("roundtrip_ok"))
+      }
     }),
 
     // collated comparison semantics (Spark-4 collations): grouping and
@@ -2886,20 +2938,24 @@ object Queries {
     // transform_values / map_filter / map_zip_with in one codegen pass —
     // results serialized as sorted entry strings so map-ordering quirks
     // can't break the compare
-    "q163_map_hof" -> ((s, dir) => {
-      val m = from_json(col("props"), MapType(StringType, IntegerType))
-      t(s, dir, "events").select(
-          col("event_id"),
-          array_join(array_sort(transform(
-            map_entries(expr(
-              "map_filter(transform_values(" +
-                "transform_keys(from_json(props, 'map<string,int>'), (k, v) -> upper(k)), " +
-                "(k, v) -> v * 10), (k, v) -> v >= 0)")),
-            e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
-            .as("entries"),
-          size(m).as("nkeys"))
-        .orderBy("event_id")
-    }),
+    "q163_map_hof" -> ((s, dir) =>
+      // sort-first + single aliased parse (SortedDerive scaladoc) — the
+      // HOF chain then transforms the one parsed map post-exchange
+      SortedDerive(t(s, dir, "events"), Seq("event_id"), Seq("props")) { sorted =>
+        sorted
+          .select(col("event_id"),
+            from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+          .select(
+            col("event_id"),
+            array_join(array_sort(transform(
+              map_entries(expr(
+                "map_filter(transform_values(" +
+                  "transform_keys(m, (k, v) -> upper(k)), " +
+                  "(k, v) -> v * 10), (k, v) -> v >= 0)")),
+              e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+              .as("entries"),
+            size(col("m")).as("nkeys"))
+      }),
 
     // dynamic partition overwrite: INSERT OVERWRITE replaces ONLY the
     // partitions present in the incoming batch — the daily-partition-

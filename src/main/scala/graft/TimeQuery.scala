@@ -21,9 +21,15 @@ object TimeQuery {
     val iters = args(1).toInt
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle.partitions from the core count
+    // for the partition-count sensitivity sweep (a 1000-executor cluster
+    // runs with thousands of shuffle partitions — the engine's plans must
+    // not depend on partitions == cores). Default preserves the bench's
+    // partitions-track-cores sizing.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
