@@ -24,7 +24,8 @@ done
 : > "$OUT"
 for c in $CORES; do
   echo "[scaling] sf=$SF cores=$c" >&2
-  line=$(SPARK_GRAFT_CPUS=$c ${SHUFFLE:+SPARK_GRAFT_SHUFFLE=$SHUFFLE} java $ADD_OPENS -Xmx16g \
+  # env: an expansion-produced VAR=val word is not an assignment prefix
+  line=$(env SPARK_GRAFT_CPUS=$c ${SHUFFLE:+SPARK_GRAFT_SHUFFLE=$SHUFFLE} java $ADD_OPENS -Xmx16g \
     -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
     graft.TimeQuery "$SF" "$ITERS" $QUERIES | tail -1)
   echo "{\"sf\":\"$SF\",\"cores\":$c,\"shuffle\":${SHUFFLE:-$c},${line#\{}" >> "$OUT"
