@@ -22,6 +22,10 @@ object GraftSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE may re-coalesce cached plans (matches EngineSession; see its
+      // scaladoc for the measured high-partition persist() cost)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     if (master.startsWith("local-cluster")) {

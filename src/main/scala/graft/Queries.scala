@@ -303,22 +303,39 @@ object Queries {
 
     // heuristic language ID
     "q25_lang_id" -> ((s, dir) =>
-      // sort-first (SortedDerive scaladoc): n-gram language ID at sort width
+      // sort-first + materialized vocab/scores (Curation.annotate pattern;
+      // langArgmax scaladoc): raw score expressions inside the argmax CASE
+      // duplicate each score subtree ~2×#langs times, and every score
+      // reference re-derives the two-regex vocab — aliased columns
+      // evaluate each exactly once
       SortedDerive(t(s, dir, "documents"), Seq("doc_id"),
           Seq("lang", "text")) { sorted =>
-        sorted.select(
-          col("doc_id"), col("lang"),
-          TF.langId(col("text")).as("lang_pred"))
+        sorted
+          .select(col("doc_id"), col("lang"), TF.vocab(col("text")).as("v"))
+          .select(Seq(col("doc_id"), col("lang")) ++
+            TF.langMarkers.map { case (l, ws) =>
+              TF.langScore(col("v"), ws).as(s"s_$l") }: _*)
+          .select(col("doc_id"), col("lang"),
+            TF.langArgmax(TF.langMarkers.map { case (l, _) =>
+              l -> col(s"s_$l") }).as("lang_pred"))
       }),
 
     // quality scoring
     "q26_quality" -> ((s, dir) =>
+      // sort-first + parts materialized once (Curation.annotate pattern):
+      // qualityScoreRounded(text) re-runs the whitespace split and punct
+      // regex that the explicit count columns already computed — the
+      // parts-based form evaluates each signal pass exactly once
       SortedDerive(t(s, dir, "documents"), Seq("doc_id"), Seq("text")) { sorted =>
-        sorted.select(
-          col("doc_id"),
-          TF.tokenCount(col("text")).as("n_tokens"),
-          TF.punctCount(col("text")).as("n_punct"),
-          TF.qualityScoreRounded(col("text")).as("score"))
+        sorted
+          .select(col("doc_id"),
+            TF.tokenCount(col("text")).as("n_tokens"),
+            TF.punctCount(col("text")).as("n_punct"),
+            TF.stopwordCount(col("text")).as("n_stop"),
+            length(col("text")).as("n_chars"))
+          .select(col("doc_id"), col("n_tokens"), col("n_punct"),
+            TF.qualityScoreRoundedFromParts(col("n_tokens"), col("n_punct"),
+              col("n_stop"), col("n_chars")).as("score"))
       }),
 
     // token counting (whitespace + BPE-ish)

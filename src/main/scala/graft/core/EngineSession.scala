@@ -34,6 +34,17 @@ object EngineSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE coalesce CACHED plans too: off (the default), persist()
+      // freezes the plan at raw shuffle.partitions granularity, so every
+      // Materialize.eager intermediate materializes one task per
+      // configured partition regardless of data volume — measured 3.5×
+      // on the candidate-bounded dedup path at partitions=2000 (the
+      // high-partition sweep, SCALE.md round 14). The conf exists because
+      // changed cache partitioning can surprise consumers that RELY on it;
+      // no engine path does (cached intermediates feed joins/aggs that
+      // re-shuffle anyway).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       // some testdata generations carry events.ts as TIMESTAMP(NANOS), which
       // Spark 4 has no native type for; this conf makes that encoding scan as
