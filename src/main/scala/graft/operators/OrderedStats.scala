@@ -3,45 +3,230 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
-/** Spill-safe exact ordered statistics.
+/** Exact ordered statistics with full parallelism at ANY group cardinality.
   *
   * Spark's built-in `percentile` aggregate buffers every (value, count)
-  * pair of a group in executor memory, which is the one aggregate shape
-  * that can OOM at 100-TB group sizes. This is the disk-bounded exact
-  * form: the only per-group total-order step is a window sort, and
-  * Spark's sort is an external (spilling) sort — memory pressure
-  * degrades to disk, never to OOM.
+  * pair of a group in executor memory — the one aggregate shape that can
+  * OOM at 100-TB group sizes. The window-sort alternative
+  * (`row_number().over(partitionBy(group).orderBy(value))`, kept below as
+  * [[exactPercentilesBySort]]) is spill-safe but its parallelism is the
+  * GROUP CARDINALITY: three l_returnflag values means three tasks
+  * total-sorting 1/3 of the table each, at any cluster size — measured
+  * 10.7 s at sf1 where the rest of the agg family runs 2-7 s.
   *
-  * Plan shape (and why it scales):
-  *   1. one tiny `groupBy(count)` — non-null value count per group;
-  *   2. `row_number()` over (group, value) — the sort spills; row_number
-  *      itself is streaming (no partition buffering in WindowExec);
-  *   3. broadcast-join the per-group counts back (the counts side is one
-  *      row per group), keep ONLY the floor/ceil rank rows any requested
-  *      percentile needs — at most 2·|ps| rows per group survive;
-  *   4. one tiny hash aggregate interpolates.
+  * An exact percentile does not need a total order — only the k-th and
+  * k+1-th order statistics. [[exactPercentiles]] finds them by
+  * DISTRIBUTED SELECTION, the classic multi-pass refinement:
+  *
+  *   1. per-group count/min/max (one parallel agg);
+  *   2. histogram pass: bucket every row into B=8192 equi-width range
+  *      buckets per group; per-(group,bucket) count/min/max (one parallel
+  *      agg — the histogram is G·B rows, never collected to the driver);
+  *   3. locate each needed rank's bucket via a per-group running sum over
+  *      the ≤B bucket rows (a window over the HISTOGRAM, not the data);
+  *      a bucket whose min == max resolves immediately (all-duplicate
+  *      values — the order statistic IS that value, and the level below
+  *      could never split it);
+  *   4. if the largest still-needed bucket holds more than `leafRows`
+  *      rows, recurse: re-run 2-3 on only those buckets' rows with the
+  *      bucket's own [min,max] as the new range (tagged per target, so
+  *      the loop state is uniform); the population shrinks ~B× per level
+  *      except under value concentration, which step 3's equal-value exit
+  *      terminates — double spacing bounds the depth at ~64/13 levels;
+  *   5. leaf: row_number over (group, bucket) — partitions of ≤ leafRows
+  *      rows — picks the exact in-bucket rank; one tiny agg interpolates.
+  *
+  * Every pass is a full-width scan or a ≤leafRows-partition window; no
+  * stage's parallelism depends on group cardinality. Driver involvement
+  * is one scalar per level (max unresolved-bucket population — the
+  * recursion decision), never data. Shuffle volume: level 1 moves the
+  * G·B histogram, later levels move only needed-bucket rows.
   *
   * Semantics match SQL `percentile_cont` / Spark `percentile` (type-7
-  * interpolation at h = (n-1)·p over non-null values). Groups with zero
-  * non-null values are omitted (the built-in returns NULL for them —
-  * callers needing that row can left-join the group universe).
-  *
-  * Parallelism is bounded by group cardinality — inherent to any exact
-  * per-group total order. For low-cardinality groups at extreme scale the
-  * GK sketch (`approx_percentile`, q65) remains the recommended path;
-  * this form is for when exactness is required and is safe either way.
+  * interpolation at h = (n-1)·p over non-null values; order statistics
+  * of a multiset are tie-insensitive, so results are identical to the
+  * sort form's). Groups with zero non-null values are omitted (the
+  * built-in returns NULL for them — callers needing that row can
+  * left-join the group universe). NaN sorts greatest, matching Spark's
+  * sort order.
   *
   * Reference behavior: pandas `quantile` in the analytics summary
   * (ai_powered_financial_analysis.py:214-230), exact by construction.
   */
 object OrderedStats {
 
+  /** Range buckets per refinement level. 8192 = 13 bits of the double's
+    * value range per level; big enough that one level usually suffices,
+    * small enough that the G·8192-row histogram stays a cheap shuffle.
+    */
+  private val Buckets = 8192
+
+  /** Largest bucket population the leaf window sorts. One leaf partition
+    * is (group, bucket)-keyed, so this bounds per-task memory, not
+    * per-group data.
+    */
+  private val LeafRows = 65536L
+
+  private val MaxLevels = 12
+
   /** Exact interpolated percentiles per group, one (name, p) output
     * column per requested percentile, 0 <= p <= 1.
     */
   def exactPercentiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "OrderedStats: at least one percentile required")
+    ps.foreach { case (n, p) =>
+      require(p >= 0.0 && p <= 1.0, s"OrderedStats: percentile $n=$p outside [0,1]")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val vals = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast(DoubleType).as("__v"))
+    // ONE agg computes count + level-1 range together, eagerly materialized
+    // (G rows): targets, the level-1 bucket join, and the final
+    // interpolation all reuse it — without the pin, each union branch and
+    // join re-executed the full-table agg (measured: ~8 scans of the fact
+    // table instead of 3, and on a serially-scanned source that multiplies
+    // the one cost selection can't parallelize)
+    val base = Materialize.eager(vals.groupBy("__g").agg(
+      count(lit(1)).as("__n"),
+      min(when(!isnan(col("__v")), col("__v"))).as("__lo"),
+      max(when(!isnan(col("__v")), col("__v"))).as("__hi")))
+    val counts = base.select("__g", "__n")
+
+    // targets: one row per (group, percentile, lo/hi side) order statistic.
+    // __k is the 0-based rank within the group; __tid names the output slot.
+    val sides = ps.flatMap { case (name, p) =>
+      Seq((s"lo_$name", p, true), (s"hi_$name", p, false))
+    }
+    val targets0 = sides.map { case (tid, p, isFloor) =>
+      val h = (col("__n") - 1).cast(DoubleType) * lit(p)
+      val k = (if (isFloor) floor(h) else ceil(h)).cast(LongType)
+      counts.select(col("__g"), lit(tid).as("__tid"), k.as("__k"))
+    }.reduce(_ union _)
+
+    // Loop state: `rows` (group+tid-tagged candidate rows) and `targets`
+    // (rank to find within those rows). Level 1 is untagged (every target
+    // of a group shares the full value range), so __tid is null there and
+    // the bucket join fans rows out to their targets.
+    var rows = vals.withColumn("__tid", lit(null).cast("string"))
+    var targets = targets0
+    var resolved = Seq.empty[DataFrame]
+    var level = 0
+    var done = false
+    while (!done) {
+      level += 1
+      require(level <= MaxLevels,
+        s"OrderedStats: selection did not converge in $MaxLevels levels")
+      val keyed = rows // per-target once tagged; shared (__tid null) at level 1
+      val grp: Seq[String] = if (level == 1) Seq("__g") else Seq("__g", "__tid")
+      val gcols = grp.map(col)
+      // range over NON-NaN values only: NaN sorts greatest in Spark, so
+      // NaN rows go straight to the top bucket and the finite range stays
+      // usable even when NaNs are present. Level 1 reuses the pinned base
+      // agg; later levels recompute over their (already bounded) rows.
+      val stats =
+        if (level == 1) base.select("__g", "__lo", "__hi")
+        else keyed.groupBy(gcols: _*).agg(
+          min(when(!isnan(col("__v")), col("__v"))).as("__lo"),
+          max(when(!isnan(col("__v")), col("__v"))).as("__hi"))
+      val b = when(isnan(col("__v")), lit(Buckets - 1L))
+        .otherwise(when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(
+            floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo"))
+              * lit(Buckets)).cast(LongType),
+            lit(Buckets - 1L))))
+      val bucketed = keyed.join(stats, grp).withColumn("__b", b)
+        .drop("__lo", "__hi")
+      val hist = bucketed.groupBy((gcols :+ col("__b")): _*).agg(
+        count(lit(1)).as("__c"), min("__v").as("__bmin"), max("__v").as("__bmax"))
+      val cum = hist.withColumn("__below",
+        sum("__c").over(
+          Window.partitionBy(gcols: _*).orderBy("__b")) - col("__c"))
+      // locate each target's bucket
+      val tj = if (level == 1) targets.join(cum, Seq("__g"))
+               else targets.join(cum, Seq("__g", "__tid"))
+      val located = tj.filter(
+        col("__k") >= col("__below") && col("__k") < col("__below") + col("__c"))
+      // equal-value buckets resolve now (and are the only non-splittable case)
+      val eq = col("__bmin") === col("__bmax") ||
+        (isnan(col("__bmin")) && isnan(col("__bmax")))
+      resolved = resolved :+ located.filter(eq)
+        .select(col("__g"), col("__tid"), col("__bmin").as("__val"))
+      val open = located.filter(!eq)
+        .select(col("__g"), col("__tid"), col("__b"),
+          (col("__k") - col("__below")).as("__k"), col("__c"))
+        .persist()
+      val maxPop = open.agg(max("__c")).as[Option[Long]].head().getOrElse(0L)
+      if (maxPop == 0L) {
+        done = true
+        open.unpersist()
+      } else if (maxPop <= LeafRows) {
+        // leaf: exact in-bucket rank via a window over ≤LeafRows partitions
+        val need = open.select(col("__g"), col("__tid").as("__ntid"), col("__b"))
+        val joinKeys = if (level == 1) Seq("__g", "__b") else Seq("__g", "__b")
+        val cand =
+          if (level == 1) bucketed.drop("__tid").join(need, joinKeys)
+          else bucketed.join(
+            need.withColumnRenamed("__ntid", "__tid"), Seq("__g", "__tid", "__b"))
+            .withColumn("__ntid", col("__tid"))
+        val ranked = cand.withColumn("__r",
+          row_number().over(
+            Window.partitionBy(col("__g"), col("__ntid"), col("__b"))
+              .orderBy("__v")) - 1)
+        val hit = ranked.join(
+          open.withColumnRenamed("__tid", "__ntid"), Seq("__g", "__ntid", "__b"))
+          .filter(col("__r") === col("__k"))
+          .select(col("__g"), col("__ntid").as("__tid"), col("__v").as("__val"))
+        resolved = resolved :+ hit
+        done = true
+        // persist released lazily; the loop result is consumed once below
+      } else {
+        // recurse on the oversized buckets only, tagging rows per target so
+        // each target refines within its own bucket's range independently
+        val need = open.select(col("__g"), col("__tid").as("__ntid"), col("__b"))
+        val next =
+          if (level == 1) bucketed.drop("__tid").join(need, Seq("__g", "__b"))
+            .withColumnRenamed("__ntid", "__tid")
+          else bucketed.join(
+            need.withColumnRenamed("__ntid", "__tid"), Seq("__g", "__tid", "__b"))
+        rows = Materialize.eager(next.select("__g", "__tid", "__v"))
+        targets = open.select("__g", "__tid", "__k")
+      }
+    }
+
+    val all = resolved.reduce(_ union _)
+    // pivot the (group, tid, val) long form back to lo/hi columns and
+    // interpolate — one tiny agg over 2·|ps| rows per group
+    val aggs = ps.flatMap { case (name, _) =>
+      Seq(
+        max(when(col("__tid") === s"lo_$name", col("__val"))).as(s"__lo_$name"),
+        max(when(col("__tid") === s"hi_$name", col("__val"))).as(s"__hi_$name"))
+    }
+    val wide = all.groupBy("__g").agg(aggs.head, aggs.tail: _*)
+      .join(counts, Seq("__g"))
+    val outs = ps.map { case (name, p) =>
+      val h = (col("__n") - 1).cast(DoubleType) * lit(p)
+      val f = h - floor(h)
+      (col(s"__lo_$name") + f * (col(s"__hi_$name") - col(s"__lo_$name")))
+        .as(name)
+    }
+    wide.select((col("__g").as(groupCol)) +: outs: _*)
+  }
+
+  /** The window-sort form (previous default, kept for the parity spec and
+    * for callers that prefer one shuffle over several when the group
+    * cardinality already saturates the cluster). Spill-safe — Spark's
+    * sort is external, row_number is streaming — but parallelism equals
+    * the group cardinality: per-group total order runs one task per
+    * group no matter the cluster size.
+    */
+  def exactPercentilesBySort(
       df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty, "OrderedStats: at least one percentile required")

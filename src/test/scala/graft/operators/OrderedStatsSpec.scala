@@ -66,13 +66,60 @@ class OrderedStatsSpec extends SparkSpec {
     assert(out.head.getDouble(1) == 1.0 && out.head.getDouble(2) == 9.0)
   }
 
-  test("plan is external-sort based: a window sort, no percentile buffer") {
+  test("no percentile buffer in the plan (selection aggregates only)") {
     val df = (1 to 100).map(i => (s"g${i % 3}", java.lang.Double.valueOf(i.toDouble)))
       .toDF("g", "v")
     val plan = OrderedStats.exactPercentiles(df, "g", "v", Seq("p50" -> 0.5))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Window"), plan)
-    assert(plan.contains("Sort"), plan)
     assert(!plan.toLowerCase.contains("percentile"), plan)
+  }
+
+  test("selection and sort forms agree bit-exactly") {
+    val rnd = new Random(11)
+    val rows = (1 to 3000).map { _ =>
+      (s"g${rnd.nextInt(7)}", java.lang.Double.valueOf(rnd.nextGaussian() * 1e6))
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)
+    val sel = OrderedStats.exactPercentiles(df, "g", "v", ps)
+      .orderBy("g").collect()
+    val srt = OrderedStats.exactPercentilesBySort(df, "g", "v", ps)
+      .orderBy("g").collect()
+    assert(sel.length == srt.length)
+    sel.zip(srt).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      ps.indices.foreach { i =>
+        assert(a.getDouble(i + 1) == b.getDouble(i + 1),
+          s"${a.getString(0)} ${ps(i)._1}: ${a.getDouble(i + 1)} vs ${b.getDouble(i + 1)}")
+      }
+    }
+  }
+
+  test("duplicate-heavy groups resolve via the equal-value bucket exit") {
+    // one group where 90% of values are the same constant: the median's
+    // bucket has min == max, so selection must resolve it WITHOUT a leaf
+    // window (and regardless, match the built-in)
+    val rows = (1 to 1000).map { i =>
+      ("a", java.lang.Double.valueOf(if (i <= 900) 42.0 else i.toDouble))
+    }
+    assertMatches(rows, Seq("p50" -> 0.5, "p10" -> 0.1, "p99" -> 0.99))
+  }
+
+  test("value concentration recurses past an oversized level-1 bucket") {
+    // 70k values packed into a 0.07-wide cluster at 1e9 next to a -1e9
+    // outlier: level 1's equi-width buckets put the whole cluster into ONE
+    // bucket (width ~244k), whose population exceeds the 65536-row leaf
+    // bound — the selection must recurse with the bucket's own range and
+    // still land on the exact order statistic. Spacing 1e-6 > ulp(1e9)
+    // ≈ 1.2e-7 keeps the cluster's values distinct doubles.
+    val dense = (0 until 70000).map(i => ("a", java.lang.Double.valueOf(1e9 + i * 1e-6)))
+    val rows = dense :+ (("a", java.lang.Double.valueOf(-1e9)))
+    val out = OrderedStats.exactPercentiles(
+      rows.toDF("g", "v"), "g", "v", Seq("p50" -> 0.5)).collect()
+    // n = 70001, h = (n-1)*0.5 = 35000 exactly; rank 0 is the outlier, so
+    // rank 35000 is dense index 34999
+    assert(out.length == 1)
+    assert(out.head.getDouble(1) == 1e9 + 34999 * 1e-6,
+      s"got ${out.head.getDouble(1)}")
   }
 }
