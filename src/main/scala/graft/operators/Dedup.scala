@@ -25,6 +25,17 @@ object Dedup {
     * explicit tiebreak ordering (the reference's `dropDuplicates(["Ticker",
     * "Name"])`, py:244, keeps an arbitrary row; tests and oracles need a
     * pinned winner). One shuffle on `keys`.
+    *
+    * Deliberately a window, NOT `min(struct(tiebreak, full row))` — the
+    * aggregate form looks scale-friendlier (map-side combine) but
+    * measured WORSE on both axes that matter (round 14, SCALE.md): a
+    * struct-typed min buffer is not a fixed-width hash-agg buffer, so
+    * codegen falls back to ObjectHashAggregate (9.2 → 13.2 s on 6M
+    * near-unique keys at sf1, where partial combine also finds nothing
+    * to combine), and the aggregate does not preserve the child's
+    * bucketed output partitioning the way WindowExec does, so the
+    * zero-Exchange bucketed as-of plan (q178) grows a shuffle. The
+    * window's per-partition sort is the radix-friendly fast path.
     */
   def firstRowByKey(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
