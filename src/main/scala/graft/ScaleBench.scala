@@ -428,8 +428,8 @@ object ScaleBench {
       "curation_signals" -> (() => {
         val cfg = graft.pipeline.Curation.Config(
           langs = Set("en"), minQuality = 0.5, minTokens = 5)
-        graft.pipeline.Curation.annotate(docs, "text")
-          .filter(graft.pipeline.Curation.keep(cfg))
+        graft.pipeline.Curation.filterKeep(
+          graft.pipeline.Curation.annotate(docs, "text"), cfg)
           .count()
       }),
       "ivf_neardup_join" -> (() =>

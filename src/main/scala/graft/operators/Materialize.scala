@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{lit, rand, when}
 
 /** Fault-tolerant eager materialization barrier.
   *
@@ -38,4 +39,36 @@ object Materialize {
     p.count()
     p
   }
+
+  /** Plan-level (storage-free) pushdown barrier for an expensive-to-derive
+    * filter predicate.
+    *
+    * Catalyst's `PushPredicateThroughNonJoin` substitutes a Filter's
+    * attribute references with the child Project's alias expressions and
+    * pushes the rewritten predicate down — with NO cost model. A filter
+    * over derived signal columns (curation's keep()) therefore re-inlines
+    * the ENTIRE derivation into the pushed predicate, which lands below
+    * every exchange and re-runs the battery at raw-scan width: measured
+    * on the sf1 curation pipeline, annotate 3.6 s but annotate+filter
+    * 8.4 s, with the full regex/tokenize battery visible inside the
+    * pushed Filter node against the scan.
+    *
+    * The barrier is a NON-DETERMINISTIC-marked identity UDF over the
+    * predicate: pushdown requires a deterministic condition, so the
+    * filter stays where it was written and evaluates the signal
+    * ATTRIBUTES computed once below. The function is pure — the marking
+    * is optimizer-facing only, so retry determinism is untouched — and
+    * the per-row cost is one boolean-boundary JVM call. It must be
+    * opaque: an always-true `rand() >= 0 && pred` guard measured USELESS
+    * because the optimizer folds deterministic-outcome rand comparisons
+    * and splits conjunctions, pushing the bare predicate anyway. Null
+    * propagates through the UDF's null check, and Filter treats null as
+    * false — identical to the unwrapped predicate. Use ONLY when the
+    * predicate's inputs are expensive derivations — on plain scans this
+    * would defeat parquet filter pushdown, the optimization the rule
+    * exists for.
+    */
+  private lazy val ndIdentity =
+    org.apache.spark.sql.functions.udf((b: Boolean) => b).asNondeterministic()
+  def noPushdown(pred: Column): Column = ndIdentity(pred)
 }

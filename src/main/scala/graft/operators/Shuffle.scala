@@ -83,4 +83,33 @@ object Shuffle {
     */
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  /** Repartition `df` ONLY when its source grants too little scan
+    * parallelism for an expensive downstream derivation.
+    *
+    * Spark assigns a parquet row group to exactly one task, so a
+    * compacted single-file / oversized-row-group source — a routine
+    * hazard in real lakes, and the local testdata's layout at every
+    * SF — scans as ONE task, and everything below the first exchange
+    * inherits that width (the round-14 serial-scan finding; SortedDerive
+    * covers the queries whose plan already ends in a sort to defer past).
+    * Pipelines whose filters/joins CONSUME the derived columns can't
+    * defer; their only lever is an explicit exchange before the
+    * derivation — pure waste on a well-split source, a core-count win on
+    * a degenerate one. This helper makes the choice data-dependent:
+    * `df.rdd.getNumPartitions` (plan-time — compiles the plan, runs no
+    * job) reveals the width the source actually granted, and the
+    * round-robin repartition is added only below the floor (default:
+    * `sparkContext.defaultParallelism`). Streaming frames pass through —
+    * their micro-batch sources re-plan each batch.
+    */
+  def ensureMinScanWidth(df: DataFrame, minPartitions: Int = 0): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val floor =
+        if (minPartitions > 0) minPartitions
+        else df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= floor) df else df.repartition(floor)
+    }
+  }
 }

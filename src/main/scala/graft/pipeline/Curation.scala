@@ -44,7 +44,14 @@ object Curation {
     * n_tokens but not as a stopword hit). Two splits over two different
     * strings is the honest minimum for these signal semantics.
     */
-  def annotate(df: DataFrame, textCol: String): DataFrame = {
+  def annotate(df0: DataFrame, textCol: String): DataFrame = {
+    // the signal battery is the most expression-heavy pass in the engine
+    // and the keep()/dedup consumers need its outputs — it cannot defer
+    // past a later exchange (SortedDerive), so guard the scan width
+    // explicitly: a single-row-group source would otherwise run the whole
+    // battery on one core (round-14 serial-scan finding; no-op on any
+    // source that already grants enough parallelism)
+    val df = graft.operators.Shuffle.ensureMinScanWidth(df0)
     val t = col(textCol)
     val parts = df
       .withColumn("__lower", lower(t))
@@ -83,18 +90,48 @@ object Curation {
       .drop(TextFunctions.langMarkers.map { case (lang, _) => s"__s_$lang" }: _*)
   }
 
-  /** Signal-based keep/drop predicate. */
+  /** Signal-based keep/drop predicate. Callers filtering DIRECTLY on this
+    * over annotate()'s output should go through [[filterKeep]] instead —
+    * a bare `.filter(keep(cfg))` lets Catalyst substitute the signal
+    * aliases into the predicate and re-evaluate the whole battery a
+    * second time (see filterKeep's scaladoc).
+    */
   def keep(cfg: Config): Column =
     col("lang_pred").isin(cfg.langs.toSeq: _*) &&
       col("quality") >= cfg.minQuality &&
       col("n_tokens").between(cfg.minTokens, cfg.maxTokens)
+
+  /** Filter annotated rows on [[keep]] without re-evaluating the battery.
+    *
+    * `annotate(df).filter(keep(cfg))` re-runs every signal: Catalyst's
+    * filter-through-Project pushdown substitutes the predicate's
+    * attribute references with the alias expressions below — with no
+    * cost model, and regardless of the CONDITION's determinism (the
+    * Project rule only requires the project's FIELDS be deterministic) —
+    * so the optimized plan carries the full regex/tokenize battery
+    * inlined in the Filter AND in the projections above it: measured
+    * 3.6 s (annotate) vs 8.4 s (annotate+filter) on the sf1 corpus.
+    * The fix exploits the same rule's field check: materialize the
+    * ND-wrapped predicate AS A COLUMN (`Materialize.noPushdown` — a
+    * pure identity UDF marked non-deterministic), making that projection
+    * non-pushable-through; the filter then consumes the attribute and
+    * the cascade of alias substitution never starts. Measured
+    * annotate+filter 8.0 -> 3.4 s at sf1 (battery in the plan once); the wrapped-condition form alone does
+    * NOT work (the filter pushes through the projections anyway and
+    * only stops at the exchange).
+    */
+  def filterKeep(annotated: DataFrame, cfg: Config): DataFrame =
+    annotated
+      .withColumn("__keep", graft.operators.Materialize.noPushdown(keep(cfg)))
+      .filter(col("__keep"))
+      .drop("__keep")
 
   /** Full pass: annotate → filter → exact-dedup by content fingerprint
     * (first doc id wins, deterministic). Returns the surviving rows with
     * their signals.
     */
   def curate(df: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
-    val annotated = annotate(df, textCol).filter(keep(cfg))
+    val annotated = filterKeep(annotate(df, textCol), cfg)
     Dedup.firstRowByKey(annotated, Seq("fp"), Seq(col(idCol)))
   }
 }
