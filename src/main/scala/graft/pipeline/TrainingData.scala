@@ -138,9 +138,13 @@ object TrainingData {
   def contaminatedDocIds(
       train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
       n: Int = 20): DataFrame = {
+    // the explode fans each doc into ~|text| shingle rows BEFORE any
+    // exchange — on a single-row-group source that generation runs on one
+    // core (round-14 serial-scan finding), so guard the scan width first
     def shingles(df: DataFrame): DataFrame =
-      df.select(col(idCol), lower(col(textCol)).as("__t"))
-        .filter(length(col("__t")) >= n)
+      graft.operators.Shuffle.ensureMinScanWidth(
+          df.select(col(idCol), lower(col(textCol)).as("__t"))
+            .filter(length(col("__t")) >= n))
         .select(col(idCol),
           explode(expr(s"transform(sequence(1, length(__t) - ${n - 1}), i -> substring(__t, i, $n))"))
             .as("shingle"))
