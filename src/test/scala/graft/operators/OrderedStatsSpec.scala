@@ -16,7 +16,9 @@ class OrderedStatsSpec extends SparkSpec {
 
   private def assertMatches(rows: Seq[(String, java.lang.Double)], ps: Seq[(String, Double)]): Unit = {
     val df = rows.toDF("g", "v")
-    val ours = OrderedStats.exactPercentiles(df, "g", "v", ps)
+    // threshold 0 forces the selection path — the machinery under test
+    // (default dispatch sends test-sized data to the sort form)
+    val ours = OrderedStats.exactPercentiles(df, "g", "v", ps, selectionThreshold = 0)
       .orderBy("g").collect()
     val ref = builtin(df, ps)
       .filter(col(ps.head._1).isNotNull) // all-null groups are omitted by ours
@@ -53,7 +55,7 @@ class OrderedStatsSpec extends SparkSpec {
       ("a", java.lang.Double.valueOf(3.0)),
       ("z", null.asInstanceOf[java.lang.Double]))
     val out = OrderedStats.exactPercentiles(
-      rows.toDF("g", "v"), "g", "v", Seq("p50" -> 0.5)).collect()
+      rows.toDF("g", "v"), "g", "v", Seq("p50" -> 0.5), selectionThreshold = 0).collect()
     assert(out.length == 1 && out.head.getString(0) == "a")
     assert(out.head.getDouble(1) == 2.0) // median of (1, 3) ignoring the null
   }
@@ -62,14 +64,16 @@ class OrderedStatsSpec extends SparkSpec {
     val rows = Seq("a" -> 5.0, "a" -> 9.0, "a" -> 1.0)
       .map { case (g, v) => (g, java.lang.Double.valueOf(v)) }
     val out = OrderedStats.exactPercentiles(
-      rows.toDF("g", "v"), "g", "v", Seq("lo" -> 0.0, "hi" -> 1.0)).collect()
+      rows.toDF("g", "v"), "g", "v", Seq("lo" -> 0.0, "hi" -> 1.0),
+      selectionThreshold = 0).collect()
     assert(out.head.getDouble(1) == 1.0 && out.head.getDouble(2) == 9.0)
   }
 
   test("no percentile buffer in the plan (selection aggregates only)") {
     val df = (1 to 100).map(i => (s"g${i % 3}", java.lang.Double.valueOf(i.toDouble)))
       .toDF("g", "v")
-    val plan = OrderedStats.exactPercentiles(df, "g", "v", Seq("p50" -> 0.5))
+    val plan = OrderedStats.exactPercentiles(df, "g", "v", Seq("p50" -> 0.5),
+        selectionThreshold = 0)
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("percentile"), plan)
   }
@@ -81,7 +85,7 @@ class OrderedStatsSpec extends SparkSpec {
     }
     val df = rows.toDF("g", "v")
     val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)
-    val sel = OrderedStats.exactPercentiles(df, "g", "v", ps)
+    val sel = OrderedStats.exactPercentiles(df, "g", "v", ps, selectionThreshold = 0)
       .orderBy("g").collect()
     val srt = OrderedStats.exactPercentilesBySort(df, "g", "v", ps)
       .orderBy("g").collect()
@@ -105,6 +109,16 @@ class OrderedStatsSpec extends SparkSpec {
     assertMatches(rows, Seq("p50" -> 0.5, "p10" -> 0.1, "p99" -> 0.99))
   }
 
+  test("default dispatch sends small groups to the sort form (and agrees)") {
+    val rows = (1 to 500).map(i => (s"g${i % 3}", java.lang.Double.valueOf(i.toDouble)))
+    val df = rows.toDF("g", "v")
+    val auto = OrderedStats.exactPercentiles(df, "g", "v", Seq("p50" -> 0.5))
+    // sort form's signature: a row_number window over the data
+    assert(auto.queryExecution.executedPlan.toString.contains("row_number"))
+    val sorted = OrderedStats.exactPercentilesBySort(df, "g", "v", Seq("p50" -> 0.5))
+    assert(auto.orderBy("g").collect().toSeq === sorted.orderBy("g").collect().toSeq)
+  }
+
   test("value concentration recurses past an oversized level-1 bucket") {
     // 70k values packed into a 0.07-wide cluster at 1e9 next to a -1e9
     // outlier: level 1's equi-width buckets put the whole cluster into ONE
@@ -115,7 +129,7 @@ class OrderedStatsSpec extends SparkSpec {
     val dense = (0 until 70000).map(i => ("a", java.lang.Double.valueOf(1e9 + i * 1e-6)))
     val rows = dense :+ (("a", java.lang.Double.valueOf(-1e9)))
     val out = OrderedStats.exactPercentiles(
-      rows.toDF("g", "v"), "g", "v", Seq("p50" -> 0.5)).collect()
+      rows.toDF("g", "v"), "g", "v", Seq("p50" -> 0.5), selectionThreshold = 0).collect()
     // n = 70001, h = (n-1)*0.5 = 35000 exactly; rank 0 is the outlier, so
     // rank 35000 is dense index 34999
     assert(out.length == 1)
