@@ -356,6 +356,10 @@ object Queries {
       }),
 
     // grouped aggregation with partial (map-side) combine — TPC-H Q1 shape
+    // (measured at sf1 one-row-group layout: a width guard here LOSES —
+    // 5.4 → 8.8 s — because low-cardinality partials are accumulator-
+    // cheap and the serial parquet decode remains either way, so the
+    // added exchange is pure cost; map-side combine stays scan-local)
     "q29_agg_pushdown" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
@@ -518,8 +522,12 @@ object Queries {
     "q36_embed_topk" -> ((s, dir) => {
       import s.implicits._
       // no cache: a cached `documents` plan would substitute into every
-      // other registered query's scan on the shared session
-      val docs = t(s, dir, "documents")
+      // other registered query's scan on the shared session; width guard
+      // so the IDF fit's partial agg and the transform's hashing run at
+      // cluster width regardless of source layout (no-op on a well-laid-
+      // out source — see ensureMinScanWidth)
+      val docs = graft.operators.Shuffle.ensureMinScanWidth(
+        t(s, dir, "documents"))
       val fz = new Featurizer(dim = 64).fit(docs, "text")
       // caching the TRANSFORMED frame is safe on the shared session (its
       // plan is unique to this featurizer's IDF map, so it can't
@@ -571,12 +579,19 @@ object Queries {
 
     // lexicon sentiment scoring (fills the reference's claimed-but-absent
     // sentiment capability, SURVEY §1.4(5))
+    // sort-first + single aliased score (SortedDerive scaladoc): the
+    // lexicon tokenize+lookup battery runs at sort width, once per row —
+    // label derives from the aliased score, not a second evaluation
     "q39_sentiment" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        dec(graft.text.Sentiment.score(col("text"))).as("sentiment"),
-        graft.text.Sentiment.label(col("text")).as("sentiment_label"))
-        .orderBy("doc_id")),
+      SortedDerive(t(s, dir, "documents"), Seq("doc_id"), Seq("text")) { sorted =>
+        sorted
+          .select(col("doc_id"),
+            graft.text.Sentiment.score(col("text")).as("__score"))
+          .select(
+            col("doc_id"),
+            dec(col("__score")).as("sentiment"),
+            graft.text.Sentiment.labelOf(col("__score")).as("sentiment_label"))
+      }),
 
     // SQL surface over the registered custom expressions (GraftFunctions):
     // same kernels as q24 reached through spark.sql text

@@ -39,8 +39,13 @@ object Sentiment {
   }
 
   /** Categorical label: positive / negative / neutral. */
-  def label(c: Column): Column = {
-    val s = score(c)
+  def label(c: Column): Column = labelOf(score(c))
+
+  /** Label from an already-computed score column — callers that emit both
+    * score and label should alias the score in an inner projection and
+    * derive the label from the alias, so the tokenize+lookup battery runs
+    * once per row structurally (not merely via codegen subexpression
+    * elimination, which an interpreted fallback would lose). */
+  def labelOf(s: Column): Column =
     when(s > 0.05, "positive").when(s < -0.05, "negative").otherwise("neutral")
-  }
 }
