@@ -521,13 +521,17 @@ object Queries {
     // return exactly k results. The oracle pins both.
     "q36_embed_topk" -> ((s, dir) => {
       import s.implicits._
-      // no cache: a cached `documents` plan would substitute into every
-      // other registered query's scan on the shared session; width guard
-      // so the IDF fit's partial agg and the transform's hashing run at
-      // cluster width regardless of source layout (no-op on a well-laid-
-      // out source — see ensureMinScanWidth)
+      // width guard so the IDF fit's partial agg and the transform's
+      // hashing run at cluster width regardless of source layout (no-op on
+      // a well-laid-out source — see ensureMinScanWidth). CACHED: the fit,
+      // the transform's cache fill, and the parity probe are three separate
+      // actions that each re-ran scan+exchange (the raw documents scan must
+      // never be cached on the shared session — it would substitute into
+      // every other query's scan — but the guarded plan's Repartition root
+      // only matches other guarded-documents plans, so the substitution
+      // hazard doesn't arise; the harnesses clear the cache per query)
       val docs = graft.operators.Shuffle.ensureMinScanWidth(
-        t(s, dir, "documents"))
+        t(s, dir, "documents")).cache()
       val fz = new Featurizer(dim = 64).fit(docs, "text")
       // caching the TRANSFORMED frame is safe on the shared session (its
       // plan is unique to this featurizer's IDF map, so it can't
