@@ -119,6 +119,45 @@ class OrderedStatsSpec extends SparkSpec {
     assert(auto.orderBy("g").collect().toSeq === sorted.orderBy("g").collect().toSeq)
   }
 
+  test("dispatch probes raw row count (upper bound), not non-null count") {
+    // 600 rows, 550 null values: non-null volume (50) is under the
+    // threshold (500) but the probe reads the group column alone, so it
+    // sees 600 and must pick SELECTION — the conservative direction (both
+    // forms are exact; the bound only ever costs performance on
+    // null-heavy corpora, never correctness). The result must still
+    // match the sort form.
+    val rows = (1 to 600).map { i =>
+      ("a", if (i <= 550) null.asInstanceOf[java.lang.Double]
+            else java.lang.Double.valueOf(i.toDouble))
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p50" -> 0.5)
+    val auto = OrderedStats.exactPercentiles(df, "g", "v", ps,
+      selectionThreshold = 500)
+    // selection's signature: no row_number window anywhere in the plan
+    assert(!auto.queryExecution.executedPlan.toString.contains("row_number"),
+      "row-count 600 > threshold 500 must dispatch to selection even " +
+        "though only 50 values are non-null")
+    val sorted = OrderedStats.exactPercentilesBySort(df, "g", "v", ps)
+    assert(auto.orderBy("g").collect().toSeq ===
+      sorted.orderBy("g").collect().toSeq)
+  }
+
+  test("the sort-path dispatch leaves nothing persisted") {
+    // the old probe materialized (persist + count) the full per-group
+    // aggregate and then abandoned it when dispatching to the sort form —
+    // a leaked cache entry per call in long-lived sessions. The narrow
+    // probe must leave the RDD cache exactly as it found it.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val rows = (1 to 400).map(i => (s"g${i % 3}", java.lang.Double.valueOf(i.toDouble)))
+    val out = OrderedStats.exactPercentiles(rows.toDF("g", "v"), "g", "v",
+      Seq("p50" -> 0.5)) // default threshold: dispatches to sort
+    out.collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "sort-path dispatch must not leave persisted RDDs behind")
+  }
+
   test("value concentration recurses past an oversized level-1 bucket") {
     // 70k values packed into a 0.07-wide cluster at 1e9 next to a -1e9
     // outlier: level 1's equi-width buckets put the whole cluster into ONE
