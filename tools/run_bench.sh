@@ -31,5 +31,12 @@ ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_OUT="$OUT" SPARK_GRAFT_CPUS=${2:-8} java $ADD_OPENS -Xmx8g \
+# BENCH_XMX: heap override for exploratory big-SF runs. The graded sf0.1
+# record stays at the 8g default (comparability across rounds); at sf10
+# the 179-query single-JVM run is MARGINAL at 8g — streaming state for 32
+# partitions lives in one heap that a real cluster would spread across
+# executors, and an OOM mid-pass poisons every later query (observed:
+# q62 OOM'd the context and q62-q99 all read -1).
+BENCH_XMX=${BENCH_XMX:-8g}
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_OUT="$OUT" SPARK_GRAFT_CPUS=${2:-8} java $ADD_OPENS -Xmx$BENCH_XMX \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench
