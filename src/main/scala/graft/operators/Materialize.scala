@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{lit, rand, when}
 
 /** Fault-tolerant eager materialization barrier.
   *

@@ -71,6 +71,14 @@ object OrderedStats {
 
   private val MaxLevels = 12
 
+  /** `__v` when finite, null otherwise — NaN compares false on both
+    * bounds, so one range test excludes NaN and ±Inf together (aggregate
+    * min/max ignore the nulls).
+    */
+  private def finiteV =
+    when(col("__v") > lit(Double.NegativeInfinity) &&
+      col("__v") < lit(Double.PositiveInfinity), col("__v"))
+
   /** Largest per-group row count the SORT form still handles well: one
     * task external-sorting half a million rows is ~0.2 s, cheaper than
     * selection's three full-width passes. Above it, the sort form's
@@ -86,6 +94,14 @@ object OrderedStats {
     * [[SortFormMaxGroupRows]], distributed selection above (pass
     * `selectionThreshold = 0` to force selection — the spec does, to
     * exercise the refinement levels on test-sized data).
+    *
+    * Caching contract: the sort form persists nothing. The selection form
+    * returns an eagerly-cached G-row result (its refinement pins — base
+    * agg, per-level candidate rows and open sets — are all released before
+    * returning); lifetime of that one small entry follows Materialize
+    * .eager's documented contract (harness mains clear the catalog cache
+    * per query; long-lived callers release via `spark.catalog
+    * .clearCache()`).
     */
   def exactPercentiles(
       df: DataFrame, groupCol: String, valueCol: String,
@@ -122,6 +138,14 @@ object OrderedStats {
       if (maxGroup <= selectionThreshold)
         return exactPercentilesBySort(df, groupCol, valueCol, ps)
     }
+    // Every frame pinned during refinement (base, per-level rows and open
+    // sets) is released in the finally below once the final G-row result
+    // has been eagerly materialized — the selection path leaves exactly
+    // ONE tiny pinned frame behind (the result itself, same lifetime
+    // contract as Materialize.eager), instead of accumulating a pin per
+    // level across a long-lived session.
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
     // ONE agg computes count + level-1 range together, eagerly materialized
     // (G rows): targets, the level-1 bucket join, and the final
     // interpolation all reuse it — without the pin, each union branch and
@@ -130,8 +154,9 @@ object OrderedStats {
     // the one cost selection can't parallelize)
     val base = Materialize.eager(vals.groupBy("__g").agg(
       count(lit(1)).as("__n"),
-      min(when(!isnan(col("__v")), col("__v"))).as("__lo"),
-      max(when(!isnan(col("__v")), col("__v"))).as("__hi")))
+      min(finiteV).as("__lo"),
+      max(finiteV).as("__hi")))
+    pins += base
     val counts = base.select("__g", "__n")
 
     // targets: one row per (group, percentile, lo/hi side) order statistic.
@@ -161,16 +186,25 @@ object OrderedStats {
       val keyed = rows // per-target once tagged; shared (__tid null) at level 1
       val grp: Seq[String] = if (level == 1) Seq("__g") else Seq("__g", "__tid")
       val gcols = grp.map(col)
-      // range over NON-NaN values only: NaN sorts greatest in Spark, so
-      // NaN rows go straight to the top bucket and the finite range stays
-      // usable even when NaNs are present. Level 1 reuses the pinned base
-      // agg; later levels recompute over their (already bounded) rows.
+      // range over FINITE values only: with an infinite __hi or __lo the
+      // equi-width ratio below evaluates to NaN (Inf/Inf) or ±Inf, and
+      // floor(...).cast(Long) on that throws under ANSI mode (misbuckets
+      // with ANSI off). Non-finite values never consult the range — each
+      // gets an EXCLUSIVE bucket outside [0, Buckets): -Inf below (-1),
+      // +Inf and NaN above (Buckets, Buckets+1 — NaN sorts greatest in
+      // Spark, above +Inf). Exclusive matters for termination: an
+      // all-{+Inf,NaN} bucket has __bmin ≠ __bmax yet can never be split
+      // by a range, so sharing a bucket would recurse forever; alone,
+      // each resolves at the next level's equal-value exit. Level 1
+      // reuses the pinned base agg; later levels recompute over their
+      // (already bounded) rows.
       val stats =
         if (level == 1) base.select("__g", "__lo", "__hi")
         else keyed.groupBy(gcols: _*).agg(
-          min(when(!isnan(col("__v")), col("__v"))).as("__lo"),
-          max(when(!isnan(col("__v")), col("__v"))).as("__hi"))
-      val b = when(isnan(col("__v")), lit(Buckets - 1L))
+          min(finiteV).as("__lo"), max(finiteV).as("__hi"))
+      val b = when(isnan(col("__v")), lit(Buckets + 1L))
+        .when(col("__v") === lit(Double.PositiveInfinity), lit(Buckets.toLong))
+        .when(col("__v") === lit(Double.NegativeInfinity), lit(-1L))
         .otherwise(when(col("__hi") === col("__lo"), lit(0L)).otherwise(
           least(
             floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo"))
@@ -197,10 +231,10 @@ object OrderedStats {
         .select(col("__g"), col("__tid"), col("__b"),
           (col("__k") - col("__below")).as("__k"), col("__c"))
         .persist()
+      pins += open
       val maxPop = open.agg(max("__c")).as[Option[Long]].head().getOrElse(0L)
       if (maxPop == 0L) {
         done = true
-        open.unpersist()
       } else if (maxPop <= LeafRows) {
         // leaf: exact in-bucket rank via a window over ≤LeafRows partitions
         val need = open.select(col("__g"), col("__tid").as("__ntid"), col("__b"))
@@ -220,7 +254,6 @@ object OrderedStats {
           .select(col("__g"), col("__ntid").as("__tid"), col("__v").as("__val"))
         resolved = resolved :+ hit
         done = true
-        // persist released lazily; the loop result is consumed once below
       } else {
         // recurse on the oversized buckets only, tagging rows per target so
         // each target refines within its own bucket's range independently
@@ -231,6 +264,7 @@ object OrderedStats {
           else bucketed.join(
             need.withColumnRenamed("__ntid", "__tid"), Seq("__g", "__tid", "__b"))
         rows = Materialize.eager(next.select("__g", "__tid", "__v"))
+        pins += rows
         targets = open.select("__g", "__tid", "__k")
       }
     }
@@ -251,7 +285,13 @@ object OrderedStats {
       (col(s"__lo_$name") + f * (col(s"__hi_$name") - col(s"__lo_$name")))
         .as(name)
     }
-    wide.select((col("__g").as(groupCol)) +: outs: _*)
+    // materialize the G-row result while the refinement pins are still
+    // cached (one pass), so the finally can release them without the
+    // caller's consumption recomputing the whole refinement from lineage
+    Materialize.eager(wide.select((col("__g").as(groupCol)) +: outs: _*))
+    } finally {
+      pins.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** The window-sort form (previous default, kept for the parity spec and

@@ -158,6 +158,74 @@ class OrderedStatsSpec extends SparkSpec {
       "sort-path dispatch must not leave persisted RDDs behind")
   }
 
+  test("±Infinity values: selection matches the sort form bit-for-bit") {
+    // with an infinite __lo/__hi the old equi-width ratio evaluated to
+    // NaN (Inf/Inf), and floor(NaN).cast(Long) throws under ANSI mode —
+    // non-finite values must route to exclusive buckets and the range
+    // must be computed over finite values only (r14 advice). Parity with
+    // the sort form is the contract, including the NaN results the shared
+    // interpolation arithmetic produces at infinite endpoints.
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", Double.PositiveInfinity),
+      ("b", Double.NegativeInfinity), ("b", 5.0), ("b", 6.0),
+      ("c", Double.NaN), ("c", 1.0), ("c", 2.0),
+      ("d", Double.NegativeInfinity), ("d", Double.PositiveInfinity),
+      ("d", Double.NaN), ("d", 4.0)
+    ).map { case (g, v) => (g, java.lang.Double.valueOf(v)) }
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p0" -> 0.0, "p50" -> 0.5, "p100" -> 1.0)
+    val sel = OrderedStats.exactPercentiles(df, "g", "v", ps, selectionThreshold = 0)
+      .orderBy("g").collect()
+    val srt = OrderedStats.exactPercentilesBySort(df, "g", "v", ps)
+      .orderBy("g").collect()
+    assert(sel.length == srt.length)
+    sel.zip(srt).foreach { case (x, y) =>
+      assert(x.getString(0) == y.getString(0))
+      ps.indices.foreach { i =>
+        assert(java.lang.Double.compare(x.getDouble(i + 1), y.getDouble(i + 1)) == 0,
+          s"group ${x.getString(0)} ${ps(i)._1}: ${x.getDouble(i + 1)} vs ${y.getDouble(i + 1)}")
+      }
+    }
+  }
+
+  test("an oversized all-infinity bucket terminates (exclusive non-finite buckets)") {
+    // 70k +Inf values exceed the leaf bound, forcing recursion on the
+    // +Inf bucket. A shared top bucket ({+Inf, NaN} or {finite, +Inf})
+    // can never be split by a range — only exclusive per-kind buckets
+    // let the equal-value exit terminate the refinement.
+    import spark.implicits._
+    val rows = (0 until 70000).map(_ =>
+      ("a", java.lang.Double.valueOf(Double.PositiveInfinity))) ++
+      Seq(("a", java.lang.Double.valueOf(0.0)),
+        ("a", java.lang.Double.valueOf(Double.NaN)))
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p50" -> 0.5)
+    val sel = OrderedStats.exactPercentiles(df, "g", "v", ps, selectionThreshold = 0)
+      .collect()
+    val srt = OrderedStats.exactPercentilesBySort(df, "g", "v", ps).collect()
+    assert(sel.length == 1 && srt.length == 1)
+    assert(java.lang.Double.compare(sel.head.getDouble(1), srt.head.getDouble(1)) == 0)
+  }
+
+  test("the selection path releases its refinement pins (one result pin remains)") {
+    // per-level pins (base agg, candidate rows, open sets) accumulated
+    // across calls in a long-lived session (r14 advice); now the final
+    // G-row result is materialized while they're cached and everything
+    // else is released in a finally.
+    import spark.implicits._
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val rows = (1 to 5000).map(i => (s"g${i % 3}", java.lang.Double.valueOf((i % 97).toDouble)))
+    val out = OrderedStats.exactPercentiles(rows.toDF("g", "v"), "g", "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9), selectionThreshold = 0)
+    assert(out.collect().length == 3)
+    val left = spark.sparkContext.getPersistentRDDs
+    assert(left.size == 1,
+      s"selection must leave exactly the G-row result pinned, found ${left.size}")
+    spark.catalog.clearCache()
+  }
+
   test("value concentration recurses past an oversized level-1 bucket") {
     // 70k values packed into a 0.07-wide cluster at 1e9 next to a -1e9
     // outlier: level 1's equi-width buckets put the whole cluster into ONE
