@@ -97,19 +97,108 @@ object Shuffle {
     * defer; their only lever is an explicit exchange before the
     * derivation — pure waste on a well-split source, a core-count win on
     * a degenerate one. This helper makes the choice data-dependent:
-    * `df.rdd.getNumPartitions` (plan-time — compiles the plan, runs no
-    * job) reveals the width the source actually granted, and the
-    * round-robin repartition is added only below the floor (default:
+    * probe the width the source actually granted, and add the round-robin
+    * repartition only below the floor (default:
     * `sparkContext.defaultParallelism`). Streaming frames pass through —
     * their micro-batch sources re-plan each batch.
+    *
+    * The probe (`df.rdd.getNumPartitions`) runs ONLY when the physical
+    * plan contains no Exchange. That's not a cost nicety: under AQE (on
+    * in every EngineSession) `Dataset.rdd` forces
+    * `getFinalPhysicalPlan`, which EXECUTES every shuffle stage in the
+    * plan — an exchange-containing input would pay its upstream shuffles
+    * twice (probe + real query, with no cross-execution shuffle reuse).
+    * An exchange-free plan has no query stages to execute, so there the
+    * probe really is plan-time; and a plan that already shuffles runs
+    * its downstream at `spark.sql.shuffle.partitions` width anyway, so
+    * the guard has nothing to fix — pass through.
     */
   def ensureMinScanWidth(df: DataFrame, minPartitions: Int = 0): DataFrame = {
     if (df.isStreaming) df
+    else if (df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])) df
     else {
       val floor =
         if (minPartitions > 0) minPartitions
         else df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions >= floor) df else df.repartition(floor)
     }
+  }
+
+  /** The scan-width decision packaged as a RULE ([[ensureMinScanWidth]]
+    * was per-call-site judgment: applied where it won, hand-reverted on
+    * the decode-floor aggregates where it lost — a boundary that lives in
+    * people's heads won't survive the next 50 queries).
+    *
+    * Build `derive(source)` and widen the source ONLY when both measured
+    * conditions hold:
+    *
+    *  1. the source grants fewer scan partitions than the floor (the
+    *     single-file / oversized-row-group layout hazard — Spark assigns
+    *     a parquet row group to exactly one task); and
+    *  2. the built plan runs EXPENSIVE per-row work at that source width —
+    *     a scan-side segment (below the first Exchange) whose
+    *     projections / filters / generators contain regex, string-split,
+    *     sentence, higher-order-lambda, hash, or black-box-UDF
+    *     expressions.
+    *
+    * Aggregate update functions are deliberately NOT "expensive": partial
+    * aggregation below the exchange is accumulator-cheap, the serial
+    * parquet decode remains either way, and the added exchange of raw
+    * rows is pure cost — measured: q29's cast+sum partials REGRESS
+    * 5.4 → 8.8 s at sf1 when widened, while the curation battery
+    * (regex/split per row, condition 2) drops 8.4 → 3.6 s. Sources whose
+    * plan already contains an Exchange pass through unprobed (same AQE
+    * rationale as [[ensureMinScanWidth]]; their downstream runs at
+    * shuffle width anyway).
+    *
+    * The decision is plan-time: `derive` is invoked once for the probe
+    * plan and once more against the widened source only when the rule
+    * fires, and the exchange-free source probe runs no job.
+    */
+  def widenPlan(source: DataFrame, minPartitions: Int = 0)(
+      derive: DataFrame => DataFrame): DataFrame = {
+    val plain = derive(source)
+    if (source.isStreaming || plain.isStreaming) return plain
+    if (source.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])) return plain
+    val floor =
+      if (minPartitions > 0) minPartitions
+      else source.sparkSession.sparkContext.defaultParallelism
+    if (source.rdd.getNumPartitions >= floor) return plain
+    if (scanSideSegments(plain.queryExecution.sparkPlan).exists(hasCostlyRowWork))
+      derive(source.repartition(floor))
+    else plain
+  }
+
+  /** Maximal Exchange-free subtrees of `p` that reach a leaf — the plan
+    * segments that run at SOURCE-GRANTED width (everything above the
+    * first exchange runs at shuffle width instead).
+    */
+  private def scanSideSegments(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    if (!p.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])) Seq(p)
+    else p.children.flatMap(scanSideSegments)
+
+  /** True when a scan-side segment carries per-row work that dwarfs
+    * parquet decode (see [[widenPlan]] condition 2).
+    */
+  private def hasCostlyRowWork(seg: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val exprs: Seq[Expression] = seg.collect {
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        pr.projectList: Seq[Expression]
+      case f: org.apache.spark.sql.execution.FilterExec => Seq(f.condition)
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        Seq(g.generator: Expression)
+    }.flatten
+    exprs.exists(_.exists {
+      case _: RegExpReplace | _: RegExpExtractBase | _: RLike | _: Like => true
+      case _: StringSplit | _: Sentences => true
+      case _: HigherOrderFunction => true
+      case _: ScalaUDF => true
+      case _: HashExpression[_] => true
+      case _ => false
+    })
   }
 }

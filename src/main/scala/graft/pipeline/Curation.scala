@@ -44,14 +44,17 @@ object Curation {
     * n_tokens but not as a stopword hit). Two splits over two different
     * strings is the honest minimum for these signal semantics.
     */
-  def annotate(df0: DataFrame, textCol: String): DataFrame = {
+  def annotate(df0: DataFrame, textCol: String): DataFrame =
     // the signal battery is the most expression-heavy pass in the engine
     // and the keep()/dedup consumers need its outputs — it cannot defer
-    // past a later exchange (SortedDerive), so guard the scan width
-    // explicitly: a single-row-group source would otherwise run the whole
-    // battery on one core (round-14 serial-scan finding; no-op on any
-    // source that already grants enough parallelism)
-    val df = graft.operators.Shuffle.ensureMinScanWidth(df0)
+    // past a later exchange (SortedDerive). widenPlan sees the battery's
+    // regex/split projections below the first exchange and widens a
+    // single-row-group source that would otherwise run the whole battery
+    // on one core (round-14 serial-scan finding; no-op on any source that
+    // already grants enough parallelism or already shuffles)
+    graft.operators.Shuffle.widenPlan(df0)(annotateBattery(_, textCol))
+
+  private def annotateBattery(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val parts = df
       .withColumn("__lower", lower(t))

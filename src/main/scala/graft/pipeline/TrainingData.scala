@@ -140,14 +140,17 @@ object TrainingData {
       n: Int = 20): DataFrame = {
     // the explode fans each doc into ~|text| shingle rows BEFORE any
     // exchange — on a single-row-group source that generation runs on one
-    // core (round-14 serial-scan finding), so guard the scan width first
+    // core (round-14 serial-scan finding). widenPlan widens exactly that
+    // case: the higher-order transform/substring generator counts as
+    // costly row work, and an input that already shuffles passes through
+    // unprobed (this method accepts arbitrary frames)
     def shingles(df: DataFrame): DataFrame =
-      graft.operators.Shuffle.ensureMinScanWidth(
+      graft.operators.Shuffle.widenPlan(
           df.select(col(idCol), lower(col(textCol)).as("__t"))
-            .filter(length(col("__t")) >= n))
-        .select(col(idCol),
+            .filter(length(col("__t")) >= n))(
+        _.select(col(idCol),
           explode(expr(s"transform(sequence(1, length(__t) - ${n - 1}), i -> substring(__t, i, $n))"))
-            .as("shingle"))
+            .as("shingle")))
     val evalShingles = shingles(eval_).select("shingle").distinct()
     shingles(train)
       .join(evalShingles, Seq("shingle"), "left_semi")

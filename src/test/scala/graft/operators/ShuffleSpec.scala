@@ -29,6 +29,47 @@ class ShuffleSpec extends SparkSpec {
     assert(saltedCount == plain)
   }
 
+  private def repartitionNodes(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed.collect {
+      // coalesce() is a non-shuffle Repartition node — count only real ones
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition if r.shuffle => r
+    }.size
+
+  test("widenPlan widens a narrow source under costly row work") {
+    import spark.implicits._
+    val narrow = (1 to 100).map(i => (i.toLong, s"some <b>text</b> $i"))
+      .toDF("id", "text").coalesce(1)
+    val out = Shuffle.widenPlan(narrow, 4)(
+      _.select(col("id"), regexp_replace(col("text"), "<.*?>", " ").as("t")))
+    assert(repartitionNodes(out) == 1,
+      "regex projection on a 1-partition source must be widened")
+    assert(out.count() == 100)
+  }
+
+  test("widenPlan declines on a decode-floor aggregate (q29 shape)") {
+    import spark.implicits._
+    val narrow = (1 to 100).map(i => (s"k${i % 3}", i.toDouble))
+      .toDF("k", "v").coalesce(1)
+    val out = Shuffle.widenPlan(narrow, 4)(
+      _.groupBy("k").agg(sum(col("v").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("c")))
+    assert(repartitionNodes(out) == 0,
+      "cast+sum partials are accumulator-cheap; widening is pure cost")
+    assert(out.count() == 3)
+  }
+
+  test("widenPlan passes an exchange-containing source through unprobed") {
+    import spark.implicits._
+    // 3 < floor 4, and the derive is costly — but the source already
+    // shuffles, so the probe (which would execute the exchange under
+    // AQE) must not run and no second repartition may be added
+    val source = (1 to 100).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+      .repartition(3)
+    val out = Shuffle.widenPlan(source, 4)(
+      _.select(col("id"), regexp_replace(col("text"), "t", "x").as("t")))
+    assert(repartitionNodes(out) == 1, "only the source's own repartition")
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     import spark.implicits._
     val facts = (1L to 1000L).map(i => (i % 50, s"f$i")).toDF("k", "f")
