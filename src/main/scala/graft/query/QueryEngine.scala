@@ -62,7 +62,12 @@ final class QueryEngine(
     textCol: String = "text",
     vecCol: String = "embedding",
     memoSize: Int = 1000,
-    synthesizer: Synthesizer = ExtractiveSynthesizer) extends Serializable {
+    synthesizer: Synthesizer = ExtractiveSynthesizer,
+    // serving processes pass their persisted cluster-partitioned layout
+    // here (ServingBench does); None auto-builds in-memory past the
+    // dispatch threshold
+    annIndex: Option[graft.operators.Ann.IvfIndex] = None,
+    exactScanMaxRows: Long = QueryEngine.ExactScanMaxRows) extends Serializable {
 
   private val spark: SparkSession = corpus.sparkSession
 
@@ -85,16 +90,67 @@ final class QueryEngine(
     }
   }
 
-  /** O31/O32 — top-k retrieval: (id, text, score), best first. */
+  /** O31/O32 — top-k retrieval: (id, text, score), best first.
+    *
+    * Volume dispatch (the 100-TB serving shape): the exact full-scan form
+    * is linear in the corpus — it beats the reference's 2.3 s baseline
+    * through sf10 (1.20 s warm over 500k docs) but flips at the next
+    * decade — so past [[QueryEngine.ExactScanMaxRows]] the engine probes
+    * an IVF index instead: rank centroids on the driver (nlist is small),
+    * scan only the nprobe nearest cells (~nprobe/nlist of the corpus,
+    * partition-pruned when the caller passed a cluster-partitioned
+    * layout). Exact stays the oracle: below the threshold, and for any
+    * non-cosine metric, the full scan runs unchanged; the dispatched
+    * path's recall floor is pinned in QueryEngineSpec (overlap ≥ 0.9 vs
+    * exact) and gated at q175's serving roundtrip.
+    */
   def topK(query: String, k: Int = 7,
       metric: Similarity.Metric = Similarity.Cosine): DataFrame = {
-    val qv = Similarity.vecLit(embed(query))
+    val qv = embed(query)
+    annState match {
+      // embeddings are L2-normalized (Featurizer contract), so the L2
+      // centroid ranking and the cosine score order agree
+      case Some(idx) if metric == Similarity.Cosine =>
+        val nprobe = math.max(8, idx.centers.length / 8)
+        val probes = graft.operators.Ann.rankClusters(idx.centers, qv).take(nprobe)
+        exactTopKOver(idx.assigned.filter(col("cluster").isin(probes: _*)), qv, k, metric)
+      case _ => exactTopKOver(corpus, qv, k, metric)
+    }
+  }
+
+  private def exactTopKOver(frame: DataFrame, qv0: Array[Float], k: Int,
+      metric: Similarity.Metric): DataFrame = {
+    val qv = Similarity.vecLit(qv0)
     val score = metric.expr(col(vecCol), qv).as("score")
     val ord =
       if (metric.descending) Seq(col("score").desc, col(idCol).asc)
       else Seq(col("score").asc, col(idCol).asc)
-    corpus.select(col(idCol), col(textCol), score).orderBy(ord: _*).limit(k)
+    frame.select(col(idCol), col(textCol), score).orderBy(ord: _*).limit(k)
   }
+
+  /** Corpus cardinality, measured once per engine (a serving process
+    * amortizes it over its lifetime, like the codegen warm-up).
+    */
+  @transient private lazy val corpusRows: Long = corpus.count()
+
+  /** The dispatched index: None below the threshold (exact scan is both
+    * the oracle and the faster path there). Past it, the caller-provided
+    * layout wins (persisted, cluster-partitioned — probes are partition-
+    * pruned scans); otherwise build once in-memory: seeded coarse
+    * quantizer, one codegen'd assignment pass, eagerly pinned so each
+    * query's probe filters cached cluster rows instead of re-assigning
+    * the corpus (lifetime = this engine's session, the serving contract).
+    */
+  @transient private lazy val annState: Option[graft.operators.Ann.IvfIndex] =
+    if (corpusRows <= exactScanMaxRows) None
+    else annIndex.orElse {
+      val nlist = math.max(64, math.min(4096,
+        math.sqrt(corpusRows.toDouble).toInt))
+      val idx = graft.operators.Ann.ivfBuild(
+        corpus, idCol, vecCol, nlist = nlist, seed = 42L, maxIter = 10)
+      Some(idx.copy(assigned = graft.operators.Materialize.eager(
+        idx.assigned.select(col(idCol), col(textCol), col(vecCol), col("cluster")))))
+    }
 
   /** O36 replacement — extractive answer: rank sentences of the top-k docs
     * by distinct query-term overlap (ties: doc rank, sentence position),
@@ -137,4 +193,17 @@ final class QueryEngine(
     val grounding = if (at.isEmpty) 0.0 else at.intersect(ct).size.toDouble / at.size
     Map("accuracy" -> accuracy, "clarity" -> clarity, "grounding" -> grounding)
   }
+}
+
+object QueryEngine {
+  /** Largest corpus the exact full-scan top-k still serves well. Measured
+    * warm means (SCALE.md round 15, local[32]): 50k docs exact 0.150 s
+    * vs IVF probe 0.093 s (just past break-even, both trivially under the
+    * 2.3 s baseline); 500k docs exact 1.20 s vs dispatched 0.22 s — the
+    * exact path grows linearly and breaches the baseline at the decade
+    * after that. The threshold sits a little above the measured
+    * break-even: below it the exact path is oracle-identical, absolute
+    * latencies are tiny, and no index build/pin is worth carrying.
+    */
+  val ExactScanMaxRows: Long = 100000L
 }

@@ -40,6 +40,14 @@ object Sinks {
     * that turns a 100-TB scan into a per-partition one. Choose low-to-mid
     * cardinality columns (date, source, language), never high-cardinality
     * keys (one directory per key kills the file system).
+    *
+    * When the partition cardinality is AT LEAST the cluster width,
+    * `repartition(partitionCols)` before this write: otherwise every task
+    * keeps an open writer per value it sees (tasks × values small files,
+    * writer-rotation churn — measured 3.3× on the 64-cluster IVF layout,
+    * ServingBench). Below the cluster width the dynamic write's extra
+    * files are few and the repartition would SHRINK write parallelism to
+    * the value count — keep the plain form (this method).
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)

@@ -72,6 +72,61 @@ class QueryEngineSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  // ------------------------------------------------- volume dispatch
+  // a corpus big enough to sit above a forced threshold, with enough
+  // lexical structure that queries have meaningful neighbors
+  private lazy val (bigCorpus, bigFz) = {
+    import spark.implicits._
+    val docs = (1 to 600).map { i =>
+      (i.toLong,
+        s"topic${i % 5} word${i % 7} word${i % 13} term${i % 29} filler${i % 3} tail${i % 11}")
+    }.toDF("doc_id", "text")
+    val f = new Featurizer(dim = 64).fit(docs, "text")
+    (f.transform(docs, "text").cache(), f)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getLong(0)).toSeq
+
+  test("topK volume-dispatches to the IVF probe past the threshold, recall ≥ 0.9") {
+    val idx = graft.operators.Ann.ivfBuild(bigCorpus, "doc_id", "embedding",
+      nlist = 16, seed = 42L, maxIter = 10)
+    val dispatched = new QueryEngine(bigCorpus, bigFz,
+      annIndex = Some(idx), exactScanMaxRows = 100)
+    val exact = new QueryEngine(bigCorpus, bigFz) // default threshold: exact
+    val qs = Seq("topic1 word3 term4", "topic2 word5", "term17 filler1 topic4")
+    qs.foreach { q =>
+      val d = dispatched.topK(q, k = 10)
+      // the dispatched plan must actually prune on the cluster column
+      assert(d.queryExecution.analyzed.toString.contains("cluster"),
+        "dispatched topK did not filter on cluster")
+      val overlap = ids(d).toSet.intersect(ids(exact.topK(q, k = 10)).toSet).size
+      assert(overlap >= 9, s"recall floor: $overlap/10 for '$q'")
+    }
+  }
+
+  test("dispatch stays exact below the threshold and for non-cosine metrics") {
+    val idx = graft.operators.Ann.ivfBuild(bigCorpus, "doc_id", "embedding",
+      nlist = 16, seed = 42L, maxIter = 10)
+    // below threshold: 600 rows <= default ExactScanMaxRows
+    val below = new QueryEngine(bigCorpus, bigFz, annIndex = Some(idx))
+    assert(!below.topK("topic1 word3", k = 5)
+      .queryExecution.analyzed.toString.contains("cluster"))
+    // past threshold but L2 metric: the index is cosine-ordered, exact runs
+    val forced = new QueryEngine(bigCorpus, bigFz,
+      annIndex = Some(idx), exactScanMaxRows = 100)
+    assert(!forced.topK("topic1 word3", k = 5, graft.operators.Similarity.L2)
+      .queryExecution.analyzed.toString.contains("cluster"))
+  }
+
+  test("auto-built index (no caller layout) dispatches and returns k rows") {
+    val auto = new QueryEngine(bigCorpus, bigFz, exactScanMaxRows = 100)
+    val out = auto.topK("topic3 word2 term11", k = 10)
+    assert(out.queryExecution.analyzed.toString.contains("cluster"))
+    assert(ids(out).size == 10)
+    spark.catalog.clearCache() // release the auto-build's pinned assignment
+  }
+
   test("evaluate heuristics (O37): accuracy/clarity/grounding in [0,1]") {
     val m = engine.evaluate("spark joins", "Spark plans broadcast joins automatically",
       Seq("Broadcast joins avoid shuffles. Spark plans them automatically."))
