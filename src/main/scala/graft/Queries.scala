@@ -117,7 +117,22 @@ object Queries {
     * drops. Run `body` at `n` and restore — at real stream volume callers
     * size this to state volume, not core count.
     */
-  private def withStatePartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+  /** Streaming state-store partition count sized to the MEASURED batch
+    * volume instead of a constant. Small batches keep the historical 8
+    * (a single availableNow batch at 32 spent its time instantiating
+    * empty stores — the round-8 finding); past ~2.5M events per-partition
+    * state work dominates and the count scales with rows up to the core
+    * count (measured at sf10's 10M events: q63 16.8 s at 8 partitions →
+    * 9.0 s at 32, while q62's session merge is indifferent — SCALE.md
+    * round 15). The probe is a parquet metadata-only count. On a real
+    * cluster this is the `spark.sql.shuffle.partitions` the stream is
+    * STARTED with — state-store count is fixed by the first checkpoint,
+    * so it must be sized to expected state volume up front.
+    */
+  private def withStatePartitions[T](s: SparkSession, dir: String)(body: => T): T = {
+    val rows = t(s, dir, "events").count()
+    val n = math.max(8L, math.min(
+      s.sparkContext.defaultParallelism.toLong, rows / 312500L)).toInt
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -356,15 +371,17 @@ object Queries {
       }),
 
     // grouped aggregation with partial (map-side) combine — TPC-H Q1 shape
-    // (measured at sf1 one-row-group layout: a width guard here LOSES —
+    // (measured at sf1 one-row-group layout: widening LOSES here —
     // 5.4 → 8.8 s — because low-cardinality partials are accumulator-
     // cheap and the serial parquet decode remains either way, so the
-    // added exchange is pure cost; map-side combine stays scan-local)
+    // added exchange is pure cost; widenPlan's rule encodes exactly that
+    // and declines, keeping map-side combine scan-local)
     "q29_agg_pushdown" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base"),
-        count(lit(1)).as("cnt")).orderBy("l_returnflag", "l_linestatus")),
+      graft.operators.Shuffle.widenPlan(t(s, dir, "lineitem"))(
+        _.groupBy("l_returnflag", "l_linestatus").agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base"),
+          count(lit(1)).as("cnt")).orderBy("l_returnflag", "l_linestatus"))),
 
     // windowed top-N per group
     "q30_window_topn" -> ((s, dir) => {
@@ -521,17 +538,19 @@ object Queries {
     // return exactly k results. The oracle pins both.
     "q36_embed_topk" -> ((s, dir) => {
       import s.implicits._
-      // width guard so the IDF fit's partial agg and the transform's
-      // hashing run at cluster width regardless of source layout (no-op on
-      // a well-laid-out source — see ensureMinScanWidth). CACHED: the fit,
-      // the transform's cache fill, and the parity probe are three separate
-      // actions that each re-ran scan+exchange (the raw documents scan must
-      // never be cached on the shared session — it would substitute into
-      // every other query's scan — but the guarded plan's Repartition root
-      // only matches other guarded-documents plans, so the substitution
-      // hazard doesn't arise; the harnesses clear the cache per query)
-      val docs = graft.operators.Shuffle.ensureMinScanWidth(
-        t(s, dir, "documents")).cache()
+      // UNCONDITIONAL repartition before caching, not the width guard: the
+      // fit, the transform's cache fill, and the parity probe are three
+      // separate actions that would each re-run scan+exchange, so the
+      // frame must be cached — and a cached plan is only safe on the
+      // shared session if it can never match another query's bare
+      // documents scan. The guard is a no-op on a wide source, which
+      // would cache the RAW scan and substitute it everywhere (r14
+      // advice); with the Repartition root always present, the cached
+      // plan only matches itself. The one extra exchange is paid once,
+      // before the cache fill, and buys cluster-width hashing for all
+      // three actions.
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism).cache()
       val fz = new Featurizer(dim = 64).fit(docs, "text")
       // caching the TRANSFORMED frame is safe on the shared session (its
       // plan is unique to this featurizer's IDF map, so it can't
@@ -820,7 +839,7 @@ object Queries {
     // threshold, with order-independent batch-end totals; DuckDB mirrors
     // with a HAVING aggregate in integer cents
     "q95_stream_flatmap" -> ((s, dir) =>
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         import s.implicits._
         val stream = Tables.eventsStream(s, dir)
         val typed = stream
@@ -1197,7 +1216,7 @@ object Queries {
     // inner-join emission doesn't wait on the watermark, so the
     // availableNow run over the static drop equals DuckDB's batch join
     "q83_stream_join" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         def stream() = Tables.eventsStream(s, dir)
         val clicks = stream().filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -1462,7 +1481,7 @@ object Queries {
     // output mode emits every window, so stream-vs-batch equality is
     // deterministic; watermarking still exercises the state-bounding path.
     "q61_stream_window" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         // eventsStream lands ts as instant TIMESTAMP (watermarks require it,
         // not NTZ); the session is pinned UTC, so instants equal the file's
         // naive timestamps and the output cast back to NTZ matches DuckDB
@@ -1489,7 +1508,7 @@ object Queries {
     // a gaps-and-islands query (break when ts - lag(ts) >= gap, end =
     // last ts + gap) under the same finalization cutoff
     "q62_stream_sessions" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val ev = Tables.eventsStream(s, dir)
         val sessions = graft.streaming.StreamingOps.sessionCounts(
           ev, "ts", "user_id", gap = "10 minutes", watermark = "5 minutes")
@@ -1511,16 +1530,32 @@ object Queries {
     // on the same key columns (single file batch → watermark starts at 0,
     // nothing is late, so stream == batch exactly)
     "q63_stream_dedup" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
+        // FILE sink for the same reason as q111: dedup on (keys, ts)
+        // passes nearly every event through (ts is almost unique), so
+        // the sink sees ~n rows — a memory sink is a driver
+        // materialization of the corpus. Distributed parquet sink +
+        // committed-files read-back instead.
+        val outDir = "/tmp/graft_q63_out"
+        val ckpt = "/tmp/graft_q63_ckpt"
+        def rmrf(p: String): Unit = {
+          def rec(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rec)
+            f.delete(); ()
+          }
+          val f = new java.io.File(p); if (f.exists()) rec(f)
+        }
+        rmrf(outDir); rmrf(ckpt)
         val ev = Tables.eventsStream(s, dir)
         val deduped = graft.streaming.StreamingOps.dedupStream(
           ev, Seq("user_id", "event_type"), "ts", watermark = "5 minutes")
-        val q = deduped.writeStream.format("memory").queryName("graft_q63_sink")
+        val q = deduped.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table("graft_q63_sink")
+        s.read.parquet(outDir)
           .select(col("user_id"), col("event_type"),
             col("ts").cast(TimestampNTZType).as("ts"))
           .orderBy("user_id", "event_type", "ts")
@@ -1533,7 +1568,7 @@ object Queries {
     // integer cents (floor(value*100) both sides) so stream-order
     // summation has no floating-point drift vs the oracle's sum order.
     "q64_stream_state" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         import s.implicits._
         val stream = Tables.eventsStream(s, dir)
         val typed = stream
@@ -1576,6 +1611,10 @@ object Queries {
     // the bound is pinned true. At 100 TB the sketch is the only affordable
     // distinct count — the gate keeps its error contract graded.
     "q60_hll_distinct" -> ((s, dir) =>
+      // widenPlan's rule declines here (decode-floor aggregate — the
+      // distinct partial is accumulator-cheap), so the plan is the bare
+      // one below; the guarded call documents the decision instead of a
+      // hand-revert.
       // dedup the keys FIRST (hash aggregate with map-side combine), then
       // exact = count and sketch = HLL over the already-distinct keys in
       // ONE non-distinct pass — mixing countDistinct with a second
@@ -1584,14 +1623,15 @@ object Queries {
       // ran 40× slower (measured: 56 s vs 1.4 s at sf0.1).
       // rsd 0.01 → the 5% gate has 5σ of margin (default 0.05 rsd sat
       // right on the gate and failed one group).
-      t(s, dir, "lineitem").select("l_returnflag", "l_orderkey").distinct()
-        .groupBy("l_returnflag").agg(
-          count(lit(1)).as("exact_n"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_n"))
-        .select(col("l_returnflag"), col("exact_n"),
-          (abs(col("approx_n") - col("exact_n")).cast(DoubleType) /
-            col("exact_n").cast(DoubleType) <= 0.05).as("approx_ok"))
-        .orderBy("l_returnflag")),
+      graft.operators.Shuffle.widenPlan(t(s, dir, "lineitem"))(
+        _.select("l_returnflag", "l_orderkey").distinct()
+          .groupBy("l_returnflag").agg(
+            count(lit(1)).as("exact_n"),
+            approx_count_distinct(col("l_orderkey"), 0.01).as("approx_n"))
+          .select(col("l_returnflag"), col("exact_n"),
+            (abs(col("approx_n") - col("exact_n")).cast(DoubleType) /
+              col("exact_n").cast(DoubleType) <= 0.05).as("approx_ok"))
+          .orderBy("l_returnflag"))),
 
     // approx_percentile (GK sketch) as a HARD error gate next to q47's
     // exact form: at 100 TB the exact ordered-statistics aggregate
@@ -1599,14 +1639,16 @@ object Queries {
     // accuracy 10000 must land within 0.5% of the DuckDB-verified exact
     // percentile (relative error bound 1/accuracy = 1e-4 — 50× margin)
     "q65_approx_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"))
-        .select(col("l_returnflag"),
-          dec(col("exact_p50")).as("p50"),
-          (abs(col("approx_p50") - col("exact_p50")) /
-            col("exact_p50") <= 0.005).as("approx_ok"))
-        .orderBy("l_returnflag")),
+      // widenPlan declines (sketch partials are decode-floor aggregates)
+      graft.operators.Shuffle.widenPlan(t(s, dir, "lineitem"))(
+        _.groupBy("l_returnflag").agg(
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"))
+          .select(col("l_returnflag"),
+            dec(col("exact_p50")).as("p50"),
+            (abs(col("approx_p50") - col("exact_p50")) /
+              col("exact_p50") <= 0.005).as("approx_ok"))
+          .orderBy("l_returnflag"))),
 
     // partitioned parquet sink round-trip: write events partitioned by
     // event_type (the storage layout low-cardinality pruning columns get
@@ -1821,18 +1863,37 @@ object Queries {
     // reference data; availableNow over the static drop equals the batch
     // join exactly
     "q111_stream_static_join" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
+        // FILE sink, not memory: this stream is row-preserving (stateless
+        // broadcast join), so the sink receives every event row — a
+        // memory sink materializes all of them IN THE DRIVER (66 s at
+        // sf10's 10M events, the engine's worst query; the 100-TB analog
+        // is an OOM, not a slowdown). The parquet sink keeps the write
+        // distributed and exactly-once (_spark_metadata log), and the
+        // read-back scans only committed files. Measured at sf10:
+        // 66.2 → 10.4 s warm (SCALE.md round 15).
+        val outDir = "/tmp/graft_q111_out"
+        val ckpt = "/tmp/graft_q111_ckpt"
+        def rmrf(p: String): Unit = {
+          def rec(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rec)
+            f.delete(); ()
+          }
+          val f = new java.io.File(p); if (f.exists()) rec(f)
+        }
+        rmrf(outDir); rmrf(ckpt)
         val stream = Tables.eventsStream(s, dir)
         val dim = t(s, dir, "events").groupBy("event_type")
           .agg(count(lit(1)).as("type_n"))
         val joined = stream.join(broadcast(dim), "event_type")
           .select(col("event_id"), col("event_type"), col("type_n"))
-        val q = joined.writeStream.format("memory")
-          .queryName("graft_q111_sink").outputMode("append")
+        val q = joined.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table("graft_q111_sink").orderBy("event_id")
+        s.read.parquet(outDir).orderBy("event_id")
       }
     }),
 
@@ -1841,7 +1902,7 @@ object Queries {
     // retry-absorption contract): projected to the key set, the single
     // availableNow batch equals batch DISTINCT
     "q112_stream_dedup_wm" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val ev = Tables.eventsStream(s, dir)
         val deduped = graft.streaming.StreamingOps.dedupWithinWatermark(
           ev, Seq("user_id", "event_type"), "ts", "10 minutes")
@@ -1923,7 +1984,7 @@ object Queries {
     // retry-safe custom-sink pattern (a re-run of an epoch replaces, never
     // duplicates); read-back across epochs must equal the source
     "q116_foreach_batch" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val outPath = "/tmp/graft_q116_fb"
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
@@ -2052,7 +2113,7 @@ object Queries {
     // OutputMode/TimeMode contract, on the RocksDB provider it requires —
     // same running-totals semantics, same DuckDB oracle as q64
     "q121_stream_tws" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         import s.implicits._
         val provKey = "spark.sql.streaming.stateStore.providerClass"
         val prevProv = s.conf.getOption(provKey)
@@ -2524,8 +2585,10 @@ object Queries {
     "q143_hll_persist" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val path = "/tmp/graft_q143_sketches"
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      // widenPlan declines (HLL partials are decode-floor aggregates)
+      graft.operators.Shuffle.widenPlan(li)(
+        _.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(hll_sketch_agg(col("l_orderkey")).as("sk")))
         .write.mode("overwrite").parquet(path)
       val merged = s.read.parquet(path)
         .groupBy(col("l_returnflag"))
@@ -2633,7 +2696,7 @@ object Queries {
     // closed before the final watermark — the oracle applies exactly that
     // cutoff (maxTs − 10min), mirroring how q62 pins session finalization
     "q147_stream_left_join" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         def stream() = Tables.eventsStream(s, dir)
         val clicks = stream().filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -2809,7 +2872,7 @@ object Queries {
     // MULTIPLE batches; exact integer cents make the merged totals equal
     // the one-shot batch aggregate bit-for-bit
     "q156_incremental_mv" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val srcDir = "/tmp/graft_q156_src"
         val snapBase = "/tmp/graft_q156_snap"
         val src = t(s, dir, "events")
@@ -2959,7 +3022,7 @@ object Queries {
     // final complete-mode table equals the batch aggregate over
     // everything. A lost-state bug shows up as second-half-only counts
     "q162_stream_restart" -> ((s, dir) => {
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val srcDir = "/tmp/graft_q162_src"
         val ckpt = "/tmp/graft_q162_ckpt"
         def rmrf(p: String): Unit = {

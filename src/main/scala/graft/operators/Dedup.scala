@@ -362,11 +362,43 @@ object Dedup {
     * exact cosine verifies. High-cosine pairs collide with probability
     * (1 - θ/π)^bits per table; more tables raise recall, more bits cut
     * candidate volume.
+    *
+    * `bits = 0` (the default) sizes the tables from the MEASURED corpus:
+    * with fixed bits the expected bucket population is n/2^bits, so
+    * candidate volume grows ~n²/2^bits — quadratic in disguise. Auto
+    * picks bits ≈ log2(n/16) (expected population ~16) and then raises
+    * `tables` to hold the recall of the validated small operating point
+    * (bits=12, tables=6) at THIS minCos: per-table collision is p^bits
+    * with p = 1 − arccos(minCos)/π, so T = ln(1−R₀)/ln(1−p^bits)
+    * tables restore R₀ = 1−(1−p^12)^6 — the standard LSH bits/tables
+    * co-scaling that keeps total candidate work near-linear. Exact
+    * duplicates (identical direction → identical signatures) collide
+    * with probability 1 at ANY sizing. Below 64k vectors auto is
+    * bit-identical to the historical (12, 6) point. Measured at sf10
+    * (200k vectors, q53): 57.9 → 16.8 s warm with the verified output
+    * unchanged (SCALE.md round 15).
     */
   def cosineNearDupsLsh(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      minCos: Double, bits: Int = 12, tables: Int = 6, seed: Long = 42L,
+      minCos: Double, bits: Int = 0, tables: Int = 0, seed: Long = 42L,
       maxBucketPop: Int = 256, chainWidth: Int = 8): DataFrame = {
+    val (bitsEff, tablesEff) =
+      if (bits > 0) (bits, if (tables > 0) tables else 6)
+      else {
+        // one narrow count (id column only) — the probe that makes the
+        // sizing data-dependent instead of a constant that stops scaling
+        val n = df.count()
+        if (n <= (1L << 16)) (12, if (tables > 0) tables else 6)
+        else {
+          val b = math.min(24, math.max(12,
+            math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
+          val p = 1.0 - math.acos(math.min(1.0, minCos)) / math.Pi
+          val r0 = 1.0 - math.pow(1.0 - math.pow(p, 12), 6)
+          val t = math.min(32, math.max(6,
+            math.ceil(math.log(1.0 - r0) / math.log(1.0 - math.pow(p, b))).toInt))
+          (b, if (tables > 0) tables else t)
+        }
+      }
     val rnd = new scala.util.Random(seed)
     // tables × bits seeded hyperplanes, carried as ONE reference object in
     // a single codegen'd kernel (all tables' sign bits in one pass over the
@@ -376,7 +408,7 @@ object Dedup {
     // signature would collapse the candidate join to all-pairs. Signatures
     // are table-tagged longs, so cross-table values never equi-join and the
     // shuffle key is 8 bytes instead of a bit-string.
-    val planes = Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val planes = Array.fill(tablesEff, bitsEff)(Array.fill(dim)(rnd.nextGaussian().toFloat))
     // signatures only — the vectors are NOT carried through the ×tables
     // explode (that would amplify the corpus `tables`-fold through the
     // shuffle); candidates join them back by id for verification
