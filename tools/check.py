@@ -25,6 +25,13 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# GRAFT_CHECK_SKIP: comma-separated query names whose DuckDB oracle is
+# super-linear in the corpus (the q53/q84/q179 all-pairs self-joins are
+# O(n^2) cosine evaluations — ~2e10 at sf10) and must be checked by the
+# closed-form planted-pair oracle instead (tools/check_planted.py).
+# Unset by default: the driver's sf0.01 contract is unchanged.
+for name in os.environ.get("GRAFT_CHECK_SKIP", "").split(","):
+    oracle.pop(name.strip(), None)
 results = {}
 # a query that crashed in Verify leaves no output dir — that must count as
 # a failure, not silently shrink the denominator
