@@ -280,14 +280,28 @@ object Ann {
     verifyPairs(corpus, idCol, vecCol, minCos, cands)
   }
 
+  /** Largest vector-table cardinality the verification tail broadcasts.
+    * The candidate set is targetCellPop/2 pairs PER VECTOR by design, so
+    * the pair side always dwarfs the vector side — two shuffle joins of
+    * the pairs dominate verify wall (measured: ~65% of the sf10
+    * ivf_neardup_join). 512k × 64-float vectors ≈ 134 MB broadcast —
+    * comfortable on any executor sizing this engine targets; past it the
+    * sort-merge joins are the correct shape (16M vectors would be a 4 GB
+    * broadcast).
+    */
+  private val MaxBroadcastVectors = 512L * 1024L
+
   /** Shared verification tail: join the candidate (va, vb) pairs back to
-    * their vectors by id and keep exact-cosine matches.
+    * their vectors by id and keep exact-cosine matches. Volume dispatch:
+    * vectors broadcast below [[MaxBroadcastVectors]] (the pair side is
+    * larger by construction), shuffle joins above.
     */
   private def verifyPairs(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       cands: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions
-    val vecs = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
+    val vecs0 = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
+    val vecs = if (corpus.count() <= MaxBroadcastVectors) broadcast(vecs0) else vecs0
     cands
       .join(vecs.as("x"), col("va") === col("x.doc_id"))
       .join(vecs.as("y"), col("vb") === col("y.doc_id"))
