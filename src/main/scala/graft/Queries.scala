@@ -2346,6 +2346,14 @@ object Queries {
       val keep = Map(
         "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        // creation-side threshold: without CBO stats the filtered dim's
+        // size estimate is its CHILD's size, which outgrows the 10MB
+        // default at sf10 (~450MB orders scan) and silently refuses the
+        // injection — the first full sf10 gate caught bloom_injected
+        // flipping false. The gate pins the injection MECHANISM, so the
+        // sandboxed conf raises the bound; real deployments size it to
+        // what the build side is worth paying for.
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "2GB",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1")
       val prev = keep.keys.map(k => k -> s.conf.getOption(k)).toMap
       keep.foreach { case (k, v) => s.conf.set(k, v) }
@@ -2621,7 +2629,13 @@ object Queries {
           |FROM graft_q144_lineitem
           |WHERE CAST(graft_disc_price(CAST(l_extendedprice AS DECIMAL(18,2)),
           |                            CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) > 90000.0D
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+          |ORDER BY l_orderkey, l_linenumber, net""".stripMargin)
+      // net joins the sort: (l_orderkey, l_linenumber) is unique in true
+      // TPC-H but NOT in the replicated sf10 testdata (60M rows, 45.7M
+      // distinct pairs) — the first full sf10 gate caught tie rows with
+      // different nets ordering differently across engines. With net in
+      // the key, tied rows are identical in every output column, so the
+      // hash compare is order-stable at any SF.
     }),
 
     // AQE skew-join handling: a synthetically hot key (90% of the fact
@@ -4541,7 +4555,7 @@ object Queries {
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net
         |FROM lineitem
         |WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) > 90000.0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, net""".stripMargin,
     "q145_skew_aqe" ->
       """SELECT k, kv, count(*) AS n, true AS skew_split
         |FROM (SELECT CASE WHEN e.event_id % 10 < 9 THEN 0 ELSE e.event_id % 100 END AS k,
