@@ -133,6 +133,20 @@ final class QueryEngine(
     */
   @transient private lazy val corpusRows: Long = corpus.count()
 
+  /** Plan-time small-corpus fast path: when the optimized plan's size
+    * estimate is well under any plausible 100k-row corpus, skip the
+    * count() job entirely — the dispatch answer is already "exact". The
+    * 32 MB bound is conservative (an embedding row alone is ~300 B); a
+    * hypothetical tinier-row corpus that slips under it merely stays on
+    * the exact path — a latency choice at a size where exact is already
+    * fast, never a correctness one. Measured: q175 constructs two
+    * engines and paid 3 count jobs (+0.6 s at sf0.1) for dispatch
+    * answers a byte estimate settles for free.
+    */
+  @transient private lazy val corpusLikelySmall: Boolean =
+    corpus.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      QueryEngine.SmallCorpusBytes
+
   /** The dispatched index: None below the threshold (exact scan is both
     * the oracle and the faster path there). Past it, the caller-provided
     * layout wins (persisted, cluster-partitioned — probes are partition-
@@ -142,7 +156,11 @@ final class QueryEngine(
     * the corpus (lifetime = this engine's session, the serving contract).
     */
   @transient private lazy val annState: Option[graft.operators.Ann.IvfIndex] =
-    if (corpusRows <= exactScanMaxRows) None
+    // the byte fast path only stands in for the DEFAULT threshold; a
+    // caller that lowered exactScanMaxRows (the specs force dispatch on
+    // test-sized corpora) gets the real count
+    if ((exactScanMaxRows == QueryEngine.ExactScanMaxRows && corpusLikelySmall) ||
+        corpusRows <= exactScanMaxRows) None
     else annIndex.orElse {
       val nlist = math.max(64, math.min(4096,
         math.sqrt(corpusRows.toDouble).toInt))
@@ -206,4 +224,9 @@ object QueryEngine {
     * latencies are tiny, and no index build/pin is worth carrying.
     */
   val ExactScanMaxRows: Long = 100000L
+
+  /** Plan-size bound under which the dispatch probe skips its count()
+    * job — see QueryEngine.corpusLikelySmall.
+    */
+  val SmallCorpusBytes: Long = 32L << 20
 }
