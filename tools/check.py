@@ -56,11 +56,16 @@ for name in sorted(os.listdir(OUT)):
         results[name] = {"rows": len(spark_df), "rows_only": True,
                          "ok": len(spark_df) > 0}
         continue
+    import time as _time
+    _t0 = _time.time()
+    print(f"[check] {name} oracle...", file=sys.stderr, flush=True)
     try:
         duck_df = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         results[name] = {"err": f"oracle failed: {e}"}
         continue
+    print(f"[check] {name} oracle done in {_time.time() - _t0:.1f}s",
+          file=sys.stderr, flush=True)
     s = spark_df[sorted(spark_df.columns)]
     o = duck_df[sorted(duck_df.columns)]
     entry = {"rows_spark": len(s), "rows_oracle": len(o),
