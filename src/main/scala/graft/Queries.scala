@@ -138,6 +138,21 @@ object Queries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Streaming sink + checkpoint dirs keyed to the DATA DIR, not fixed
+    * paths: two harness runs on one machine (e.g. the driver's sf0.01
+    * verify while an sf10 bench iterates) must not rmrf each other's
+    * in-flight sinks — and these sinks carry the full event corpus, so a
+    * clobber is a mid-query FileNotFound, not a flaky diff. One dir per
+    * (query, data dir) keeps /tmp accumulation bounded: re-runs on the
+    * same data reclaim their own dir. (r15 advice)
+    */
+  private def streamSinkDirs(dir: String, q: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(dir).getCanonicalPath))
+    (s"/tmp/graft_${q}_${tag}_out", s"/tmp/graft_${q}_${tag}_ckpt")
+  }
+
   /** Query vector: embedding of vec_id=0 (the fixed probe row). */
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
@@ -1536,8 +1551,7 @@ object Queries {
         // the sink sees ~n rows — a memory sink is a driver
         // materialization of the corpus. Distributed parquet sink +
         // committed-files read-back instead.
-        val outDir = "/tmp/graft_q63_out"
-        val ckpt = "/tmp/graft_q63_ckpt"
+        val (outDir, ckpt) = streamSinkDirs(dir, "q63")
         def rmrf(p: String): Unit = {
           def rec(f: java.io.File): Unit = {
             if (f.isDirectory) f.listFiles().foreach(rec)
@@ -1872,8 +1886,7 @@ object Queries {
         // distributed and exactly-once (_spark_metadata log), and the
         // read-back scans only committed files. Measured at sf10:
         // 66.2 → 10.4 s warm (SCALE.md round 15).
-        val outDir = "/tmp/graft_q111_out"
-        val ckpt = "/tmp/graft_q111_ckpt"
+        val (outDir, ckpt) = streamSinkDirs(dir, "q111")
         def rmrf(p: String): Unit = {
           def rec(f: java.io.File): Unit = {
             if (f.isDirectory) f.listFiles().foreach(rec)
@@ -2720,12 +2733,31 @@ object Queries {
         val joined = graft.streaming.StreamingOps.intervalJoinLeftOuter(
           clicks, "click_ts", purchases, "purchase_ts",
           "user_id", "p_user", span = "30 minutes", watermark = "10 minutes")
-        val q = joined.writeStream.format("memory").queryName("graft_q147_sink")
+        // FILE sink, not memory (the q111/q63 restructure, extended here
+        // in round 16): a LEFT OUTER interval join preserves every click,
+        // so the sink receives ≥1 row per click — a memory sink
+        // materializes the click corpus in the driver, the 100-TB OOM
+        // shape. Parquet keeps the write distributed and exactly-once;
+        // the read-back scans only committed files.
+        val (outDir, ckpt) = streamSinkDirs(dir, "q147")
+        def rmrf(p: String): Unit = {
+          def rec(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rec)
+            f.delete(); ()
+          }
+          val f = new java.io.File(p); if (f.exists()) rec(f)
+        }
+        rmrf(outDir); rmrf(ckpt)
+        val q = joined
+          .select(col("click_id"), col("purchase_id"),
+            col("click_ts"), col("purchase_ts"))
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table("graft_q147_sink")
+        s.read.parquet(outDir)
           .select(col("click_id"), col("purchase_id"),
             col("click_ts").cast(TimestampNTZType).as("click_ts"),
             col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"))
@@ -3387,11 +3419,37 @@ object Queries {
       val corpus = fz.transform(docs, "text").select("doc_id", "text", "embedding").cache()
       val vecPath = "/tmp/graft_q175_vecstore"
       val idfPath = "/tmp/graft_q175_idf"
+      val ivfPath = "/tmp/graft_q175_ivf"
       graft.vector.VectorStore.save(corpus, vecPath)
       fz.save(idfPath)
       val served = graft.vector.VectorStore.load(s, vecPath)
-      val warm = new graft.query.QueryEngine(served, graft.vector.Featurizer.load(s, idfPath))
-      val built = new graft.query.QueryEngine(corpus, fz)
+      // Past the serving dispatch threshold, build the IVF layout ONCE
+      // and hand it to BOTH engines' dispatch — the round-16 restructure
+      // of the first 32-CPU sf10 measurement (BENCH_sf10_r15: 191 s),
+      // where each engine auto-built and pinned its own in-memory index
+      // over the 500k-doc corpus (~2× the real ~95 s serving build). The
+      // built side probes the in-process index, the warm side probes the
+      // PERSISTED cluster-partitioned layout read back from disk, so the
+      // roundtrip gate now covers O34 index persistence, not just corpus
+      // persistence. Below the threshold nothing is built and both
+      // engines keep the exact-scan shape bit-identical to r15.
+      val nDocs = corpus.count()
+      val (warmIdx, builtIdx) =
+        if (nDocs > graft.query.QueryEngine.ExactScanMaxRows) {
+          val idx = graft.operators.Ann.ivfBuild(
+            corpus, "doc_id", "embedding", nlist = 64, seed = 42L, maxIter = 10)
+          // repartition on the partition column before the dynamic-
+          // partition write (the ServingBench layout-write fix, SCALE.md
+          // round 15: 67.7 → 20.7 s at sf10)
+          idx.assigned.repartition(col("cluster"))
+            .write.mode("overwrite").partitionBy("cluster").parquet(ivfPath)
+          (Some(graft.operators.Ann.IvfIndex(
+            s.read.parquet(ivfPath), idx.centers, "doc_id", "embedding")),
+            Some(idx))
+        } else (None, None)
+      val warm = new graft.query.QueryEngine(
+        served, graft.vector.Featurizer.load(s, idfPath), annIndex = warmIdx)
+      val built = new graft.query.QueryEngine(corpus, fz, annIndex = builtIdx)
       val query = "spark join merge sort table"
       def hits(e: graft.query.QueryEngine) =
         e.topK(query, k = 5).select("doc_id", "score").collect()

@@ -194,14 +194,22 @@ object Ann {
     // sf10, SCALE.md). An explicit nlist always keeps the flat
     // single-boundary geometry; below the cap the auto path is
     // bit-identical to the pre-delegation code (same k, same fit).
+    // the one cardinality job of the auto path — remembered and threaded
+    // through to the verify tail's broadcast dispatch (r15 advice: the
+    // tail re-counted the corpus, a redundant job per join on derived/
+    // cached corpora)
+    var knownRows: Option[Long] = None
     val k =
       if (nlist > 0) nlist
       else {
-        val n = corpus.count().toDouble
+        val nRows = corpus.count()
+        knownRows = Some(nRows)
+        val n = nRows.toDouble
         val auto = math.max(16, math.max(math.sqrt(n), n / targetCellPop).toInt)
         if (auto > maxFitPoints / 8)
           return imiNearDupJoin(corpus, idCol, vecCol, minCos, auto,
-            targetCellPop, seed, maxIter, maxFitPoints, probeMargin, maxProbes)
+            targetCellPop, seed, maxIter, maxFitPoints, probeMargin, maxProbes,
+            knownRows)
         auto
       }
     val (unitized, centers) =
@@ -219,13 +227,15 @@ object Ann {
     // the default exists so the DELEGATED path above inherits the IMI
     // join's past-clamp auto-raise instead of pinning 2 through it.
     val mpEff = if (maxProbes > 0) maxProbes else 2
+    val dim = if (centers.nonEmpty) centers(0).length else 0
     if (margin <= 0.0)
-      verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
+      verifyCellMates(corpus, idCol, vecCol, minCos, assigned, knownRows, dim)
     else {
       val probes = unitized.select(col(idCol).as("doc_id"),
         explode(graft.expressions.QuantizerExpressions.nearestCentroids(
           col("__u"), centers.map(_.map(_.toFloat)), mpEff, margin)).as("cluster"))
-      verifyCellMatesProbed(corpus, idCol, vecCol, minCos, assigned, probes)
+      verifyCellMatesProbed(corpus, idCol, vecCol, minCos, assigned, probes,
+        knownRows, dim)
     }
   }
 
@@ -234,7 +244,7 @@ object Ann {
     */
   private def verifyCellMates(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
-      assignedPlan: DataFrame): DataFrame = {
+      assignedPlan: DataFrame, knownRows: Option[Long], dim: Int): DataFrame = {
     // cached: the assignment subtree (scan + normalize + k·dim kernel)
     // otherwise re-executes for EACH side of the self-join — callers on a
     // long-lived session release it with catalog.clearCache (Bench/Verify
@@ -252,7 +262,7 @@ object Ann {
         col("a.cluster") === col("b.cluster") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("va"), col("b.doc_id").as("vb")))
     assigned.unpersist(false)
-    verifyPairs(corpus, idCol, vecCol, minCos, cands)
+    verifyPairs(corpus, idCol, vecCol, minCos, cands, knownRows, dim)
   }
 
   /** Multi-probe variant of [[verifyCellMates]]: the candidate join pairs
@@ -266,7 +276,8 @@ object Ann {
     */
   private def verifyCellMatesProbed(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
-      primaryPlan: DataFrame, probePlan: DataFrame): DataFrame = {
+      primaryPlan: DataFrame, probePlan: DataFrame,
+      knownRows: Option[Long], dim: Int): DataFrame = {
     val primary = primaryPlan.cache()
     val probe = probePlan.cache()
     val cands = Materialize.eager(primary.as("a")
@@ -277,31 +288,45 @@ object Ann {
       .distinct())
     primary.unpersist(false)
     probe.unpersist(false)
-    verifyPairs(corpus, idCol, vecCol, minCos, cands)
+    verifyPairs(corpus, idCol, vecCol, minCos, cands, knownRows, dim)
   }
 
-  /** Largest vector-table cardinality the verification tail broadcasts.
-    * The candidate set is targetCellPop/2 pairs PER VECTOR by design, so
-    * the pair side always dwarfs the vector side — two shuffle joins of
-    * the pairs dominate verify wall (measured: ~65% of the sf10
-    * ivf_neardup_join). 512k × 64-float vectors ≈ 134 MB broadcast —
-    * comfortable on any executor sizing this engine targets; past it the
-    * sort-merge joins are the correct shape (16M vectors would be a 4 GB
-    * broadcast).
+  /** Largest vector-table SIZE the verification tail broadcasts. Bounded
+    * in BYTES, not rows (r15 advice): a row bound sized for 64-float
+    * vectors reaches ~6× the intended broadcast at the Featurizer's 384
+    * dims — an un-sized driver collect. The threshold itself is MEASURED,
+    * and it is much lower than "what fits": round-16 same-box quiet-JVM
+    * A/Bs (TimeQuery pairs, SCALE.md round 16) read broadcast FASTER at
+    * sf1 (20k × 64f ≈ 5.6 MB: q84 3.2-3.5 s vs 4.6-4.7 shuffled, q179
+    * 2.7 vs 4.2) but SLOWER at sf10 (200k × 64f ≈ 56 MB: q84 43-49 s vs
+    * 36-39, q179 23-26 vs 16.5-17) — the r15 record that broadcast-
+    * dispatched sf10 was taken under attribution load and did not
+    * reproduce clean, so the r15 "broadcast below 512k rows" operating
+    * point is REVERTED by this bound. 16 MiB sits on the measured-win
+    * side of the bracket; larger vector tables take the sort-merge
+    * joins, which the sf10 pair shows are the faster shape well before
+    * driver memory becomes the binding constraint.
     */
-  private val MaxBroadcastVectors = 512L * 1024L
+  private val MaxBroadcastVecBytes = 16L << 20
 
   /** Shared verification tail: join the candidate (va, vb) pairs back to
     * their vectors by id and keep exact-cosine matches. Volume dispatch:
-    * vectors broadcast below [[MaxBroadcastVectors]] (the pair side is
-    * larger by construction), shuffle joins above.
+    * vectors broadcast when `rows × (4·dim + 24)` (float payload + id and
+    * per-row array overhead) fits [[MaxBroadcastVecBytes]] — the pair
+    * side is larger by construction — shuffle joins above. `knownRows`
+    * is the corpus cardinality the caller already computed (the auto-
+    * sizing paths count once per join); only an explicit-nlist caller,
+    * which never counted, pays the one count job here.
     */
   private def verifyPairs(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
-      cands: DataFrame): DataFrame = {
+      cands: DataFrame, knownRows: Option[Long], dim: Int): DataFrame = {
     import graft.functions.VectorFunctions
     val vecs0 = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
-    val vecs = if (corpus.count() <= MaxBroadcastVectors) broadcast(vecs0) else vecs0
+    val rows = knownRows.getOrElse(corpus.count())
+    val vecs =
+      if (rows * (4L * dim + 24L) <= MaxBroadcastVecBytes) broadcast(vecs0)
+      else vecs0
     cands
       .join(vecs.as("x"), col("va") === col("x.doc_id"))
       .join(vecs.as("y"), col("vb") === col("y.doc_id"))
@@ -386,11 +411,15 @@ object Ann {
 
   /** The fitted IMI composite quantizer: the unit-normalized frame (with
     * `__u`), the per-half cell count, dims, and the two half-space center
-    * banks (carrying the engine's float32 round-trip).
+    * banks (carrying the engine's float32 round-trip). `rows` is the
+    * corpus cardinality IF the fit had to count it for auto-sizing (or the
+    * caller already knew it) — threaded to the verify tail so the join
+    * never runs a second count job.
     */
   case class ImiModel(
       unitized: DataFrame, kHalf: Int, d: Int, h: Int,
-      centersLo: Array[Array[Double]], centersHi: Array[Array[Double]])
+      centersLo: Array[Array[Double]], centersHi: Array[Array[Double]],
+      rows: Option[Long] = None)
 
   /** The quantizer-training prefix of [[imiNearDupJoin]] — the IMI analog
     * of [[ivfFit]]: auto-kEff sizing (corpus count), unit-normalization,
@@ -404,15 +433,19 @@ object Ann {
   def imiFit(
       corpus: DataFrame, vecCol: String,
       nlist: Int = 0, targetCellPop: Int = 128, seed: Long = 42L,
-      maxIter: Int = 10, maxFitPoints: Int = 1 << 14): ImiModel = {
+      maxIter: Int = 10, maxFitPoints: Int = 1 << 14,
+      knownRows: Option[Long] = None): ImiModel = {
     import graft.functions.VectorFunctions
     // effective COMPOSITE cell count: explicit `nlist`, else sized exactly
     // like ivfNearDupJoin's auto-nlist, then split √-wise across the two
-    // half-space quantizers
+    // half-space quantizers. A count already known to the caller (the
+    // delegating flat join counted once) is reused, never re-run.
+    var rows: Option[Long] = knownRows
     val kEff =
       if (nlist > 0) nlist
       else {
-        val n = corpus.count().toDouble
+        val nRows = rows.getOrElse { val c = corpus.count(); rows = Some(c); c }
+        val n = nRows.toDouble
         math.max(16, math.max(math.sqrt(n), n / targetCellPop).toInt)
       }
     val kHalf = math.min(
@@ -432,16 +465,18 @@ object Ann {
       .map(_.map(v => v.toFloat.toDouble))
     val centersHi = KMeansLite.fit(sample.map(_.drop(h)), kHalf, maxIter, seed + 1)
       .map(_.map(v => v.toFloat.toDouble))
-    ImiModel(unitized, kHalf, d, h, centersLo, centersHi)
+    ImiModel(unitized, kHalf, d, h, centersLo, centersHi, rows)
   }
 
   def imiNearDupJoin(
       corpus: DataFrame, idCol: String, vecCol: String, minCos: Double,
       nlist: Int = 0, targetCellPop: Int = 128, seed: Long = 42L,
       maxIter: Int = 10, maxFitPoints: Int = 1 << 14,
-      probeMargin: Double = 0.0, maxProbes: Int = 0): DataFrame = {
-    val m = imiFit(corpus, vecCol, nlist, targetCellPop, seed, maxIter, maxFitPoints)
-    val ImiModel(unitized, kHalf, d, h, centersLo, centersHi) = m
+      probeMargin: Double = 0.0, maxProbes: Int = 0,
+      knownRows: Option[Long] = None): DataFrame = {
+    val m = imiFit(corpus, vecCol, nlist, targetCellPop, seed, maxIter,
+      maxFitPoints, knownRows)
+    val ImiModel(unitized, kHalf, d, h, centersLo, centersHi, mRows) = m
     val assigned = unitized.select(col(idCol).as("doc_id"),
       (nearestCentroidExpr(slice(col("__u"), 1, h), centersLo) * kHalf +
         nearestCentroidExpr(slice(col("__u"), h + 1, d - h), centersHi))
@@ -458,7 +493,7 @@ object Ann {
       else if (probeMargin < 0) autoMaxProbes(kHalf)
       else 2
     if (margin <= 0.0)
-      verifyCellMates(corpus, idCol, vecCol, minCos, assigned)
+      verifyCellMates(corpus, idCol, vecCol, minCos, assigned, mRows, d)
     else {
       // composite multi-probe: the margin-gated probe lists of the two
       // halves cross-multiply into composite cell ids — for a vector near
@@ -477,7 +512,8 @@ object Ann {
       val probes = unitized.select(col(idCol).as("doc_id"),
         explode(flatten(transform(loP, lo => transform(hiP, hi => lo * lit(kHalf) + hi))))
           .as("cluster"))
-      verifyCellMatesProbed(corpus, idCol, vecCol, minCos, assigned, probes)
+      verifyCellMatesProbed(corpus, idCol, vecCol, minCos, assigned, probes,
+        mRows, d)
     }
   }
 

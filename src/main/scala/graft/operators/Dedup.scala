@@ -394,8 +394,22 @@ object Dedup {
             math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
           val p = 1.0 - math.acos(math.min(1.0, minCos)) / math.Pi
           val r0 = 1.0 - math.pow(1.0 - math.pow(p, 12), 6)
-          val t = math.min(32, math.max(6,
-            math.ceil(math.log(1.0 - r0) / math.log(1.0 - math.pow(p, b))).toInt))
+          val tNeeded =
+            math.ceil(math.log(1.0 - r0) / math.log(1.0 - math.pow(p, b))).toInt
+          val t = math.min(32, math.max(6, tNeeded))
+          // the 32-table cap bounds candidate volume, but at large n and
+          // moderate minCos the T that restores the validated (12, 6)
+          // operating point's recall exceeds it (e.g. minCos=0.9 at
+          // bits=24 needs ~41 tables) — the R0 restore contract then no
+          // longer holds, and silently degraded recall is the one failure
+          // a caller cannot see from the output. Say so. (r15 advice)
+          if (tNeeded > 32)
+            org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+              s"cosineNearDupsLsh auto-sizing: restoring the validated recall at " +
+                s"minCos=$minCos, bits=$b needs $tNeeded tables; clamped to 32 — " +
+                s"recall runs below the documented R0 operating point. Raise " +
+                s"`tables` explicitly or lower `bits` to trade candidate volume " +
+                s"for recall.")
           (b, if (tables > 0) tables else t)
         }
       }

@@ -100,22 +100,69 @@ final class QueryEngine(
     * scan only the nprobe nearest cells (~nprobe/nlist of the corpus,
     * partition-pruned when the caller passed a cluster-partitioned
     * layout). Exact stays the oracle: below the threshold, and for any
-    * non-cosine metric, the full scan runs unchanged; the dispatched
-    * path's recall floor is pinned in QueryEngineSpec (overlap ≥ 0.9 vs
-    * exact) and gated at q175's serving roundtrip.
+    * metric the index cannot serve (see [[dispatchableMetric]]), the
+    * full scan runs unchanged; the dispatched path's recall floor is
+    * pinned PER METRIC in QueryEngineSpec (overlap ≥ 0.9 vs exact) and
+    * gated at q175's serving roundtrip.
     */
   def topK(query: String, k: Int = 7,
       metric: Similarity.Metric = Similarity.Cosine): DataFrame = {
     val qv = embed(query)
     annState match {
-      // embeddings are L2-normalized (Featurizer contract), so the L2
-      // centroid ranking and the cosine score order agree
-      case Some(idx) if metric == Similarity.Cosine =>
+      case Some(idx) if dispatchableMetric(metric) =>
         val nprobe = math.max(8, idx.centers.length / 8)
-        val probes = graft.operators.Ann.rankClusters(idx.centers, qv).take(nprobe)
+        // probe geometry: L2 and cosine rank centroids against the raw
+        // query (embedQuery output is unit-norm by the Featurizer
+        // contract, and the cosine path stays bit-identical to its r15
+        // gated behavior); the NEW dot path unitizes first so an
+        // arbitrarily-scaled caller query still ranks cells by direction
+        // — the only coordinate that matters on the unit-norm corpus the
+        // dot dispatch requires
+        val rq = if (metric == Similarity.InnerProduct) unitized(qv) else qv
+        val probes = graft.operators.Ann.rankClusters(idx.centers, rq).take(nprobe)
         exactTopKOver(idx.assigned.filter(col("cluster").isin(probes: _*)), qv, k, metric)
       case _ => exactTopKOver(corpus, qv, k, metric)
     }
+  }
+
+  /** Which metrics the IVF probe can serve without flipping to a linear
+    * full scan at volume (the r15 verdict's item 3: an L2/dot topK over a
+    * >100k-doc corpus silently reverted to exact — correct, but the same
+    * linear-in-the-corpus shape the dispatch exists to prevent):
+    *  - L2 dispatches unconditionally — nearest-centroid cells ARE the
+    *    L2 Voronoi geometry, normalization is irrelevant;
+    *  - Cosine dispatches unconditionally — the score is norm-invariant
+    *    and the probe geometry assumes the Featurizer/VectorStore layout
+    *    (unit-norm corpus), the documented engine contract since r15;
+    *  - InnerProduct dispatches only when the corpus is measured
+    *    unit-norm ([[corpusUnitNorm]], once per engine): at constant
+    *    norm dot order == cosine order, while on an unnormalized corpus
+    *    dot is a MIPS problem an L2 quantizer does not bound — exact
+    *    stays the correct shape there (the decline branch).
+    */
+  private def dispatchableMetric(m: Similarity.Metric): Boolean = m match {
+    case Similarity.L2 | Similarity.Cosine => true
+    case Similarity.InnerProduct => corpusUnitNorm
+  }
+
+  private def unitized(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0 || n == 1.0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** Whether every corpus vector is unit-norm (float tolerance): one
+    * codegen'd aggregate pass, measured once per engine lifetime like
+    * [[corpusRows]], and only ever evaluated on the InnerProduct dispatch
+    * decision — the cosine/L2 serving paths never pay it.
+    */
+  @transient private lazy val corpusUnitNorm: Boolean = {
+    import graft.functions.VectorFunctions
+    val dev = corpus
+      .select(max(abs(VectorFunctions.dot(col(vecCol), col(vecCol)) - 1.0)))
+      .head().get(0)
+    dev != null && dev.asInstanceOf[Double] <= 2e-3
   }
 
   private def exactTopKOver(frame: DataFrame, qv0: Array[Float], k: Int,

@@ -75,6 +75,36 @@ class AnnSpec extends SparkSpec {
     assert(pairs.collect().forall(_.getDouble(2) >= 0.9999))
   }
 
+  test("auto-sized near-dup join runs exactly one corpus-cardinality job") {
+    // the r15 advice: verifyPairs re-counted a corpus the auto-sizing had
+    // already counted — one redundant Spark job per join, real on derived/
+    // cached corpora. Exactly TWO `count` actions remain by design: the
+    // sizing probe and Materialize.eager's cache-fill count over the
+    // (tiny, id-only) candidate set — the latter is a materialization
+    // barrier, not a cardinality probe.
+    val counts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (funcName == "count") counts.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Ann.ivfNearDupJoin(corpus, "vec_id", "embedding",
+        minCos = 0.9999, seed = 7L).collect()
+      // the execution-listener bus is async: wait for the expected events,
+      // then a grace beat so an unexpected EXTRA count would also land
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline && counts.get < 2)
+        Thread.sleep(50)
+      Thread.sleep(300)
+      assert(counts.get == 2,
+        s"expected 2 count actions (sizing probe + eager barrier), saw ${counts.get}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("LSH top-k recall ≥ 0.9 vs exact L2 top-10") {
     val exact = Similarity.topK(corpus, "vec_id", "embedding", query, 10, Similarity.L2)
       .collect().map(_.getLong(0)).toSeq

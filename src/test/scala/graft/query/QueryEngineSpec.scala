@@ -88,35 +88,55 @@ class QueryEngineSpec extends SparkSpec {
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     df.collect().map(_.getLong(0)).toSeq
 
-  test("topK volume-dispatches to the IVF probe past the threshold, recall ≥ 0.9") {
+  test("topK volume-dispatches to the IVF probe past the threshold, recall ≥ 0.9 per metric") {
+    import graft.operators.Similarity
     val idx = graft.operators.Ann.ivfBuild(bigCorpus, "doc_id", "embedding",
       nlist = 16, seed = 42L, maxIter = 10)
     val dispatched = new QueryEngine(bigCorpus, bigFz,
       annIndex = Some(idx), exactScanMaxRows = 100)
     val exact = new QueryEngine(bigCorpus, bigFz) // default threshold: exact
     val qs = Seq("topic1 word3 term4", "topic2 word5", "term17 filler1 topic4")
-    qs.foreach { q =>
-      val d = dispatched.topK(q, k = 10)
+    // every supported metric dispatches on this (Featurizer-normalized)
+    // corpus: cosine and L2 unconditionally, dot via the unit-norm check
+    val metrics = Seq(Similarity.Cosine, Similarity.L2, Similarity.InnerProduct)
+    for (m <- metrics; q <- qs) {
+      val d = dispatched.topK(q, k = 10, m)
       // the dispatched plan must actually prune on the cluster column
       assert(d.queryExecution.analyzed.toString.contains("cluster"),
-        "dispatched topK did not filter on cluster")
-      val overlap = ids(d).toSet.intersect(ids(exact.topK(q, k = 10)).toSet).size
-      assert(overlap >= 9, s"recall floor: $overlap/10 for '$q'")
+        s"dispatched topK did not filter on cluster (metric=$m)")
+      val overlap = ids(d).toSet.intersect(ids(exact.topK(q, k = 10, m)).toSet).size
+      assert(overlap >= 9, s"recall floor: $overlap/10 for '$q' (metric=$m)")
     }
   }
 
-  test("dispatch stays exact below the threshold and for non-cosine metrics") {
+  test("dispatch stays exact below the threshold and declines unsupported shapes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.FloatType
+    import graft.operators.Similarity
     val idx = graft.operators.Ann.ivfBuild(bigCorpus, "doc_id", "embedding",
       nlist = 16, seed = 42L, maxIter = 10)
     // below threshold: 600 rows <= default ExactScanMaxRows
     val below = new QueryEngine(bigCorpus, bigFz, annIndex = Some(idx))
     assert(!below.topK("topic1 word3", k = 5)
       .queryExecution.analyzed.toString.contains("cluster"))
-    // past threshold but L2 metric: the index is cosine-ordered, exact runs
-    val forced = new QueryEngine(bigCorpus, bigFz,
-      annIndex = Some(idx), exactScanMaxRows = 100)
-    assert(!forced.topK("topic1 word3", k = 5, graft.operators.Similarity.L2)
-      .queryExecution.analyzed.toString.contains("cluster"))
+    // inner product over a NON-unit-norm corpus is a MIPS problem the L2
+    // quantizer does not bound — the decline branch must keep the exact
+    // full scan (identical results, never a silently-degraded probe)
+    val scaled = bigCorpus.select(col("doc_id"), col("text"),
+      transform(col("embedding"),
+        x => (x * (lit(1.0d) + pmod(col("doc_id"), lit(3L)).cast("double")))
+          .cast(FloatType)).as("embedding")).cache()
+    val scaledIdx = graft.operators.Ann.ivfBuild(scaled, "doc_id", "embedding",
+      nlist = 16, seed = 42L, maxIter = 10)
+    val forced = new QueryEngine(scaled, bigFz,
+      annIndex = Some(scaledIdx), exactScanMaxRows = 100)
+    val declined = forced.topK("topic1 word3", k = 10, Similarity.InnerProduct)
+    assert(!declined.queryExecution.analyzed.toString.contains("cluster"),
+      "dot on an unnormalized corpus must not take the IVF probe")
+    val exactScaled = new QueryEngine(scaled, bigFz)
+    assert(ids(declined) == ids(exactScaled.topK("topic1 word3", k = 10,
+      Similarity.InnerProduct)), "declined dispatch must equal the exact scan")
+    scaled.unpersist()
   }
 
   test("auto-built index (no caller layout) dispatches and returns k rows") {
