@@ -3417,9 +3417,13 @@ object Queries {
       val docs = t(s, dir, "documents")
       val fz = new graft.vector.Featurizer(dim = 64).fit(docs, "text")
       val corpus = fz.transform(docs, "text").select("doc_id", "text", "embedding").cache()
-      val vecPath = "/tmp/graft_q175_vecstore"
-      val idfPath = "/tmp/graft_q175_idf"
-      val ivfPath = "/tmp/graft_q175_ivf"
+      // data-dir-keyed like the streaming sinks: two harness runs on one
+      // host (cluster gate at sf0.01 + an sf1 verify) must not overwrite
+      // each other's store mid-roundtrip
+      val (q175Tag, _) = streamSinkDirs(dir, "q175")
+      val vecPath = s"$q175Tag/vecstore"
+      val idfPath = s"$q175Tag/idf"
+      val ivfPath = s"$q175Tag/ivf"
       graft.vector.VectorStore.save(corpus, vecPath)
       fz.save(idfPath)
       val served = graft.vector.VectorStore.load(s, vecPath)
