@@ -146,11 +146,21 @@ object Queries {
     * (query, data dir) keeps /tmp accumulation bounded: re-runs on the
     * same data reclaim their own dir. (r15 advice)
     */
-  private def streamSinkDirs(dir: String, q: String): (String, String) = {
+  private def streamSinkDirs(dir: String, q: String): (String, String) =
+    (scratchPath(dir, s"${q}_out"), scratchPath(dir, s"${q}_ckpt"))
+
+  /** Data-dir-keyed scratch path for any query's write-then-read
+    * roundtrip — the general form of [[streamSinkDirs]], applied in
+    * round 16 to EVERY fixed /tmp path in the registry: the driver's
+    * end-of-round sf0.01 verify can overlap a still-running background
+    * sf10 bench on the same host, and a shared fixed path means one
+    * run's overwrite tears the other's read-back mid-query.
+    */
+  private def scratchPath(dir: String, q: String): String = {
     val tag = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
         new java.io.File(dir).getCanonicalPath))
-    (s"/tmp/graft_${q}_${tag}_out", s"/tmp/graft_${q}_${tag}_ckpt")
+    s"/tmp/graft_${q}_$tag"
   }
 
   /** Query vector: embedding of vec_id=0 (the fixed probe row). */
@@ -300,7 +310,7 @@ object Queries {
       val df = t(s, dir, "customer").select(
         col("c_custkey").as("id"),
         col("c_acctbal").cast(DecimalType(18, 2)).cast(DoubleType).as("bal"))
-      val path = "/tmp/graft_q20_csv"
+      val path = scratchPath(dir, "q20_csv")
       graft.sinks.Sinks.writeSingleCsv(df, path)
       graft.sinks.Sinks.readBackCsv(s, path, df.schema).orderBy("id")
     }),
@@ -752,7 +762,7 @@ object Queries {
       val src = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       src.repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite").parquet("/tmp/graft_q89_sorted")
+        .write.mode("overwrite").parquet(scratchPath(dir, "q89_sorted"))
       // one read partition per file: when a file spans multiple splits,
       // split-to-partition assignment is size-ordered bin packing, so
       // monotonically_increasing_id would NOT reflect in-file row order
@@ -761,7 +771,7 @@ object Queries {
       s.conf.set("spark.sql.files.maxPartitionBytes", s"${8L << 40}")
       val (disjoint, sortedInFile) =
         try {
-          val back = s.read.parquet("/tmp/graft_q89_sorted")
+          val back = s.read.parquet(scratchPath(dir, "q89_sorted"))
           val byFile = back
             .select(col("o_orderkey"), input_file_name().as("__f"))
             .groupBy("__f")
@@ -781,7 +791,7 @@ object Queries {
             .count() == 0L
           (dj, sorted)
         } finally s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
-      val back = s.read.parquet("/tmp/graft_q89_sorted")
+      val back = s.read.parquet(scratchPath(dir, "q89_sorted"))
       back.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           lit(disjoint).as("ranges_disjoint"), lit(sortedInFile).as("files_sorted"))
         .orderBy("o_orderkey")
@@ -1159,8 +1169,8 @@ object Queries {
     "q101_json_sink" -> ((s, dir) => {
       val src = t(s, dir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-      graft.sinks.Sinks.writeJson(src, "/tmp/graft_q101_json")
-      s.read.schema(src.schema).json("/tmp/graft_q101_json").orderBy("s_suppkey")
+      graft.sinks.Sinks.writeJson(src, scratchPath(dir, "q101_json"))
+      s.read.schema(src.schema).json(scratchPath(dir, "q101_json")).orderBy("s_suppkey")
     }),
 
     // ORC sink + scan round-trip: the engine's second columnar format;
@@ -1169,8 +1179,8 @@ object Queries {
     "q80_orc_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-      graft.sinks.Sinks.writeOrc(src, "/tmp/graft_q80_orc")
-      graft.sinks.Sinks.readOrc(s, "/tmp/graft_q80_orc").orderBy("s_suppkey")
+      graft.sinks.Sinks.writeOrc(src, scratchPath(dir, "q80_orc"))
+      graft.sinks.Sinks.readOrc(s, scratchPath(dir, "q80_orc")).orderBy("s_suppkey")
     }),
 
     // bucketed co-located join (Shuffle.writeBucketed): both sides written
@@ -1181,8 +1191,14 @@ object Queries {
       val ev = t(s, dir, "events").select("user_id", "value")
       val users = t(s, dir, "events").groupBy("user_id")
         .agg(max(col("ts")).as("last_ts"))
-      s.sql("DROP TABLE IF EXISTS graft_q81_ev")
-      s.sql("DROP TABLE IF EXISTS graft_q81_users")
+      // table names carry the data-dir tag: catalogs are session-scoped
+      // but the WAREHOUSE is shared, so two concurrent harness runs with
+      // untagged names race each other's rm + saveAsTable below
+      val q81Tag = scratchPath(dir, "q81").split('_').last
+      val evTbl = s"graft_q81_ev_$q81Tag"
+      val usersTbl = s"graft_q81_users_$q81Tag"
+      s.sql(s"DROP TABLE IF EXISTS $evTbl")
+      s.sql(s"DROP TABLE IF EXISTS $usersTbl")
       // the catalog is session-scoped but the warehouse is not: a prior
       // session's table location survives the DROP (which only knows the
       // current catalog) and fails saveAsTable with LOCATION_ALREADY_EXISTS.
@@ -1190,7 +1206,7 @@ object Queries {
       // (/tmp/graft_* — Bench/Verify pin /tmp/graft_warehouse, tests use
       // /tmp/graft_test_warehouse); if a deployment points the warehouse
       // elsewhere (possibly shared), never rm there.
-      for (tbl <- Seq("graft_q81_ev", "graft_q81_users")) {
+      for (tbl <- Seq(evTbl, usersTbl)) {
         val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
         val loc = new java.io.File(wh, tbl)
         if (wh.startsWith("/tmp/graft_") && loc.exists()) {
@@ -1201,10 +1217,10 @@ object Queries {
           rm(loc)
         }
       }
-      graft.operators.Shuffle.writeBucketed(ev, "graft_q81_ev", "user_id", 8)
-      graft.operators.Shuffle.writeBucketed(users, "graft_q81_users", "user_id", 8)
-      val joined = s.table("graft_q81_ev").hint("merge")
-        .join(s.table("graft_q81_users"), "user_id")
+      graft.operators.Shuffle.writeBucketed(ev, evTbl, "user_id", 8)
+      graft.operators.Shuffle.writeBucketed(users, usersTbl, "user_id", 8)
+      val joined = s.table(evTbl).hint("merge")
+        .join(s.table(usersTbl), "user_id")
       val noShuffle = !graft.operators.Shuffle.hasShuffle(joined)
       joined.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), dec(sum(col("value")), 18).as("total"),
@@ -1341,8 +1357,8 @@ object Queries {
     // metadata → single-file CSV store with read-back verify), graded
     // against a DuckDB read_csv oracle applying the same intended
     // semantics to the same fixture
-    "q52_sec_etl" -> ((s, _) =>
-      graft.pipeline.SecEtl.run(s, secFixturePath, "/tmp/graft_q52_sec")
+    "q52_sec_etl" -> ((s, dir) =>
+      graft.pipeline.SecEtl.run(s, secFixturePath, scratchPath(dir, "q52_sec"))
         .orderBy("record_id")),
 
     // hyperplane-LSH cosine near-dup — the 100-TB scale path over q23's
@@ -1670,7 +1686,7 @@ object Queries {
     // directory (PartitionFilters, asserted in SinksSpec) — and the
     // partition's contents must match DuckDB's filter of the source
     "q66_partitioned_sink" -> ((s, dir) => {
-      val path = "/tmp/graft_q66_part"
+      val path = scratchPath(dir, "q66_part")
       graft.sinks.Sinks.writePartitioned(
         t(s, dir, "events").select("event_id", "event_type", "value"),
         path, Seq("event_type"))
@@ -1692,7 +1708,7 @@ object Queries {
       val corpus = emb.filter(col("vec_id") =!= 0)
       val idx = Ann.ivfBuild(corpus, "vec_id", "embedding",
         nlist = 16, seed = 42L, maxIter = 25, fitSample = 1.0)
-      val path = "/tmp/graft_q67_ivf"
+      val path = scratchPath(dir, "q67_ivf")
       idx.assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
       val qv = queryVec(s, dir)
       val probes = Ann.rankClusters(idx.centers, qv).take(4)
@@ -1736,7 +1752,7 @@ object Queries {
       val pq = graft.vector.ProductQuantizer.train(
         pool, "embedding", dim = 64, m = 8, ksub = 16,
         seed = 42L, maxIter = 25, fitSample = 1.0)
-      val codesPath = "/tmp/graft_q51_codes"
+      val codesPath = scratchPath(dir, "q51_codes")
       pq.encode(pool, "embedding").select("vec_id", "pq_code")
         .write.mode("overwrite").parquet(codesPath)
       val qv = queryVec(s, dir)
@@ -1998,7 +2014,7 @@ object Queries {
     // duplicates); read-back across epochs must equal the source
     "q116_foreach_batch" -> ((s, dir) => {
       withStatePartitions(s, dir) {
-        val outPath = "/tmp/graft_q116_fb"
+        val outPath = scratchPath(dir, "q116_fb")
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete()
@@ -2298,7 +2314,7 @@ object Queries {
     "q129_zorder_layout" -> ((s, dir) => {
       val src = t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-      val path = "/tmp/graft_q129_zorder"
+      val path = scratchPath(dir, "q129_zorder")
       graft.storage.Layout.zorderWrite(src, path, "l_orderkey", "l_partkey",
         bits = 8, files = 16)
       val r = src.agg(
@@ -2333,8 +2349,8 @@ object Queries {
     "q130_compaction" -> ((s, dir) => {
       val src = t(s, dir, "events")
         .select("event_id", "user_id", "event_type", "value")
-      val fragDir = "/tmp/graft_q130_frag"
-      val compDir = "/tmp/graft_q130_compact"
+      val fragDir = scratchPath(dir, "q130_frag")
+      val compDir = scratchPath(dir, "q130_compact")
       src.repartition(64).write.mode("overwrite").parquet(fragDir)
       val bytes = graft.storage.Layout.dataBytes(s, fragDir)
       val target = math.max(1L, bytes / 4) // aim for ~4 files at any sf
@@ -2467,7 +2483,7 @@ object Queries {
         .select("r.*")
       val pool = emb.filter(col("vec_id") =!= 0)
         .select("vec_id", "embedding").union(planted)
-      val codesPath = "/tmp/graft_q135_codes"
+      val codesPath = scratchPath(dir, "q135_codes")
       graft.vector.ScalarQuantizer.encode(pool, "embedding", dim = 64)
         .select("vec_id", "sq")
         .write.mode("overwrite").parquet(codesPath)
@@ -2605,7 +2621,7 @@ object Queries {
     // gates mergeability through storage). Estimate vs exact ≤ 5%
     "q143_hll_persist" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val path = "/tmp/graft_q143_sketches"
+      val path = scratchPath(dir, "q143_sketches")
       // widenPlan declines (HLL partials are decode-floor aggregates)
       graft.operators.Shuffle.widenPlan(li)(
         _.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -2704,7 +2720,7 @@ object Queries {
     "q146_parquet_tuned" -> ((s, dir) => {
       val src = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
-      val path = "/tmp/graft_q146_tuned"
+      val path = scratchPath(dir, "q146_tuned")
       graft.storage.Layout.writeTunedParquet(src, path, "o_orderkey")
       val (codecs, bloom, stats) =
         graft.storage.Layout.parquetColumnInfo(s, path, "o_orderkey")
@@ -2812,7 +2828,7 @@ object Queries {
     // a dynamicpruning PartitionFilter; values checked against the same
     // join in DuckDB
     "q150_dpp" -> ((s, dir) => {
-      val path = "/tmp/graft_q150_part"
+      val path = scratchPath(dir, "q150_part")
       t(s, dir, "events").select("event_id", "user_id", "event_type", "value")
         .write.mode("overwrite").partitionBy("event_type").parquet(path)
       val fact = s.read.parquet(path)
@@ -2833,7 +2849,7 @@ object Queries {
     // directory and value-checked against DuckDB's filename=true read of
     // the same files (the lineage/debugging surface of a 100-TB lake)
     "q151_metadata_cols" -> ((s, dir) => {
-      val path = "/tmp/graft_q151_part"
+      val path = scratchPath(dir, "q151_part")
       t(s, dir, "events").select("event_id", "user_id", "event_type")
         .write.mode("overwrite").partitionBy("event_type").parquet(path)
       s.read.parquet(path)
@@ -2919,8 +2935,8 @@ object Queries {
     // the one-shot batch aggregate bit-for-bit
     "q156_incremental_mv" -> ((s, dir) => {
       withStatePartitions(s, dir) {
-        val srcDir = "/tmp/graft_q156_src"
-        val snapBase = "/tmp/graft_q156_snap"
+        val srcDir = scratchPath(dir, "q156_src")
+        val snapBase = scratchPath(dir, "q156_snap")
         val src = t(s, dir, "events")
           .select(col("user_id"), floor(col("value") * 100).cast(LongType).as("cents"))
         src.repartition(4).write.mode("overwrite").parquet(srcDir)
@@ -2976,7 +2992,7 @@ object Queries {
     // subset of files. The manifest here is built by one scan; a lake
     // maintains it incrementally at write time
     "q158_manifest_pruning" -> ((s, dir) => {
-      val path = "/tmp/graft_q158_layout"
+      val path = scratchPath(dir, "q158_layout")
       val src = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       src.repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey")
@@ -3069,8 +3085,8 @@ object Queries {
     // everything. A lost-state bug shows up as second-half-only counts
     "q162_stream_restart" -> ((s, dir) => {
       withStatePartitions(s, dir) {
-        val srcDir = "/tmp/graft_q162_src"
-        val ckpt = "/tmp/graft_q162_ckpt"
+        val srcDir = scratchPath(dir, "q162_src")
+        val ckpt = scratchPath(dir, "q162_ckpt")
         def rmrf(p: String): Unit = {
           def rec(f: java.io.File): Unit = {
             if (f.isDirectory) f.listFiles().foreach(rec)
@@ -3133,7 +3149,7 @@ object Queries {
     // click partition is rewritten with doubled values; every other
     // partition must survive untouched
     "q164_dynamic_overwrite" -> ((s, dir) => {
-      val path = "/tmp/graft_q164_table"
+      val path = scratchPath(dir, "q164_table")
       val keep = "spark.sql.sources.partitionOverwriteMode"
       val prev = s.conf.getOption(keep)
       s.conf.set(keep, "dynamic")
@@ -3282,7 +3298,7 @@ object Queries {
     // v1's content
     "q170_commit_log" -> ((s, dir) => {
       import graft.storage.Layout.CommitLog
-      val table = "/tmp/graft_q170_table"
+      val table = scratchPath(dir, "q170_table")
       def rmrf(p: String): Unit = {
         def rec(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rec)
@@ -3310,7 +3326,7 @@ object Queries {
     // read presents the superset schema with nulls for pre-evolution rows
     // — the append-only reality of a long-lived 100-TB table
     "q171_schema_evolution" -> ((s, dir) => {
-      val path = "/tmp/graft_q171_evo"
+      val path = scratchPath(dir, "q171_evo")
       val orders = t(s, dir, "orders")
       new java.io.File(path).mkdirs()
       orders.filter(col("o_orderkey") % 2 === 0)
@@ -3558,11 +3574,15 @@ object Queries {
     // downstream as-of.
     "q178_asof_bucketed" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      s.sql("DROP TABLE IF EXISTS graft_q178_ev")
-      s.sql("DROP TABLE IF EXISTS graft_q178_signups")
+      // data-dir-tagged names: the shared warehouse race, see q81
+      val q178Tag = scratchPath(dir, "q178").split('_').last
+      val evTbl = s"graft_q178_ev_$q178Tag"
+      val suTbl = s"graft_q178_signups_$q178Tag"
+      s.sql(s"DROP TABLE IF EXISTS $evTbl")
+      s.sql(s"DROP TABLE IF EXISTS $suTbl")
       // catalog is session-scoped but the warehouse is not (see q81):
       // physically clear graft-owned locations a prior session left behind
-      for (tbl <- Seq("graft_q178_ev", "graft_q178_signups")) {
+      for (tbl <- Seq(evTbl, suTbl)) {
         val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
         val loc = new java.io.File(wh, tbl)
         if (wh.startsWith("/tmp/graft_") && loc.exists()) {
@@ -3575,12 +3595,12 @@ object Queries {
       }
       graft.operators.Shuffle.writeBucketed(
         ev.select("event_id", "user_id", "ts"),
-        "graft_q178_ev", "user_id", 8, Seq("user_id", "ts"))
+        evTbl, "user_id", 8, Seq("user_id", "ts"))
       graft.operators.Shuffle.writeBucketed(
         ev.filter(col("event_type") === "signup").select("user_id", "ts").distinct(),
-        "graft_q178_signups", "user_id", 8, Seq("user_id", "ts"))
+        suTbl, "user_id", 8, Seq("user_id", "ts"))
       val out = graft.operators.TemporalJoins.asofJoinMerge(
-        s.table("graft_q178_ev"), s.table("graft_q178_signups"),
+        s.table(evTbl), s.table(suTbl),
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts", rightVals = Seq())
       require(out.queryExecution.executedPlan.toString.contains("AsOfJoin"),
         "q178 must run on the custom AsOfJoinExec operator")

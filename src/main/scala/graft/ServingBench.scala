@@ -63,9 +63,15 @@ object ServingBench {
     * from a cluster-partitioned layout instead of all of it.
     */
   def run(spark: SparkSession, sfDir: String): (Double, Double, Double, Int, Double, Double) = {
-    val vecPath = "/tmp/graft_bench_vecstore"
-    val idfPath = "/tmp/graft_bench_idf"
-    val ivfPath = "/tmp/graft_bench_ivf"
+    // data-dir-keyed (round 16, same reason as the Queries scratch paths):
+    // the driver's sf0.1 bench can overlap a background sf10 bench on the
+    // same host, and a shared fixed store path tears the loaded layout
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(sfDir).getCanonicalPath))
+    val vecPath = s"/tmp/graft_bench_vecstore_$tag"
+    val idfPath = s"/tmp/graft_bench_idf_$tag"
+    val ivfPath = s"/tmp/graft_bench_ivf_$tag"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
     val t0 = System.nanoTime()
