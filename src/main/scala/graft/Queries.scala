@@ -3511,12 +3511,18 @@ object Queries {
     // retrieval bit-identically to the corpus it was built from.
     "q177_versioned_serving" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
-      val fz = new graft.vector.Featurizer(dim = 64).fit(docs, "text")
-      // deterministic 400-doc corpus at every graded SF (documents >= 500)
-      val corpus = fz.transform(docs, "text")
-        .select("doc_id", "text", "embedding")
-        .orderBy("doc_id").limit(400).cache()
+      // deterministic 400-doc corpus at every graded SF (documents >= 500).
+      // The featurizer fits on THESE 400 docs, not the full table: this
+      // gate certifies commit atomicity/monotonicity and loaded-vs-built
+      // identity — every one of its checks is internal to the corpus it
+      // serves, and fitting IDF over the full table was 500k docs of
+      // discarded work at sf10 (the fit alone ~25 s of q177's 51 s,
+      // SCALE.md round 16; the reference for full-corpus featurizer cost
+      // stays q175/ServingBench, where the corpus is genuinely served)
+      val docs400 = t(s, dir, "documents").orderBy("doc_id").limit(400).cache()
+      val fz = new graft.vector.Featurizer(dim = 64).fit(docs400, "text")
+      val corpus = fz.transform(docs400, "text")
+        .select("doc_id", "text", "embedding").cache()
       corpus.count()
       // per-run unique table: concurrent harness processes on one host
       // (bench + verify) must not interleave commits on a shared path and
@@ -3553,6 +3559,7 @@ object Queries {
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val identical = hits(served) == hits(versionDf(3))
       corpus.unpersist(false)
+      docs400.unpersist(false)
       tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
       Seq((4, readsComplete, monotonic, finalV, identical)).toDF(
         "n_commits", "reads_complete", "monotonic", "final_version", "topk_identical")
