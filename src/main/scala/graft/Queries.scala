@@ -576,12 +576,13 @@ object Queries {
       // three actions.
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism).cache()
-      val fz = new Featurizer(dim = 64).fit(docs, "text")
-      // caching the TRANSFORMED frame is safe on the shared session (its
-      // plan is unique to this featurizer's IDF map, so it can't
-      // substitute into other queries' scans) and keeps the downstream
-      // actions from re-hashing the corpus
-      val corpus = fz.transform(docs, "text").cache()
+      // one-tokenization fit+embed: the TF frame is shared between the
+      // IDF fit and the scoring pass (Featurizer.fitTransform scaladoc —
+      // the regex battery dominates at volume and previously ran twice),
+      // and the returned corpus is already pinned, so the downstream
+      // actions never re-hash the corpus
+      val fz = new Featurizer(dim = 64)
+      val corpus = fz.fitTransform(docs, "text")
       val qv = fz.embedQuery(s, "spark join merge sort table")
       val top = Similarity.topK(corpus, "doc_id", "embedding", qv, 10, Similarity.Cosine)
       val n = top.select("doc_id").collect().length
@@ -601,13 +602,14 @@ object Queries {
     "q37_answer" -> ((s, dir) => {
       import s.implicits._
       // widen the scan (the featurizer map otherwise runs at source
-      // layout width) and materialize the embedded corpus once — answer()
-      // and the groundedness re-query below are separate actions that
-      // would each re-run the transform lineage
+      // layout width) and fit+embed in ONE tokenization pass, returned
+      // pinned (Featurizer.fitTransform) — answer() and the groundedness
+      // re-query below are separate actions that would each re-run the
+      // transform lineage
       val docs = graft.operators.Shuffle.ensureMinScanWidth(
         t(s, dir, "documents"))
-      val fz = new Featurizer(dim = 64).fit(docs, "text")
-      val corpus = graft.operators.Materialize.eager(fz.transform(docs, "text"))
+      val fz = new Featurizer(dim = 64)
+      val corpus = fz.fitTransform(docs, "text")
       val engine = new graft.query.QueryEngine(corpus, fz)
       val q = "spark join merge sort table"
       val ans = engine.answer(q, k = 5, maxSentences = 2)
@@ -3431,8 +3433,11 @@ object Queries {
     "q175_serving_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val fz = new graft.vector.Featurizer(dim = 64).fit(docs, "text")
-      val corpus = fz.transform(docs, "text").select("doc_id", "text", "embedding").cache()
+      // one-tokenization fit+embed, returned pinned — the projection
+      // below reads the pin, so the store write, the count, the IVF
+      // build, and the engine queries all share one embedded corpus
+      val fz = new graft.vector.Featurizer(dim = 64)
+      val corpus = fz.fitTransform(docs, "text").select("doc_id", "text", "embedding")
       // data-dir-keyed like the streaming sinks: two harness runs on one
       // host (cluster gate at sf0.01 + an sf1 verify) must not overwrite
       // each other's store mid-roundtrip

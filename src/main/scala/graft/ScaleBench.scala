@@ -643,6 +643,54 @@ object ScaleBench {
           Similarity.InnerProduct)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         ann.intersect(exact).size.toLong
+      }),
+
+      // q36/q37 cost decomposition: an embed-the-corpus query is
+      // fit (tokenize+TF+IDF doc-frequency agg) → transform (tokenize+TF
+      // again, IDF-scale, L2-normalize) → materialize → k-bounded scans.
+      // These arms isolate each increment so the tail attribution says
+      // which pass to restructure (tokenization runs TWICE in fit+
+      // transform — the fitTransform question) instead of guessing.
+      "fz_fit" -> (() => {
+        new graft.vector.Featurizer(dim = 64).fit(docs, "text")
+        docs.count()
+      }),
+      "fz_fit_transform" -> (() => {
+        val fz = new graft.vector.Featurizer(dim = 64).fit(docs, "text")
+        fz.transform(docs, "text").count()
+      }),
+      "fz_fit_mat" -> (() => {
+        val fz = new graft.vector.Featurizer(dim = 64).fit(docs, "text")
+        graft.operators.Materialize.eager(fz.transform(docs, "text")).count()
+      }),
+      "fz_exact_q" -> (() => {
+        val fz = new graft.vector.Featurizer(dim = 64).fit(docs, "text")
+        val corpus = graft.operators.Materialize.eager(fz.transform(docs, "text"))
+        val eng = new graft.query.QueryEngine(corpus, fz)
+        val t0 = System.nanoTime()
+        val n = eng.topK("spark join merge sort table", 5).count()
+        System.err.println(f"[scale] fz_exact_q query-only ${(System.nanoTime()-t0)/1e9}%.2f s")
+        n
+      }),
+      // the QueryEngine.AutoBuildAfter cost model, measured: one warm
+      // exact scan vs the in-memory auto-build (ivfBuild + pinned
+      // assignment) + first probe, both over the same pinned corpus
+      "fz_build_vs_scan" -> (() => {
+        val fz = new graft.vector.Featurizer(dim = 64)
+        val corpus = fz.fitTransform(docs, "text")
+        val exactEng = new graft.query.QueryEngine(corpus, fz)
+        exactEng.topK("warm up", 5).count() // codegen warm
+        val t0 = System.nanoTime()
+        exactEng.topK("spark join merge sort table", 5).count()
+        val tScan = System.nanoTime()
+        val buildEng = new graft.query.QueryEngine(corpus, fz, autoBuildAfter = 0)
+        val n = buildEng.topK("spark join merge sort table", 5).count()
+        val tBuild = System.nanoTime()
+        buildEng.topK("spark join merge sort table index", 5).count()
+        val tProbe = System.nanoTime()
+        System.err.println(f"[scale] fz_build_vs_scan exact=${(tScan-t0)/1e9}%.2f " +
+          f"build+probe=${(tBuild-tScan)/1e9}%.2f probe=${(tProbe-tBuild)/1e9}%.2f s")
+        n
       }))
     val selected = all.filter { case (name, _) => only.isEmpty || only.contains(name) }
     // GRAFT_SCALE_WARMUP=1: run each selected workload once UNTIMED first.

@@ -67,7 +67,11 @@ final class QueryEngine(
     // here (ServingBench does); None auto-builds in-memory past the
     // dispatch threshold
     annIndex: Option[graft.operators.Ann.IvfIndex] = None,
-    exactScanMaxRows: Long = QueryEngine.ExactScanMaxRows) extends Serializable {
+    exactScanMaxRows: Long = QueryEngine.ExactScanMaxRows,
+    // how many dispatched queries run on the exact scan before the
+    // in-memory auto-build triggers — see [[QueryEngine.AutoBuildAfter]];
+    // a caller-provided `annIndex` is used from the first query
+    autoBuildAfter: Int = QueryEngine.AutoBuildAfter) extends Serializable {
 
   private val spark: SparkSession = corpus.sparkSession
 
@@ -99,17 +103,20 @@ final class QueryEngine(
     * an IVF index instead: rank centroids on the driver (nlist is small),
     * scan only the nprobe nearest cells (~nprobe/nlist of the corpus,
     * partition-pruned when the caller passed a cluster-partitioned
-    * layout). Exact stays the oracle: below the threshold, and for any
-    * metric the index cannot serve (see [[dispatchableMetric]]), the
-    * full scan runs unchanged; the dispatched path's recall floor is
+    * layout). Exact stays the oracle: below the threshold, for any
+    * metric the index cannot serve (see [[dispatchableMetric]]), and —
+    * when no caller layout exists — for the first
+    * [[QueryEngine.AutoBuildAfter]] queries of the session (the build is
+    * deferred until the query count can amortize it, see [[indexFor]]),
+    * the full scan runs unchanged; the dispatched path's recall floor is
     * pinned PER METRIC in QueryEngineSpec (overlap ≥ 0.9 vs exact) and
     * gated at q175's serving roundtrip.
     */
   def topK(query: String, k: Int = 7,
       metric: Similarity.Metric = Similarity.Cosine): DataFrame = {
     val qv = embed(query)
-    annState match {
-      case Some(idx) if dispatchableMetric(metric) =>
+    indexFor(metric) match {
+      case Some(idx) =>
         val nprobe = math.max(8, idx.centers.length / 8)
         // probe geometry: L2 and cosine rank centroids against the raw
         // query (embedQuery output is unit-norm by the Featurizer
@@ -121,7 +128,7 @@ final class QueryEngine(
         val rq = if (metric == Similarity.InnerProduct) unitized(qv) else qv
         val probes = graft.operators.Ann.rankClusters(idx.centers, rq).take(nprobe)
         exactTopKOver(idx.assigned.filter(col("cluster").isin(probes: _*)), qv, k, metric)
-      case _ => exactTopKOver(corpus, qv, k, metric)
+      case None => exactTopKOver(corpus, qv, k, metric)
     }
   }
 
@@ -194,28 +201,59 @@ final class QueryEngine(
     corpus.queryExecution.optimizedPlan.stats.sizeInBytes <=
       QueryEngine.SmallCorpusBytes
 
-  /** The dispatched index: None below the threshold (exact scan is both
-    * the oracle and the faster path there). Past it, the caller-provided
-    * layout wins (persisted, cluster-partitioned — probes are partition-
-    * pruned scans); otherwise build once in-memory: seeded coarse
-    * quantizer, one codegen'd assignment pass, eagerly pinned so each
-    * query's probe filters cached cluster rows instead of re-assigning
-    * the corpus (lifetime = this engine's session, the serving contract).
+  /** Whether the corpus sits past the dispatch threshold. The byte fast
+    * path only stands in for the DEFAULT threshold; a caller that lowered
+    * exactScanMaxRows (the specs force dispatch on test-sized corpora)
+    * gets the real count.
     */
-  @transient private lazy val annState: Option[graft.operators.Ann.IvfIndex] =
-    // the byte fast path only stands in for the DEFAULT threshold; a
-    // caller that lowered exactScanMaxRows (the specs force dispatch on
-    // test-sized corpora) gets the real count
-    if ((exactScanMaxRows == QueryEngine.ExactScanMaxRows && corpusLikelySmall) ||
-        corpusRows <= exactScanMaxRows) None
-    else annIndex.orElse {
-      val nlist = math.max(64, math.min(4096,
-        math.sqrt(corpusRows.toDouble).toInt))
-      val idx = graft.operators.Ann.ivfBuild(
-        corpus, idCol, vecCol, nlist = nlist, seed = 42L, maxIter = 10)
-      Some(idx.copy(assigned = graft.operators.Materialize.eager(
-        idx.assigned.select(col(idCol), col(textCol), col(vecCol), col("cluster")))))
-    }
+  @transient private lazy val pastThreshold: Boolean =
+    !((exactScanMaxRows == QueryEngine.ExactScanMaxRows && corpusLikelySmall) ||
+      corpusRows <= exactScanMaxRows)
+
+  // deferred auto-build state — driver-side, guarded by `this`
+  @transient private var exactQueriesServed: Int = 0
+  @transient private var autoBuilt: Option[graft.operators.Ann.IvfIndex] = None
+
+  /** The index serving this query, or None for the exact scan.
+    *
+    * Below the threshold (and for metrics the probe cannot serve — see
+    * [[dispatchableMetric]]) the exact scan is both the oracle and the
+    * faster path. Past it, a caller-provided layout wins from the FIRST
+    * query (persisted, cluster-partitioned — probes are partition-pruned
+    * scans, and the build was paid elsewhere). Without one, the build is
+    * DEFERRED ski-rental-style: the first [[autoBuildAfter]] dispatched
+    * queries run on the exact scan (bit-identical to the sub-threshold
+    * behavior, each one corpus-linear but individually cheap), and only a
+    * session that keeps querying pays the build — seeded coarse
+    * quantizer, one codegen'd assignment pass, eagerly pinned so each
+    * subsequent probe filters cached cluster rows instead of re-assigning
+    * the corpus (lifetime = this engine's session, the serving contract).
+    * A short-session engine (a gate, a one-shot batch answer) never pays
+    * an index build it cannot amortize.
+    */
+  private def indexFor(metric: Similarity.Metric): Option[graft.operators.Ann.IvfIndex] =
+    if (!pastThreshold || !dispatchableMetric(metric)) None
+    else annIndex.orElse(this.synchronized {
+      if (autoBuilt.isEmpty) {
+        exactQueriesServed += 1
+        if (exactQueriesServed > autoBuildAfter) {
+          val nlist = math.max(64, math.min(4096,
+            math.sqrt(corpusRows.toDouble).toInt))
+          // widen before the assignment pass: nearest-centroid over nlist
+          // centers is corpus_rows × nlist × dim flops, and a corpus
+          // inheriting a narrow parquet layout runs it on a handful of
+          // tasks (measured at sf10, 500k docs, nlist=707: 3.4 s at scan
+          // width 32 vs ~50-70 s at the source's layout width — ScaleBench
+          // fz_build_vs_scan); a no-op when the corpus is already wide
+          val wide = graft.operators.Shuffle.ensureMinScanWidth(corpus)
+          val idx = graft.operators.Ann.ivfBuild(
+            wide, idCol, vecCol, nlist = nlist, seed = 42L, maxIter = 10)
+          autoBuilt = Some(idx.copy(assigned = graft.operators.Materialize.eager(
+            idx.assigned.select(col(idCol), col(textCol), col(vecCol), col("cluster")))))
+        }
+      }
+      autoBuilt
+    })
 
   /** O36 replacement — extractive answer: rank sentences of the top-k docs
     * by distinct query-term overlap (ties: doc rank, sentence position),
@@ -276,4 +314,24 @@ object QueryEngine {
     * job — see QueryEngine.corpusLikelySmall.
     */
   val SmallCorpusBytes: Long = 32L << 20
+
+  /** Dispatched queries served by the exact scan before the in-memory
+    * auto-build triggers (when no caller layout was provided).
+    *
+    * Ski-rental: the build costs a multiple of one exact scan — measured
+    * at sf10 (500k docs, 64-dim, local[32], ScaleBench fz_build_vs_scan):
+    * the engine-path build ≈ 12 s (defensive widen shuffle + kmeans fit
+    * 3.7 + assignment/pin 3.4; ≈ 7 s on an already-wide corpus) vs
+    * ≈ 0.5 s per warm exact scan — a ~15-25× ratio, so building on the
+    * first query charges a short session
+    * (a gate, a one-shot batch answer) the whole index for queries exact
+    * would have served in single-digit seconds. Deferring until the
+    * session has already spent roughly one build's worth of exact scans
+    * bounds the worst case at 2× optimal whichever way the session goes,
+    * the classic rent-vs-buy bound. Serving processes are unaffected:
+    * they pass their persisted layout (used from query 1), and a
+    * long-lived auto-build engine still converges to the same
+    * pinned-probe steady state, just 16 queries later.
+    */
+  val AutoBuildAfter: Int = 16
 }

@@ -140,11 +140,44 @@ class QueryEngineSpec extends SparkSpec {
   }
 
   test("auto-built index (no caller layout) dispatches and returns k rows") {
-    val auto = new QueryEngine(bigCorpus, bigFz, exactScanMaxRows = 100)
+    val auto = new QueryEngine(bigCorpus, bigFz, exactScanMaxRows = 100,
+      autoBuildAfter = 0)
     val out = auto.topK("topic3 word2 term11", k = 10)
     assert(out.queryExecution.analyzed.toString.contains("cluster"))
     assert(ids(out).size == 10)
     spark.catalog.clearCache() // release the auto-build's pinned assignment
+  }
+
+  test("auto-build defers: exact until the query count justifies the build") {
+    import graft.operators.Similarity
+    val deferred = new QueryEngine(bigCorpus, bigFz, exactScanMaxRows = 100,
+      autoBuildAfter = 2)
+    val exact = new QueryEngine(bigCorpus, bigFz) // default threshold: exact
+    val qs = Seq("topic1 word3 term4", "topic2 word5", "term17 filler1 topic4")
+    // queries 1..autoBuildAfter: no index exists yet — the plan must be the
+    // plain scan and the results bit-identical to the sub-threshold engine
+    for (q <- qs.take(2)) {
+      val d = deferred.topK(q, k = 10)
+      assert(!d.queryExecution.analyzed.toString.contains("cluster"),
+        s"pre-build query must stay exact: '$q'")
+      assert(ids(d) == ids(exact.topK(q, k = 10)),
+        s"pre-build query must equal the exact scan: '$q'")
+    }
+    // query autoBuildAfter+1 triggers the build and probes it
+    val post = deferred.topK(qs(2), k = 10)
+    assert(post.queryExecution.analyzed.toString.contains("cluster"),
+      "post-trigger query must probe the auto-built index")
+    val overlap = ids(post).toSet.intersect(ids(exact.topK(qs(2), k = 10)).toSet).size
+    assert(overlap >= 9, s"recall floor after deferred build: $overlap/10")
+    // a caller-provided layout is NOT deferred — it was paid for elsewhere
+    val idx = graft.operators.Ann.ivfBuild(bigCorpus, "doc_id", "embedding",
+      nlist = 16, seed = 42L, maxIter = 10)
+    val provided = new QueryEngine(bigCorpus, bigFz, annIndex = Some(idx),
+      exactScanMaxRows = 100, autoBuildAfter = 1000)
+    assert(provided.topK(qs(0), k = 10, Similarity.Cosine)
+      .queryExecution.analyzed.toString.contains("cluster"),
+      "caller layout must serve from the first query")
+    spark.catalog.clearCache() // release the deferred build's pinned assignment
   }
 
   test("evaluate heuristics (O37): accuracy/clarity/grounding in [0,1]") {

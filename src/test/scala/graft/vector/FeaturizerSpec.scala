@@ -35,6 +35,28 @@ class FeaturizerSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fitTransform is bit-identical to fit+transform and pins the result") {
+    val fz2 = new Featurizer(dim = 32).fit(docs, "text")
+    val twoPass = fz2.transform(docs, "text").select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val fz1 = new Featurizer(dim = 32)
+    val fused = fz1.fitTransform(docs, "text")
+    val onePass = fused.select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(onePass == twoPass)
+    // schema contract matches transform (no __ helper columns leak)
+    assert(fused.columns.toSet == Set("doc_id", "text", "embedding"))
+    // the fused fit must leave the featurizer usable for the driver-side
+    // query path with the same weights (the q36 parity contract)
+    assert(fz1.embedQuery(spark, "spark tables fast").toSeq ==
+      fz2.embedQuery(spark, "spark tables fast").toSeq)
+    // the returned frame is pinned (Materialize.eager) — consumers share
+    // one computation
+    assert(fused.storageLevel.useMemory, "fitTransform result must be persisted")
+    // and the intermediate TF frame's pin was released
+    fused.unpersist(blocking = true)
+  }
+
   test("embedQuery matches corpus-side embedding of the same text") {
     import spark.implicits._
     val fz = new Featurizer(dim = 32).fit(docs, "text")
