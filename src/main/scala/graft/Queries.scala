@@ -3244,10 +3244,16 @@ object Queries {
       val docs = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
       val toks = docs.select(col("doc_id"),
         posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-        .withColumn("token_id", row_number().over(
+      // top-300 via orderBy+limit (TakeOrderedAndProject — each partition
+      // keeps 300, the driver merges) BEFORE the id-assigning window: the
+      // previous rank-then-filter ran a partitionless window over EVERY
+      // distinct token, i.e. a single-task sort of the whole vocabulary —
+      // fine at 50k distinct tokens, a one-executor wall at a web-scale
+      // vocab. The window now ranks exactly 300 rows.
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(300)
+      val vocab = top.withColumn("token_id", row_number().over(
           Window.orderBy(col("n").desc, col("tok"))))
-        .filter(col("token_id") <= 300)
         .select("tok", "token_id")
       val joined = toks.join(broadcast(vocab), Seq("tok"), "left")
       // a 300-token vocab is broadcastable by construction — assert it
