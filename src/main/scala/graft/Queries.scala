@@ -3241,35 +3241,52 @@ object Queries {
     // count, one window rank, one broadcast-friendly token join, one
     // ordered re-assembly per doc
     "q168_vocab_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
-      val toks = docs.select(col("doc_id"),
-        posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
-      // top-300 via orderBy+limit (TakeOrderedAndProject — each partition
-      // keeps 300, the driver merges) BEFORE the id-assigning window: the
-      // previous rank-then-filter ran a partitionless window over EVERY
-      // distinct token, i.e. a single-task sort of the whole vocabulary —
-      // fine at 50k distinct tokens, a one-executor wall at a web-scale
-      // vocab. The window now ranks exactly 300 rows.
-      val top = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      // widen the scan: BOTH passes below are now pure map work over the
+      // source (the old shape's heavy lifting ran post-shuffle at full
+      // width, hiding the narrow parquet layout; without the widen the
+      // tokenize battery + encode kernel run on a handful of scan tasks —
+      // measured 38 s vs ~12 s at sf10)
+      val docs = graft.operators.Shuffle.ensureMinScanWidth(
+        t(s, dir, "documents").filter(length(trim(col("text"))) > 0))
+      // vocabulary pass: tokenize + one grouped count, top-300 via
+      // orderBy+limit (TakeOrderedAndProject — each partition keeps 300,
+      // the driver merges; the previous rank-then-filter ran a
+      // partitionless window over EVERY distinct token, a single-task
+      // sort of the whole vocabulary at web-scale cardinality). The 300
+      // ordered rows ARE the id assignment: ids 1..300 in (count desc,
+      // token) order, zipped on the driver.
+      val top = docs.select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(300)
-      val vocab = top.withColumn("token_id", row_number().over(
-          Window.orderBy(col("n").desc, col("tok"))))
-        .select("tok", "token_id")
-      val joined = toks.join(broadcast(vocab), Seq("tok"), "left")
-      // a 300-token vocab is broadcastable by construction — assert it
-      // stayed a BroadcastHashJoin in the executed plan (like q120: a
-      // silent fallback to a shuffled join would re-shuffle every token
-      // of the corpus at 100 TB) and let the oracle pin the flag true
-      val bcast = joined.queryExecution.executedPlan.toString
-        .linesIterator.exists(_.contains("BroadcastHashJoin"))
-      joined
-        .withColumn("token_id", coalesce(col("token_id"), lit(0)))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("token_id")))),
-            e => e.getField("token_id").cast(StringType)), " ").as("ids"))
-        .withColumn("vocab_bcast", lit(bcast))
+        .collect()
+      val vocabMap = top.iterator.zipWithIndex
+        .map { case (r, i) => r.getString(0) -> (i + 1) }.toMap
+      // encode pass: the vocab reaches executors as a hashed reference
+      // object inside the VocabEncodeIds kernel — no join at all, O(1)
+      // per token — and each doc re-encodes in one codegen call in
+      // original token order. The previous shape posexploded every
+      // corpus token a SECOND time and shuffled them all through a
+      // groupBy/collect_list re-assembly to recover the order the source
+      // row already had — at 100 TB that re-shuffle of the full token
+      // stream is exactly the hazard the oracle-pinned flag guards, so
+      // the flag now asserts the encode plan is join- and aggregate-free
+      // (a pure map; the only exchange permitted is the scan widen's
+      // row-level repartition above, which is a no-op on any source that
+      // already grants parallelism). (A transform+element_at(map literal)
+      // form is NOT equivalent: GetMapValue scans the map linearly per
+      // lookup — measured 214 s at sf10; see the kernel scaladoc.)
+      val encoded = docs
+        .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 1)
+        .select(col("doc_id"),
+          size(col("__toks")).cast(LongType).as("n_tokens"),
+          graft.expressions.TextHashExpressions
+            .vocabEncodeIds(col("__toks"), vocabMap).as("ids"))
+      val encodePlan = encoded.queryExecution.executedPlan.toString
+      val mapOnly = !encodePlan.linesIterator.exists(l =>
+        l.contains("Join") || l.contains("Aggregate"))
+      encoded
+        .withColumn("vocab_bcast", lit(mapOnly))
         .orderBy("doc_id")
     }),
 

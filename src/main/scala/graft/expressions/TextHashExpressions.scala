@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Map-only signature kernels for the near-dup family.
   *
@@ -238,6 +239,60 @@ case class NGramShinglesExpr(child: Expression, n: Int) extends StringArrayExpre
     copy(child = newChild)
 }
 
+/** "id id id ..." encoding of a token array under a fixed small
+  * vocabulary (OOV → 0) — the training-prep id-sequence step (q168).
+  *
+  * Why a kernel and not `transform + element_at(map literal)`: Catalyst's
+  * GetMapValue on a MapType value is a LINEAR scan of the map per lookup,
+  * so a 300-entry vocab costs 300 string comparisons per token — measured
+  * at sf10 (86M corpus tokens) the literal-map encode ran 214-230 s where
+  * even the shuffling broadcast-join shape it was meant to replace ran
+  * ~23 s. This kernel keys a java HashMap by UTF8String (hash lookup,
+  * O(1) per token, no per-token String allocation) and encodes the whole
+  * array in one call per row: no join, no explode, no shuffle, token
+  * order preserved by construction.
+  */
+object VocabEncodeIds {
+  def build(vocab: Map[String, Int]): java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](vocab.size * 2)
+    vocab.foreach { case (k, v) => m.put(UTF8String.fromString(k), Integer.valueOf(v)) }
+    m
+  }
+  def compute(arr: ArrayData,
+      vocab: java.util.HashMap[UTF8String, Integer]): UTF8String = {
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder(n * 2)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      val v = if (arr.isNullAt(i)) null else vocab.get(arr.getUTF8String(i))
+      sb.append(if (v == null) 0 else v.intValue())
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class VocabEncodeIdsExpr(child: Expression, vocab: Map[String, Int])
+    extends StringArrayExpression {
+  override def prettyName: String = "vocab_encode_ids"
+  override def dataType: DataType = StringType
+
+  @transient private lazy val table = VocabEncodeIds.build(vocab)
+
+  override def nullSafeEval(value: Any): Any =
+    VocabEncodeIds.compute(value.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tRef = ctx.addReferenceObj("vocabTable", table, "java.util.HashMap")
+      s"${ev.value} = graft.expressions.VocabEncodeIds.compute($a, $tRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface. */
 object TextHashExpressions {
   private def c(e: Expression): Column = GraftBridge.column(e)
@@ -249,4 +304,6 @@ object TextHashExpressions {
     c(SimhashSignature(e(tokens)))
   def ngramShingles(tokens: Column, n: Int): Column =
     c(NGramShinglesExpr(e(tokens), n))
+  def vocabEncodeIds(tokens: Column, vocab: Map[String, Int]): Column =
+    c(VocabEncodeIdsExpr(e(tokens), vocab))
 }

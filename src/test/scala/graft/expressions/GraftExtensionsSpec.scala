@@ -38,6 +38,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(2) == viaCols.getLong(1))
   }
 
+  test("vocab_encode_ids: hashed O(1) lookup matches the map-literal semantics") {
+    import org.apache.spark.sql.functions._
+    val vocab = Map("the" -> 1, "spark" -> 2, "join" -> 3)
+    // codegen path (whole-stage over a real scan)
+    import spark.implicits._
+    val out = Seq(
+      (1L, Seq("the", "spark", "oov", "join")),
+      (2L, Seq("oov1", "oov2")),
+      (3L, Seq("join"))).toDF("id", "toks")
+      .select(col("id"),
+        TextHashExpressions.vocabEncodeIds(col("toks"), vocab).as("ids"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "1 2 0 3", 2L -> "0 0", 3L -> "3"))
+    // interpreted path (literal fold / eval) must agree
+    val one = spark.range(1).select(TextHashExpressions.vocabEncodeIds(
+      array(lit("spark"), lit("x"), lit("the")), vocab).as("ids")).head().getString(0)
+    assert(one == "2 0 1")
+    // empty array encodes to the empty string (callers filter size >= 1)
+    val empty = spark.range(1).select(TextHashExpressions.vocabEncodeIds(
+      array().cast("array<string>"), vocab).as("ids")).head().getString(0)
+    assert(empty == "")
+  }
+
   test("wrong arity gives a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
