@@ -83,6 +83,31 @@ object Bench {
       t: Double, prior: Option[Double], k: Double = 2.0, minSec: Double = 0.4): Boolean =
     t >= minSec && prior.exists(p => p > 0 && t > k * p)
 
+  /** Single-thread box-speed probe: a fixed xorshift64* loop (no
+    * allocation, no memory traffic — pure scalar ALU). Returns seconds
+    * for `steps` iterations, min over `reps` timed runs after one
+    * untimed warmup (JIT compilation must not land in a timed rep).
+    * The fold into `sink` keeps the loop un-eliminable.
+    */
+  def jvmCalib(steps: Long = 1L << 29, reps: Int = 3): Double = {
+    def once(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var sink = 0L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < steps) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        sink ^= x * 0x2545F4914F6CDD1DL
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (sink == 42L) System.err.println("") // defeat dead-code elim
+      dt
+    }
+    once() // untimed JIT warmup
+    (1 to reps).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -118,6 +143,35 @@ object Bench {
           org.apache.spark.sql.functions.lit(" x ")))).as("v"))
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Box-speed calibration (round 16): records are taken on whatever VM
+    // instance the driver provisioned that day, and a fresh instance
+    // measured the SAME HEAD a uniform 27% slower wall-to-wall (179-query
+    // median per-query ratio 1.27x vs the committed record, 159 worse /
+    // 9 better — untouched one-shot queries inflated the most). Totals
+    // across rounds are therefore only comparable after dividing out box
+    // speed. Two fixed probes, each min-over-3 after an untimed warmup
+    // (repeat-min: noise only inflates, so a noisy rep can only be
+    // corrected downward):
+    //  - jvm1: single-thread xorshift64* loop — pure scalar CPU.
+    //  - sparkN: one fixed codegen'd job (range >> xxhash64 >> sum) at
+    //    bench parallelism — scheduler + codegen + memory bandwidth.
+    // tools/compare_bench.py divides these out when both records carry
+    // them and prints the drift fingerprint either way.
+    val calibJvm = jvmCalib()
+    val calibSpark = {
+      import org.apache.spark.sql.functions.{sum => fsum, xxhash64, shiftright, col}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // shiftright(40) bounds each term under 2^24 so the 2^28-row sum
+        // stays under 2^52 — ANSI mode makes a raw hash sum overflow-fatal
+        spark.range(1L << 28).select(fsum(shiftright(xxhash64(col("id")), 40)))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // untimed warmup
+      (1 to 3).map(_ => once()).min
+    }
+    System.err.println(f"[bench] calib: jvm1=$calibJvm%.3f s, spark$cpus=$calibSpark%.3f s")
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
@@ -206,8 +260,10 @@ object Bench {
     // full-fidelity record: printed FIRST (its head may be cut from the
     // driver's stdout tail — acceptable, it also persists to a file) and
     // written to BENCH_full.json so no per-query timing is ever lost
+    val calib =
+      s"""{"jvm1_sec":${fmt(calibJvm)},"spark${cpus}_sec":${fmt(calibSpark)}}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"serving":$serving}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"calib":$calib,"serving":$serving}"""
     println(fullLine)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
@@ -219,7 +275,7 @@ object Bench {
     // count, serving to 3-dp short keys, sf to its numeric suffix)
     val sfShort = sfDir.split("sf").last
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qsCompact,"sf":"$sfShort","nreplay":${replayed.size},"serving":$servingCompact}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qsCompact,"sf":"$sfShort","nreplay":${replayed.size},"cal":{"j":${fmt(calibJvm)},"s":${fmt(calibSpark)}},"serving":$servingCompact}"""
     println(line)
     spark.stop()
   }

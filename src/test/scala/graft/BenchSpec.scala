@@ -67,6 +67,15 @@ class BenchSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("jvmCalib: positive, and repeat-min is stable within 2x across calls") {
+    // tiny step count: the spec pins the contract (positive, un-eliminated,
+    // min-of-reps roughly stable), not the probe's absolute speed
+    val a = Bench.jvmCalib(steps = 1L << 22, reps = 2)
+    val b = Bench.jvmCalib(steps = 1L << 22, reps = 2)
+    assert(a > 0 && b > 0)
+    assert(math.max(a, b) / math.min(a, b) < 2.0, s"unstable: $a vs $b")
+  }
+
   test("regressedVsPrior: the r9 escape case (0.43s -> 1.96s, under the 2s floor) replays") {
     assert(Bench.regressedVsPrior(1.96, Some(0.427)))
   }

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Compare two bench records and classify the delta: code regression vs
+box drift.
+
+Round-16 finding: the driver provisions a fresh VM instance per session,
+and the SAME HEAD measured a uniform +27% wall-to-wall on a new instance
+(179-query median per-query ratio 1.27x, 159 worse / 9 better, untouched
+one-shot queries inflated the most). A total that moved is therefore
+meaningless until the per-query ratio DISTRIBUTION says whether the move
+is uniform (box) or localized (code). This tool prints that fingerprint,
+and when both records carry the `calib` block (graft.Bench's fixed CPU
+probes, added round 16) it also divides box speed out of the totals.
+
+Usage: compare_bench.py PRIOR.json CURRENT.json [--top N]
+
+Accepts either format per file:
+  - graft.Bench full line: {"metric":"total","queries":{"qNN_name":sec,...},
+    "calib":{"jvm1_sec":..,"sparkNN_sec":..},...}
+  - driver round wrapper: {"n":..,"tail":"...\n{compact line}"} — the
+    compact line keys queries by bare number in integer centiseconds.
+"""
+import json
+import re
+import sys
+import statistics
+
+
+def load(path):
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        rec = doc
+    elif "tail" in doc:
+        # driver wrapper: the LAST '{"metric"' line in the tail is the
+        # compact record, sized to survive the stdout-tail capture whole
+        line = doc["tail"][doc["tail"].rfind('{"metric"'):].split("\n")[0]
+        rec = json.loads(line)
+    else:
+        raise SystemExit(f"{path}: neither a bench record nor a driver wrapper")
+    cs = rec.get("qunit") == "cs"
+    qs = {}
+    for k, v in rec["queries"].items():
+        if v is None or v < 0:
+            continue  # failure sentinel: excluded from ratios
+        m = re.match(r"q0*(\d+)", k)
+        key = m.group(1) if m else k
+        qs[key] = v / 100.0 if cs else v
+    calib = rec.get("calib")
+    if calib is None and "cal" in rec:
+        calib = {"jvm1_sec": rec["cal"].get("j"), "spark_sec": rec["cal"].get("s")}
+    return {"total": rec.get("value"), "queries": qs, "calib": calib,
+            "sf": rec.get("sf")}
+
+
+def calib_ratio(prior, cur):
+    """cur/prior box-slowness factor from the calib probes (jvm1 primary:
+    it has no scheduler/memory component, so it is the cleanest pure-CPU
+    constant). None when either record predates the calib block."""
+    cp, cc = prior.get("calib"), cur.get("calib")
+    if not cp or not cc:
+        return None
+    for key in ("jvm1_sec",):
+        a = cp.get(key)
+        b = cc.get(key)
+        if a and b:
+            return b / a
+    return None
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    top = 10
+    for a in sys.argv[1:]:
+        if a.startswith("--top"):
+            top = int(a.split("=")[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    prior, cur = load(args[0]), load(args[1])
+    if prior.get("sf") and cur.get("sf") and str(prior["sf"]).split("sf")[-1] != str(cur["sf"]).split("sf")[-1]:
+        print(f"WARNING: scale factors differ ({prior['sf']} vs {cur['sf']}) — ratios are not comparable")
+    common = sorted(set(prior["queries"]) & set(cur["queries"]), key=lambda k: int(k) if k.isdigit() else 0)
+    ratios = {k: cur["queries"][k] / prior["queries"][k]
+              for k in common if prior["queries"][k] > 0}
+    if not ratios:
+        raise SystemExit("no common queries between the two records")
+    med = statistics.median(ratios.values())
+    worse = sum(1 for r in ratios.values() if r > 1.05)
+    better = sum(1 for r in ratios.values() if r < 0.95)
+    box = calib_ratio(prior, cur)
+    print(f"totals: prior={prior['total']:.2f} s  current={cur['total']:.2f} s  "
+          f"({cur['total'] / prior['total']:.3f}x)")
+    if box is not None:
+        print(f"calib (jvm1): box speed ratio {box:.3f}x -> "
+              f"box-normalized total {cur['total'] / box:.2f} s "
+              f"({cur['total'] / box / prior['total']:.3f}x vs prior)")
+    else:
+        print("calib: absent from at least one record (pre-round-16) — totals not box-normalized")
+    print(f"per-query ratio: median {med:.3f}x over {len(ratios)} common queries; "
+          f"{worse} worse >5%, {better} better >5%")
+    # classification: if the MEDIAN moved >10% and most queries moved the
+    # same direction, the shift is box-wide; individual movers are then
+    # judged against the median, not against 1.0
+    if med > 1.10 and worse > 3 * max(better, 1):
+        print(f"verdict: UNIFORM INFLATION (box drift fingerprint) — judge "
+              f"individual queries against the {med:.2f}x median, not 1.0x")
+    elif med < 0.90 and better > 3 * max(worse, 1):
+        print(f"verdict: UNIFORM SPEEDUP (faster box or global win) — judge "
+              f"individual queries against the {med:.2f}x median")
+    else:
+        print("verdict: LOCALIZED — the movers below are candidate code changes")
+    devs = sorted(ratios.items(), key=lambda kv: kv[1] / med, reverse=True)
+    print(f"\ntop {top} above-median movers (ratio, vs-median, prior->cur s):")
+    for k, r in devs[:top]:
+        print(f"  q{k}: {r:.2f}x  ({r / med:.2f}x vs median)  "
+              f"{prior['queries'][k]:.2f} -> {cur['queries'][k]:.2f}")
+    print(f"\ntop {top} below-median movers:")
+    for k, r in devs[-top:][::-1]:
+        print(f"  q{k}: {r:.2f}x  ({r / med:.2f}x vs median)  "
+              f"{prior['queries'][k]:.2f} -> {cur['queries'][k]:.2f}")
+
+
+if __name__ == "__main__":
+    main()
