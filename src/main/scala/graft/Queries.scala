@@ -217,10 +217,15 @@ object Queries {
 
     // O17 timestamp string round-trip
     "q07_ts_roundtrip" -> ((s, dir) =>
-      t(s, dir, "events").select(
-        col("event_id"),
-        CF.parseTimestamp(col("ts").cast(StringType)).cast(TimestampNTZType).as("ts2"))
-        .orderBy("event_id")),
+      // sort-first (SortedDerive scaladoc): the format+parse pair costs
+      // more than the narrow (event_id, ts) shuffle, and the project-
+      // then-sort form ran it at SCAN width — 3-4 tasks on the sf10
+      // single-file layout (the same narrow-layout hazard as q04/q17)
+      SortedDerive(t(s, dir, "events"), Seq("event_id"), Seq("ts")) { sorted =>
+        sorted.select(
+          col("event_id"),
+          CF.parseTimestamp(col("ts").cast(StringType)).cast(TimestampNTZType).as("ts2"))
+      }),
 
     // O18 string record-id concat (intended semantics)
     "q08_concat_id" -> ((s, dir) =>
@@ -2788,16 +2793,19 @@ object Queries {
     // generation stays a pure array transform (no self-join), then one
     // grouped count; top-20 with a deterministic tiebreak
     "q148_bigrams" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(TF.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-          .as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("bigram"))
-        .limit(20)),
+      // widenPlan fires here (tokenize split + higher-order bigram
+      // assembly + explode all run BELOW the groupBy exchange, i.e. at
+      // source-granted width — 3-4 tasks on the sf10 single-file layout)
+      graft.operators.Shuffle.widenPlan(t(s, dir, "documents"))(
+        _.select(TF.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20))),
 
     // funnel conversion (first click → first purchase at-or-after it, per
     // user): two tiny aggregates + one broadcast-friendly join — the
