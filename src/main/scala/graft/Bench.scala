@@ -108,6 +108,21 @@ object Bench {
     (1 to reps).map(_ => once()).min
   }
 
+  /** Aggregate hypervisor-steal jiffies from /proc/stat's `cpu` row
+    * (field 8 after the label: user nice system idle iowait irq softirq
+    * STEAL). None off-Linux or on parse failure. The BENCH_sf10_r16c
+    * record was inflated by BURSTY steal (a noisy co-tenant VM) that only
+    * /proc/stat could attribute — recording the run's steal delta makes
+    * that diagnosis part of the record instead of a forensic follow-up.
+    */
+  def procStatSteal(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong)
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -172,6 +187,7 @@ object Bench {
       (1 to 3).map(_ => once()).min
     }
     System.err.println(f"[bench] calib: jvm1=$calibJvm%.3f s, spark$cpus=$calibSpark%.3f s")
+    val stealStart = procStatSteal()
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
@@ -260,8 +276,12 @@ object Bench {
     // full-fidelity record: printed FIRST (its head may be cut from the
     // driver's stdout tail — acceptable, it also persists to a file) and
     // written to BENCH_full.json so no per-query timing is ever lost
+    // steal delta over the whole query+serving window, in CPU-seconds
+    // (jiffies/USER_HZ=100); -1 when /proc/stat is unavailable
+    val stealSec = (for (a <- stealStart; b <- procStatSteal())
+      yield (b - a) / 100.0).getOrElse(-1.0)
     val calib =
-      s"""{"jvm1_sec":${fmt(calibJvm)},"spark${cpus}_sec":${fmt(calibSpark)}}"""
+      s"""{"jvm1_sec":${fmt(calibJvm)},"spark${cpus}_sec":${fmt(calibSpark)},"steal_sec":${fmt(stealSec)}}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"calib":$calib,"serving":$serving}"""
     println(fullLine)
@@ -275,7 +295,7 @@ object Bench {
     // count, serving to 3-dp short keys, sf to its numeric suffix)
     val sfShort = sfDir.split("sf").last
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qsCompact,"sf":"$sfShort","nreplay":${replayed.size},"cal":{"j":${fmt(calibJvm)},"s":${fmt(calibSpark)}},"serving":$servingCompact}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qsCompact,"sf":"$sfShort","nreplay":${replayed.size},"cal":{"j":${fmt(calibJvm)},"s":${fmt(calibSpark)},"st":${fmt(stealSec)}},"serving":$servingCompact}"""
     println(line)
     spark.stop()
   }

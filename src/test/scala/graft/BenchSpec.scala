@@ -76,6 +76,15 @@ class BenchSpec extends AnyFunSuite {
     assert(math.max(a, b) / math.min(a, b) < 2.0, s"unstable: $a vs $b")
   }
 
+  test("procStatSteal: parses the aggregate cpu row on Linux, monotone non-negative") {
+    val a = Bench.procStatSteal()
+    if (new java.io.File("/proc/stat").exists()) {
+      assert(a.isDefined && a.get >= 0)
+      val b = Bench.procStatSteal()
+      assert(b.get >= a.get) // cumulative counter never decreases
+    } else assert(a.isEmpty)
+  }
+
   test("regressedVsPrior: the r9 escape case (0.43s -> 1.96s, under the 2s floor) replays") {
     assert(Bench.regressedVsPrior(1.96, Some(0.427)))
   }

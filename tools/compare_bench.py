@@ -93,6 +93,11 @@ def main():
               f"({cur['total'] / box / prior['total']:.3f}x vs prior)")
     else:
         print("calib: absent from at least one record (pre-round-16) — totals not box-normalized")
+    for label, rec in (("prior", prior), ("current", cur)):
+        st = (rec.get("calib") or {}).get("steal_sec", (rec.get("calib") or {}).get("st"))
+        if st is not None and st >= 0:
+            print(f"steal ({label}): {st:.1f} CPU-s stolen during the run"
+                  + (" — BURSTY CO-TENANT LIKELY, expect non-uniform spikes" if st > 60 else ""))
     print(f"per-query ratio: median {med:.3f}x over {len(ratios)} common queries; "
           f"{worse} worse >5%, {better} better >5%")
     # classification: if the MEDIAN moved >10% and most queries moved the
