@@ -2796,12 +2796,19 @@ object Queries {
       // widenPlan fires here (tokenize split + higher-order bigram
       // assembly + explode all run BELOW the groupBy exchange, i.e. at
       // source-granted width — 3-4 tasks on the sf10 single-file layout)
+      // the short-doc guard lives INSIDE the explode (empty array -> row
+      // dropped), not as a .filter: Catalyst pushes a filter through the
+      // projection by SUBSTITUTING the toks alias — the full tokenize ran
+      // a second time inside the scan, below the widen exchange, at
+      // row-group width (the Curation.filterKeep pushdown trap; audit
+      // caught it here as a width-1 split at sf10)
       graft.operators.Shuffle.widenPlan(t(s, dir, "documents"))(
         _.select(TF.tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) >= 2)
           .select(explode(expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            "CASE WHEN size(toks) >= 2 THEN " +
+              "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) " +
+              "ELSE array() END"))
             .as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram"))
@@ -2923,7 +2930,13 @@ object Queries {
     "q155_stat_functions" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("bucket", (col("user_id") % 5).cast(StringType))
-      val ct = ev.stat.crosstab("bucket", "event_type")
+      // crosstab's implementation regex-escapes backticks PER ROW before
+      // its partial aggregate — costly row work that runs at row-group
+      // width on a compacted source (audit: width 2 over 10M events at
+      // sf10); widen its input only (freqItems/mustHave partials are
+      // accumulator-cheap — decode floor either way)
+      val ct = graft.operators.Shuffle.ensureMinScanWidth(ev)
+        .stat.crosstab("bucket", "event_type")
       val items = ev.stat.freqItems(Array("event_type"), 0.2)
         .head().getSeq[String](0).toSet
       val mustHave = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -3283,9 +3296,14 @@ object Queries {
       // already grants parallelism). (A transform+element_at(map literal)
       // form is NOT equivalent: GetMapValue scans the map linearly per
       // lookup — measured 214 s at sf10; see the kernel scaladoc.)
+      // no size(__toks)>=1 filter: it is implied by the length(trim)>0
+      // source filter (split of a nonempty trimmed string yields ≥1
+      // token), and as a Filter node Catalyst substituted the __toks
+      // alias and pushed a SECOND full tokenize below the widen
+      // repartition into the scan — width-1 work on a compacted layout
+      // (the filterKeep pushdown trap; audit-caught)
       val encoded = docs
         .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
-        .filter(size(col("__toks")) >= 1)
         .select(col("doc_id"),
           size(col("__toks")).cast(LongType).as("n_tokens"),
           graft.expressions.TextHashExpressions

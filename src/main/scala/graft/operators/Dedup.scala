@@ -61,7 +61,10 @@ object Dedup {
     * cross-row distinct (and no shuffle) is needed here.
     */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+    // width-guarded: clean+tokenize+shingle+explode runs at source width
+    // (narrow-layout hazard; no-op on a well-split source)
+    graft.operators.Shuffle.ensureMinScanWidth(df)
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
 
   /** MinHash signatures via the AGGREGATE form (groupBy doc, 32 partial
     * mins over the exploded shingles). Retained as the bit-compatibility
@@ -111,7 +114,10 @@ object Dedup {
     // the per-row shingle array — no corpus-wide explode, no groupBy
     // shuffle, no shingle cache to manage (the aggregate form shuffled
     // |corpus| × shingles-per-doc rows just to reduce them back per doc)
-    val sigs = df.select(col(idCol).as("doc_id"),
+    // width-guarded: the shingle+minhash kernel is pure map directly above
+    // the scan (narrow-layout hazard; no-op on a well-split source)
+    val sigs = graft.operators.Shuffle.ensureMinScanWidth(df)
+      .select(col(idCol).as("doc_id"),
         graft.expressions.TextHashExpressions
           .minhashSigs(TextFunctions.shingles(col(textCol), n), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
@@ -282,7 +288,10 @@ object Dedup {
     * round-2 bench's codegen-compile suspect).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    // width-guarded: clean+tokenize+simhash kernel is pure map directly
+    // above the scan (narrow-layout hazard; no-op on a well-split source)
+    graft.operators.Shuffle.ensureMinScanWidth(df)
+      .select(
       col(idCol).as("doc_id"),
       graft.expressions.TextHashExpressions.simhash(
         TextFunctions.tokens(graft.functions.CleanFunctions.cleanText(col(textCol))))
@@ -425,8 +434,13 @@ object Dedup {
     val planes = Array.fill(tablesEff, bitsEff)(Array.fill(dim)(rnd.nextGaussian().toFloat))
     // signatures only — the vectors are NOT carried through the ×tables
     // explode (that would amplify the corpus `tables`-fold through the
-    // shuffle); candidates join them back by id for verification
-    val sigs = df.select(col(idCol).as("doc_id"),
+    // shuffle); candidates join them back by id for verification.
+    // Width-guarded: the tables×bits×dim kernel runs directly above the
+    // scan (below the bucket join's exchange), so a compacted single-
+    // row-group vector table would sign the whole corpus in 1-2 tasks
+    // (audit-caught at sf10; no-op on a well-split source).
+    val sigs = graft.operators.Shuffle.ensureMinScanWidth(df)
+      .select(col(idCol).as("doc_id"),
       explode(graft.expressions.QuantizerExpressions.hyperplaneSigs(col(vecCol), planes)).as("sig"))
     // same per-bucket population bound as the MinHash/SimHash bands: a
     // mega-cluster of (near-)identical vectors lands in the same sig

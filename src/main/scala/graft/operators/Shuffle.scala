@@ -121,7 +121,56 @@ object Shuffle {
       val floor =
         if (minPartitions > 0) minPartitions
         else df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions >= floor) df else df.repartition(floor)
+      if (effectiveScanWidth(df, floor) >= floor) df else df.repartition(floor)
+    }
+  }
+
+  /** The number of tasks that will actually CARRY ROWS when `df`'s
+    * (exchange-free) source scans — the honest input to the width floor.
+    *
+    * `rdd.getNumPartitions` reports PLANNED byte-range splits, and Spark
+    * plans ~defaultParallelism of them on any large file
+    * (`maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    * bytes/defaultParallelism))`). But a parquet ROW GROUP is the minimum
+    * split unit — each row group's rows land in exactly one task — so a
+    * compacted single-file table caps out at its row-group count no
+    * matter what was planned. Measured on the sf10 layout: documents
+    * (500k rows, 54 MB) = 1 row group with 14 planned splits; events
+    * (10M rows, 152 MB) = 2 row groups with 32 planned — a
+    * planned-width probe declares that scan "wide enough" at floor 32
+    * while 30 of its 32 tasks read zero rows.
+    *
+    * The cap is read from parquet footers (metadata-only), and ONLY when
+    * cheaper signals can't already answer: planned width below the floor
+    * answers by itself, a table with ≥ floor FILES is ≥ floor row groups
+    * (at 100 TB, thousands of files — no footer is ever read), and
+    * non-parquet / multi-leaf / unreadable-footer plans fall back to the
+    * planned width (the prior behavior, never a crash).
+    */
+  private[graft] def effectiveScanWidth(df: DataFrame, floor: Int): Int = {
+    val planned = df.rdd.getNumPartitions
+    if (planned < floor) return planned
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    scans match {
+      case Seq(scan) if scan.relation.fileFormat
+          .isInstanceOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+        try {
+          val files = scan.relation.location.inputFiles
+          if (files.length >= floor) planned
+          else {
+            val conf = df.sparkSession.sessionState.newHadoopConf()
+            val rowGroups = files.map { f =>
+              val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new org.apache.hadoop.fs.Path(f), conf))
+              try in.getFooter.getBlocks.size finally in.close()
+            }.sum
+            math.min(planned, math.max(1, rowGroups))
+          }
+        } catch { case scala.util.control.NonFatal(_) => planned }
+      case _ => planned
     }
   }
 
@@ -165,7 +214,7 @@ object Shuffle {
     val floor =
       if (minPartitions > 0) minPartitions
       else source.sparkSession.sparkContext.defaultParallelism
-    if (source.rdd.getNumPartitions >= floor) return plain
+    if (effectiveScanWidth(source, floor) >= floor) return plain
     if (scanSideSegments(plain.queryExecution.sparkPlan).exists(hasCostlyRowWork))
       derive(source.repartition(floor))
     else plain
@@ -175,7 +224,7 @@ object Shuffle {
     * segments that run at SOURCE-GRANTED width (everything above the
     * first exchange runs at shuffle width instead).
     */
-  private def scanSideSegments(p: org.apache.spark.sql.execution.SparkPlan)
+  private[graft] def scanSideSegments(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] =
     if (!p.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])) Seq(p)
     else p.children.flatMap(scanSideSegments)
@@ -183,7 +232,7 @@ object Shuffle {
   /** True when a scan-side segment carries per-row work that dwarfs
     * parquet decode (see [[widenPlan]] condition 2).
     */
-  private def hasCostlyRowWork(seg: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+  private[graft] def hasCostlyRowWork(seg: org.apache.spark.sql.execution.SparkPlan): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
     val exprs: Seq[Expression] = seg.collect {
       case pr: org.apache.spark.sql.execution.ProjectExec =>

@@ -18,10 +18,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 object CorpusStats {
 
   /** (doc_id, token) exploded view of non-empty docs — whitespace
-    * tokenization (TextFunctions.tokens contract).
+    * tokenization (TextFunctions.tokens contract). The source is
+    * width-guarded: the tokenize+explode runs directly above the scan
+    * (no exchange below the first aggregate), so a compacted single-
+    * row-group corpus would explode ~86M tokens in ONE task at sf10
+    * (the narrow-layout hazard, audit-caught sixth sighting; the guard
+    * is a no-op on any source that already grants parallelism).
     */
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.filter(length(trim(col(textCol))) > 0)
+    graft.operators.Shuffle.ensureMinScanWidth(docs)
+      .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col(textCol)))
         .as("__tok"))
 
@@ -71,7 +77,8 @@ object CorpusStats {
     */
   def tokenTvDistance(docs: DataFrame, groupCol: String, textCol: String,
       groupA: String, groupB: String): DataFrame = {
-    val toks = docs
+    // same width guard as tokenized: the explode runs at source width
+    val toks = graft.operators.Shuffle.ensureMinScanWidth(docs)
       .filter(col(groupCol).isin(groupA, groupB) && length(trim(col(textCol))) > 0)
       .select(col(groupCol).as("__g"),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))

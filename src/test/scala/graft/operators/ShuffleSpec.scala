@@ -70,6 +70,40 @@ class ShuffleSpec extends SparkSpec {
     assert(repartitionNodes(out) == 1, "only the source's own repartition")
   }
 
+  test("effectiveScanWidth: row groups cap a planned-wide single-file parquet scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rg").toString
+    // one file, ONE row group (default 128MB block), padded rows so the
+    // byte-range planner cuts many splits once maxPartitionBytes shrinks
+    (1 to 20000).map(i => (i.toLong, "x" * 200)).toDF("id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/one_rg")
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = spark.read.parquet(s"$dir/one_rg")
+      val planned = df.rdd.getNumPartitions
+      assert(planned >= 4, s"test premise: planner cuts many splits, got $planned")
+      // the planned width lies; the single row group is the truth
+      assert(Shuffle.effectiveScanWidth(df, 4) == 1)
+      // and the guard now fires where the planned-width probe declined
+      assert(repartitionNodes(Shuffle.ensureMinScanWidth(df, 4)) == 1,
+        "a 1-row-group file must widen regardless of planned splits")
+      // many row groups -> genuinely wide -> no repartition
+      (1 to 20000).map(i => (i.toLong, "x" * 200)).toDF("id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", "65536")
+        .parquet(s"$dir/many_rg")
+      val wide = spark.read.parquet(s"$dir/many_rg")
+      assert(Shuffle.effectiveScanWidth(wide, 4) >= 4)
+      assert(repartitionNodes(Shuffle.ensureMinScanWidth(wide, 4)) == 0)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     import spark.implicits._
     val facts = (1L to 1000L).map(i => (i % 50, s"f$i")).toDF("k", "f")
