@@ -72,26 +72,12 @@ object WidthAudit {
             // is row-group-capped (Shuffle.effectiveScanWidth's rationale:
             // planned splits lie on compacted files); leaf.execute()
             // builds the RDD lineage without running a job.
+            // same row-group-capped dispatch as the guard it audits
+            // (Shuffle.rowGroupCappedWidth — one copy, cannot drift)
             val widths = hot.flatMap(_.collectLeaves()).map {
               case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-                scala.util.Try {
-                  val planned = s.execute().getNumPartitions
-                  val files = s.relation.location.inputFiles
-                  if (files.length >= floor ||
-                      !s.relation.fileFormat.isInstanceOf[
-                        org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-                    planned
-                  else {
-                    val conf = spark.sessionState.newHadoopConf()
-                    val rgs = files.map { f =>
-                      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
-                        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                          new org.apache.hadoop.fs.Path(f), conf))
-                      try in.getFooter.getBlocks.size finally in.close()
-                    }.sum
-                    math.min(planned, math.max(1, rgs))
-                  }
-                }.getOrElse(-1)
+                scala.util.Try(graft.operators.Shuffle.rowGroupCappedWidth(
+                  s, s.execute().getNumPartitions, floor)).getOrElse(-1)
               case l => scala.util.Try(l.execute().getNumPartitions).getOrElse(-1)
             }
             val narrow = widths.exists(w => w >= 0 && w < floor)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -336,5 +336,92 @@ object OrderedStats {
         col(s"__f_$name") * (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)
     }
     agged.select(col(groupCol) +: outs: _*)
+  }
+
+  /** Distributed per-group row numbers (1-based) + group totals over a
+    * TOTAL order — the scale-safe form of
+    * `row_number().over(partitionBy(group).orderBy(...))` when the group
+    * cardinality is small: the window form runs ONE task per group (a
+    * 5-event-type table sorts ~2M rows per task at sf10 and ~1B rows per
+    * task a decade up, however many cores the cluster has), while this
+    * runs every stage at the configured shuffle width.
+    *
+    * Same machinery as TrainingData.packSequences' distributed prefix sum:
+    * range-partition by (group, orderCols) — which preserves the total
+    * (group, order) sequence ACROSS partitions — then count per
+    * (partition, group) (a #partitions × #groups aggregate, safe to
+    * collect), exclusive-prefix-sum those counts on the driver, and add
+    * each partition's offset to a row_number window that only ever sorts
+    * WITHIN one range partition (bounded by partition size, not group
+    * size). Output = input columns + `rnCol` (1-based rank in the group's
+    * order) + `nCol` (group row count).
+    *
+    * REQUIREMENTS (the caller's contract, both checked nowhere because
+    * they are data properties): `orderCols` must be a total order within
+    * each group (a unique tiebreaker column makes any order total — with
+    * ties, rows equal on the full key straddle range-partition boundaries
+    * nondeterministically), and the group column must be non-null (the
+    * offset join key is the group cast to string, and packSequences'
+    * null-group caveat applies identically). Under a total order,
+    * rank() = dense_rank() = row_number(), so the full SQL rank family
+    * derives from (rn, n) — see [[ntileFromRn]] and q92.
+    */
+  def groupedRowNumbers(
+      df: DataFrame, groupCol: String, orderCols: Seq[Column],
+      rnCol: String = "rn", nCol: String = "n",
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "OrderedStats: an order is required")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // materialized once: the subtotal pass and the output pass must see
+    // the SAME range boundaries (packSequences' round-9 chaos rationale)
+    val ranged = Materialize.eager(df
+      .withColumn("__g", col(groupCol).cast(org.apache.spark.sql.types.StringType))
+      .repartitionByRange(parts, (col("__g") +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id()))
+    val subtotals = ranged.groupBy("__pid", "__g")
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val offsets: Seq[(Int, String, Long, Long)] =
+      subtotals.keys.map(_._2).toSeq.distinct.flatMap { g =>
+        val pids = subtotals.keys.filter(_._2 == g).map(_._1).toSeq.sorted
+        val total = pids.map(p => subtotals((p, g))).sum
+        var acc = 0L
+        pids.map { p =>
+          val o = (p, g, acc, total)
+          acc += subtotals((p, g))
+          o
+        }
+      }
+    import spark.implicits._
+    val offsetDf = offsets.toDF("__pid", "__g", "__off", "__ntot")
+    val w = Window.partitionBy(col("__pid"), col("__g")).orderBy(orderCols: _*)
+    ranged
+      .join(broadcast(offsetDf), Seq("__pid", "__g"))
+      .withColumn(rnCol, col("__off") + row_number().over(w))
+      .withColumn(nCol, col("__ntot"))
+      .drop("__pid", "__g", "__off", "__ntot")
+  }
+
+  /** SQL `ntile(k)`'s bucket for a (1-based) row number `rn` out of `n`
+    * rows: the first n % k buckets carry ⌈n/k⌉ rows, the rest ⌊n/k⌋ —
+    * closed-form from (rn, n), no window needed once [[groupedRowNumbers]]
+    * has produced a total-order rank. `greatest(q, 1)` keeps the
+    * untaken else-branch ANSI-safe when n < k (q = 0: every row lands in
+    * the first branch, but CASE still type-checks both arms).
+    */
+  def ntileFromRn(rn: Column, n: Column, k: Int): Column = {
+    // Column./ is Divide (fractional) — integer division must be floor().
+    // All operands are row counts ≤ 2^53, exact in the double intermediate.
+    def idiv(a: Column, b: Column) = floor(a.cast(DoubleType) / b).cast(LongType)
+    val q = idiv(n, lit(k))
+    val r = n % k
+    val cut = r * (q + 1)
+    when(rn <= cut, idiv(rn - 1, q + 1) + 1)
+      .otherwise(r + idiv(rn - cut - 1, greatest(q, lit(1L))) + 1)
   }
 }

@@ -154,24 +154,47 @@ object Shuffle {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     scans match {
-      case Seq(scan) if scan.relation.fileFormat
-          .isInstanceOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
-        try {
-          val files = scan.relation.location.inputFiles
-          if (files.length >= floor) planned
-          else {
-            val conf = df.sparkSession.sessionState.newHadoopConf()
-            val rowGroups = files.map { f =>
-              val in = org.apache.parquet.hadoop.ParquetFileReader.open(
-                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                  new org.apache.hadoop.fs.Path(f), conf))
-              try in.getFooter.getBlocks.size finally in.close()
-            }.sum
-            math.min(planned, math.max(1, rowGroups))
-          }
-        } catch { case scala.util.control.NonFatal(_) => planned }
+      case Seq(scan) => rowGroupCappedWidth(scan, planned, floor)
       case _ => planned
     }
+  }
+
+  /** Row-group cap for one parquet scan: the shared core of
+    * [[effectiveScanWidth]] and [[graft.WidthAudit]] (the audit must not
+    * carry its own drifting copy of the dispatch it audits — ADVICE r16).
+    *
+    * The file list comes from the scan's PRUNED listing
+    * (`selectedPartitions` — static partition pruning applied), not
+    * `relation.location.inputFiles`: the relation lists every file in the
+    * table, so a partition-pruned scan over a many-file table would clear
+    * the `>= floor` shortcut on files that are not even read, and the
+    * guard would declare a one-compacted-file pruned subset wide (ADVICE
+    * r16). `dynamicallySelectedPartitions` would also fold in runtime DPP
+    * but is Scala-protected in FileSourceScanLike (and its subqueries may
+    * not have executed at probe time); static pruning covers the hazard
+    * as described. Non-parquet scans and listing failures return the
+    * planned width untouched.
+    */
+  private[graft] def rowGroupCappedWidth(
+      scan: org.apache.spark.sql.execution.FileSourceScanExec,
+      planned: Int, floor: Int): Int = {
+    if (!scan.relation.fileFormat
+        .isInstanceOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      return planned
+    try {
+      val listing = scan.selectedPartitions
+      if (listing.totalNumberOfFiles >= floor) planned
+      else {
+        val conf = scan.relation.sparkSession.sessionState.newHadoopConf()
+        val rowGroups = listing.filePartitionIterator
+          .flatMap(_.files).map(_.getPath).toSeq.distinct.map { p =>
+            val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+            try in.getFooter.getBlocks.size finally in.close()
+          }.sum
+        math.min(planned, math.max(1, rowGroups))
+      }
+    } catch { case scala.util.control.NonFatal(_) => planned }
   }
 
   /** The scan-width decision packaged as a RULE ([[ensureMinScanWidth]]

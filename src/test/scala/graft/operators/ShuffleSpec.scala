@@ -104,6 +104,35 @@ class ShuffleSpec extends SparkSpec {
     }
   }
 
+  test("effectiveScanWidth consults the PRUNED file listing, not the whole table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    // 6 hive partitions x 1 compacted file each = 6 files in the relation
+    // (>= floor 4, so the unpruned file-count shortcut would declare any
+    // scan wide) — but a partition-pruned scan reads ONE single-row-group
+    // file and must be seen as width 1 (ADVICE r16)
+    (0 until 6).foreach { p =>
+      (1 to 20000).map(i => (i.toLong, "x" * 200)).toDF("id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/t/p=$p")
+    }
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val pruned = spark.read.parquet(s"$dir/t").filter(col("p") === 3)
+      assert(pruned.rdd.getNumPartitions >= 4,
+        "test premise: the planner cuts many splits on the pruned file")
+      assert(Shuffle.effectiveScanWidth(pruned, 4) == 1,
+        "pruned to one 1-row-group file: the 6-file relation total must not shortcut")
+      // unpruned, the same table really does have >= floor row groups
+      assert(Shuffle.effectiveScanWidth(spark.read.parquet(s"$dir/t"), 4) >= 4)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     import spark.implicits._
     val facts = (1L to 1000L).map(i => (i % 50, s"f$i")).toDF("k", "f")

@@ -19,9 +19,9 @@ Accepts either format per file:
   - driver round wrapper: {"n":..,"tail":"...\n{compact line}"} — the
     compact line keys queries by bare number in integer centiseconds.
 """
+import argparse
 import json
 import re
-import sys
 import statistics
 
 
@@ -47,7 +47,8 @@ def load(path):
         qs[key] = v / 100.0 if cs else v
     calib = rec.get("calib")
     if calib is None and "cal" in rec:
-        calib = {"jvm1_sec": rec["cal"].get("j"), "spark_sec": rec["cal"].get("s")}
+        calib = {"jvm1_sec": rec["cal"].get("j"), "spark_sec": rec["cal"].get("s"),
+                 "steal_sec": rec["cal"].get("st")}
     return {"total": rec.get("value"), "queries": qs, "calib": calib,
             "sf": rec.get("sf")}
 
@@ -68,12 +69,15 @@ def calib_ratio(prior, cur):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    top = 10
-    for a in sys.argv[1:]:
-        if a.startswith("--top"):
-            top = int(a.split("=")[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    prior, cur = load(args[0]), load(args[1])
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("prior")
+    ap.add_argument("current")
+    ap.add_argument("--top", type=int, default=10,
+                    help="movers to list per direction (default 10)")
+    ns = ap.parse_args()
+    top = ns.top
+    prior, cur = load(ns.prior), load(ns.current)
     if prior.get("sf") and cur.get("sf") and str(prior["sf"]).split("sf")[-1] != str(cur["sf"]).split("sf")[-1]:
         print(f"WARNING: scale factors differ ({prior['sf']} vs {cur['sf']}) — ratios are not comparable")
     common = sorted(set(prior["queries"]) & set(cur["queries"]), key=lambda k: int(k) if k.isdigit() else 0)

@@ -27,6 +27,23 @@ if [ "${LOAD%%.*}" -ge 4 ] || { [ -n "$AVAIL_G" ] && [ "$AVAIL_G" -lt 20 ]; }; t
   echo "[bench] WARNING: box not quiet (loadavg=$LOAD, free disk=${AVAIL_G:-?}G)" >&2
   echo "[bench] WARNING: treat this record as contaminated; re-run quiet before recording" >&2
 fi
+# Hypervisor-steal tripwire (r16 finding #2: loadavg is blind to steal —
+# the r16c sf10 record carried ~410 CPU-s of bursty co-tenant steal, with
+# loadavg green throughout). Sample /proc/stat's cpu steal field over 3 s;
+# any sustained rate above ~0.05 CPU-s/s at the start of a run is the
+# fingerprint of a noisy co-tenant. Bursty steal can still start later —
+# the in-record steal_sec (graft.Bench) is the authoritative post-hoc
+# check; this gate catches the already-noisy case before 25+ min is spent.
+STEAL0=$(awk '/^cpu /{print $9}' /proc/stat 2>/dev/null)
+if [ -n "$STEAL0" ]; then
+  sleep 3
+  STEAL1=$(awk '/^cpu /{print $9}' /proc/stat 2>/dev/null)
+  # jiffies (USER_HZ=100) over 3 s → threshold 15 jiffies = 0.05 CPU-s/s
+  if [ -n "$STEAL1" ] && [ $((STEAL1 - STEAL0)) -ge 15 ]; then
+    echo "[bench] WARNING: hypervisor steal active ($(((STEAL1 - STEAL0))) jiffies in 3 s, ~$(((STEAL1 - STEAL0) / 3))% of one CPU)" >&2
+    echo "[bench] WARNING: co-tenant noise fingerprint — do NOT record; re-run when steal_sec reads quiet" >&2
+  fi
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
