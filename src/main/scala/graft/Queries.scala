@@ -915,16 +915,30 @@ object Queries {
     // the ranking-function family over one total per-partition order:
     // rank / dense_rank / ntile / percent_rank / cume_dist (q72 covers
     // frames + lag; this covers the rank semantics)
+    // The naive form — one window partitioned by event_type — sorts each
+    // group in ONE task (5 event types = 5 tasks carrying 2M rows each at
+    // sf10, ~1B a decade up, whatever the cluster size; the r16 verdict's
+    // plan-audit flag). The window's ORDER BY carries the unique event_id
+    // tiebreak, so the order is TOTAL: ties are impossible, rank() =
+    // dense_rank() = row_number(), and the whole rank family is
+    // closed-form from (rn, n) — OrderedStats.groupedRowNumbers computes
+    // those at full shuffle width (range partition + driver prefix-sum of
+    // the 32x5 per-partition counts). percent_rank's n=1 guard matches
+    // Spark's and DuckDB's 0.0 convention.
     "q92_rank_family" -> ((s, dir) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value").desc, col("event_id"))
-      t(s, dir, "events").select(
+      val rn = graft.operators.OrderedStats.groupedRowNumbers(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", Seq(col("value").desc, col("event_id")))
+      rn.select(
           col("event_id"), col("event_type"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"),
-          percent_rank().over(w).as("prnk"),
-          cume_dist().over(w).as("cd"))
+          col("rn").cast(IntegerType).as("rnk"),
+          col("rn").cast(IntegerType).as("drnk"),
+          graft.operators.OrderedStats.ntileFromRn(col("rn"), col("n"), 4)
+            .cast(IntegerType).as("quartile"),
+          when(col("n") === 1, 0.0)
+            .otherwise((col("rn") - 1).cast(DoubleType) / (col("n") - 1))
+            .as("prnk"),
+          (col("rn").cast(DoubleType) / col("n")).as("cd"))
         .orderBy("event_id")
     }),
 
@@ -2702,7 +2716,12 @@ object Queries {
           col("event_id"), col("props"))
         val dim = s.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("kv"))
         val joined = fact.join(dim, "k")
-        joined.collect() // execute THIS plan instance so AQE finalizes it
+        // execute THIS plan instance so AQE finalizes it (a .write/.count
+        // would run a fresh QueryExecution and leave joined's own AQE
+        // state unfinalized) — but through toRdd, NOT collect(): the join
+        // output is the full 10M-row fact side, and collect() shipped all
+        // of it to the driver just to read one plan flag
+        joined.queryExecution.toRdd.foreach(_ => ())
         val skewHandled = joined.queryExecution.executedPlan.toString
           .contains("skew=true")
         joined.groupBy(col("k"), col("kv"))
