@@ -25,6 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * signatures are identical to the aggregate forms — asserted in
   * DedupSpec against the retained aggregate oracles.
   */
+// deliberately NOT CostlyTextKernel: these kernels were never part of the
+// width guards' costly-work dispatch, so marking them would flip widenPlan
+// decisions (which segments widen) that rounds 14-16 settled by
+// measurement. The marker belongs only on kernels that REPLACED
+// already-detected forms (TextScanExpressions), where it preserves the
+// existing dispatch instead of changing it.
 abstract class StringArrayExpression extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

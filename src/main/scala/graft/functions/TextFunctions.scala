@@ -39,7 +39,10 @@ object TextFunctions {
     * length — same result, one matched pass, zero string allocation.
     */
   def punctCount(c: Column): Column =
-    regexp_count(c, lit("[^a-zA-Z0-9 ]"))
+    // one-pass byte-scan kernel, bit-identical to
+    // regexp_count(c, "[^a-zA-Z0-9 ]") — the other half of the sf10
+    // curation-battery regex cost (see TextScanExpressions)
+    graft.expressions.TextScanExpressions.punctCount(c)
 
   /** Word n-gram shingles over cleaned text (dedup building block).
     * Empty array when the doc has fewer than n tokens; distinct set

@@ -270,6 +270,10 @@ object Shuffle {
       case _: HigherOrderFunction => true
       case _: ScalaUDF => true
       case _: HashExpression[_] => true
+      // graft's own per-row scan kernels (clean_scrub, punct_count, the
+      // signature kernels): they replaced regex/hash forms this guard
+      // already keyed on — swapping the implementation must not blind it
+      case _: graft.expressions.CostlyTextKernel => true
       case _ => false
     })
   }
