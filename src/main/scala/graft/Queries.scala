@@ -413,10 +413,18 @@ object Queries {
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base"),
           count(lit(1)).as("cnt")).orderBy("l_returnflag", "l_linestatus"))),
 
-    // windowed top-N per group
+    // windowed top-N per group. Spark plans this as a partial
+    // WindowGroupLimit: per-scan-task sort + top-3, then a tiny exchange —
+    // but the partial SORT runs at scan-granted width, and the sf10
+    // layout grants events 2 row groups: two tasks each sorting 5M rows
+    // while 30 cores idle (the narrow-layout hazard in a shape the width
+    // guards can't see — a Sort is not per-row "costly work"). The
+    // explicit width floor puts the partial sort at shuffle width; the
+    // exchange moves only the 3-column projection.
     "q30_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
-      t(s, dir, "events")
+      graft.operators.Shuffle.ensureMinScanWidth(
+          t(s, dir, "events").select("event_id", "event_type", "value"))
         .select(col("event_id"), col("event_type"), col("value"), row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy(col("event_type"), col("rn"))
