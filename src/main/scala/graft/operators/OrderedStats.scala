@@ -365,6 +365,30 @@ object OrderedStats {
     * null-group caveat applies identically). Under a total order,
     * rank() = dense_rank() = row_number(), so the full SQL rank family
     * derives from (rn, n) — see [[ntileFromRn]] and q92.
+    *
+    * Consistency mechanism (ADVICE r17 restructure): the offsets are no
+    * longer collect()ed to the driver under a separate action — they are
+    * a window over the (#partitions × #groups)-row subtotal aggregate,
+    * derived IN-PLAN from the same pinned `ranged` frame the row_number
+    * pass reads and broadcast into the join. One action evaluates both
+    * branches, so there is no cross-action window in which a cache clear
+    * can split the range boundaries the two passes see, no unbounded
+    * driver materialization at any group cardinality, and no O(G×E)
+    * driver-side offsets scan. The pin is still the correctness carrier
+    * WITHIN that action (both branches must read the same partition
+    * assignment): its lifetime follows Materialize.eager's documented
+    * contract — harness mains clear the catalog cache after consuming
+    * each query; a long-lived caller releases via spark.catalog
+    * .clearCache() once the result is consumed. Clearing the cache
+    * BEFORE consumption recomputes `ranged` from lineage, which is safe
+    * exactly when the input's recompute is deterministic
+    * (RangePartitioner samples with a fixed per-partition seed, so
+    * deterministic input ⇒ identical boundaries) — a caller feeding a
+    * nondeterministic upstream must consume before clearing. That
+    * residual caveat is inherent to every multi-consumer shuffle
+    * boundary, not this operator; the restructure shrank its exposure
+    * from "any cache clear between two actions" to "cache clear before
+    * first consumption of a nondeterministic input".
     */
   def groupedRowNumbers(
       df: DataFrame, groupCol: String, orderCols: Seq[Column],
@@ -375,30 +399,26 @@ object OrderedStats {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // materialized once: the subtotal pass and the output pass must see
-    // the SAME range boundaries (packSequences' round-9 chaos rationale)
-    val ranged = Materialize.eager(df
+    // persisted (lazily — the consumer's single action populates it via
+    // the broadcast subplan, then the probe side reads the cache): the
+    // subtotal branch and the row_number branch must see the SAME range
+    // boundaries (packSequences' round-9 chaos rationale)
+    val ranged = df
       .withColumn("__g", col(groupCol).cast(org.apache.spark.sql.types.StringType))
       .repartitionByRange(parts, (col("__g") +: orderCols): _*)
-      .withColumn("__pid", spark_partition_id()))
-    val subtotals = ranged.groupBy("__pid", "__g")
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    // exclusive prefix sum of per-(partition, group) counts along the
+    // partition order — ≤ parts rows per group, one tiny window task per
+    // group over a #partitions × #groups frame that never leaves the
+    // executors (the old driver collect was unbounded in G)
+    val wOff = Window.partitionBy("__g").orderBy("__pid")
+    val wTot = Window.partitionBy("__g")
+    val offsetDf = ranged.groupBy("__pid", "__g")
       .agg(count(lit(1)).as("__cnt"))
-      .collect()
-      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
-      .toMap
-    val offsets: Seq[(Int, String, Long, Long)] =
-      subtotals.keys.map(_._2).toSeq.distinct.flatMap { g =>
-        val pids = subtotals.keys.filter(_._2 == g).map(_._1).toSeq.sorted
-        val total = pids.map(p => subtotals((p, g))).sum
-        var acc = 0L
-        pids.map { p =>
-          val o = (p, g, acc, total)
-          acc += subtotals((p, g))
-          o
-        }
-      }
-    import spark.implicits._
-    val offsetDf = offsets.toDF("__pid", "__g", "__off", "__ntot")
+      .select(col("__pid"), col("__g"),
+        (sum("__cnt").over(wOff) - col("__cnt")).as("__off"),
+        sum("__cnt").over(wTot).as("__ntot"))
     val w = Window.partitionBy(col("__pid"), col("__g")).orderBy(orderCols: _*)
     ranged
       .join(broadcast(offsetDf), Seq("__pid", "__g"))

@@ -32,11 +32,19 @@ object Dimensions {
     * delete disappear. One window over one key shuffle; at 100 TB this
     * runs per changelog batch against a snapshot join rather than over
     * all history (see TrainingData.upsertLatest for the merge form).
+    *
+    * Width floor (r17 verdict finding #2): Spark plans the rn=1 filter
+    * as a WindowGroupLimit whose PARTIAL phase — a per-task top-1 sort —
+    * runs below the key exchange at whatever width the scan granted, the
+    * exact shape q30 fixed. On a compacted few-row-group source (orders
+    * at sf10: 2 row groups) that is two tasks sorting the whole log while
+    * the rest of the cluster idles; the guard is data-dependent, so a
+    * well-split source passes through un-shuffled.
     */
   def applyCdc(changelog: DataFrame, key: String, ts: String,
       tiebreak: String, opCol: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(tiebreak).desc)
-    changelog
+    graft.operators.Shuffle.ensureMinScanWidth(changelog)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .drop("__rn")

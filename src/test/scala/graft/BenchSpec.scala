@@ -85,6 +85,27 @@ class BenchSpec extends AnyFunSuite {
     } else assert(a.isEmpty)
   }
 
+  test("contaminationVerdict: the observed record population classifies correctly") {
+    // quiet anchors: r16 sf0.1 (11.2 CPU-s / 213 s) and a hypothetical
+    // clean sf10 (25 CPU-s / 1400 s) are NOT contaminated
+    assert(!Bench.contaminationVerdict(11.2, 213.4))
+    assert(!Bench.contaminationVerdict(25.0, 1400.0))
+    // every contaminated record on file trips the verdict: r17 sf0.1
+    // (346.8 / 222.8), r17 sf10 (1632 / 1470.7), r18 attempt (761 / 218.9)
+    assert(Bench.contaminationVerdict(346.8, 222.8))
+    assert(Bench.contaminationVerdict(1632.0, 1470.7))
+    assert(Bench.contaminationVerdict(761.4, 218.9))
+    // the 10% arm: 100 CPU-s over a 1400 s sf10 run is background-level
+    // (7%), not contamination; the same 100 over a 200 s sf0.1 run is
+    assert(!Bench.contaminationVerdict(100.0, 1400.0))
+    assert(Bench.contaminationVerdict(100.0, 200.0))
+    // boundary: the 30 CPU-s absolute bar rules short runs
+    assert(!Bench.contaminationVerdict(30.0, 100.0)) // at, not over
+    assert(Bench.contaminationVerdict(30.1, 100.0))
+    // -1 sentinel (steal unreadable) carries no signal either way
+    assert(!Bench.contaminationVerdict(-1.0, 200.0))
+  }
+
   test("regressedVsPrior: the r9 escape case (0.43s -> 1.96s, under the 2s floor) replays") {
     assert(Bench.regressedVsPrior(1.96, Some(0.427)))
   }

@@ -48,9 +48,20 @@ def load(path):
     calib = rec.get("calib")
     if calib is None and "cal" in rec:
         calib = {"jvm1_sec": rec["cal"].get("j"), "spark_sec": rec["cal"].get("s"),
-                 "steal_sec": rec["cal"].get("st")}
+                 "steal_sec": rec["cal"].get("st"),
+                 "contaminated": bool(rec["cal"].get("ct", 0))}
+    # verdict: the explicit stamp when the record carries one (graft.Bench,
+    # round 18+); otherwise recomputed from steal_sec with the SAME
+    # threshold (max(30 CPU-s, 10% of wall)) so the policy covers the
+    # legacy record population retroactively
+    contaminated = (calib or {}).get("contaminated")
+    if contaminated is None:
+        st = (calib or {}).get("steal_sec")
+        tot = rec.get("value")
+        contaminated = (st is not None and tot is not None and st >= 0
+                        and st > max(30.0, 0.10 * float(tot)))
     return {"total": rec.get("value"), "queries": qs, "calib": calib,
-            "sf": rec.get("sf")}
+            "sf": rec.get("sf"), "contaminated": bool(contaminated)}
 
 
 def calib_ratio(prior, cur):
@@ -75,9 +86,25 @@ def main():
     ap.add_argument("current")
     ap.add_argument("--top", type=int, default=10,
                     help="movers to list per direction (default 10)")
+    ap.add_argument("--allow-contaminated-prior", action="store_true",
+                    help="compare against a steal-contaminated prior anyway "
+                         "(exploratory only — never for a series claim)")
     ns = ap.parse_args()
     top = ns.top
     prior, cur = load(ns.prior), load(ns.current)
+    # policy-in-code (r17 verdict item 3): a record that graft.Bench
+    # stamped contaminated (in-record steal over max(30 CPU-s, 10% of
+    # wall)) is not a series anchor — refuse it as the PRIOR unless
+    # explicitly overridden; a contaminated CURRENT gets a loud warning
+    # (measuring a new run against a clean anchor is exactly the point).
+    if prior.get("contaminated") and not ns.allow_contaminated_prior:
+        raise SystemExit(
+            f"{ns.prior}: stamped contaminated (in-record steal) — not a valid "
+            "series anchor. Pass --allow-contaminated-prior for an exploratory "
+            "comparison; do not base a round claim on it.")
+    if cur.get("contaminated"):
+        print("WARNING: CURRENT record is stamped contaminated (in-record steal) "
+              "— its raw total must not become a series anchor")
     if prior.get("sf") and cur.get("sf") and str(prior["sf"]).split("sf")[-1] != str(cur["sf"]).split("sf")[-1]:
         print(f"WARNING: scale factors differ ({prior['sf']} vs {cur['sf']}) — ratios are not comparable")
     common = sorted(set(prior["queries"]) & set(cur["queries"]), key=lambda k: int(k) if k.isdigit() else 0)

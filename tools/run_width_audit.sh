@@ -12,20 +12,46 @@
 # Usage: tools/run_width_audit.sh [sfDir] [outFile]
 #   sfDir   default /root/testdata/sf0.001 (plan shapes, not timings)
 #   outFile default WIDTH_AUDIT.txt (repo root — commit it)
-set -u
+# -e/-o pipefail + explicit exit check (ADVICE r17): a failed java
+# invocation (bad classpath, missing sfDir) used to yield an EMPTY grep
+# result that silently overwrote the committed baseline — a failed audit
+# must abort loudly, leaving WIDTH_AUDIT.txt untouched.
+set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.001}
 OUT=${2:-WIDTH_AUDIT.txt}
+# WidthAudit tolerates per-query errors as SKIP lines, so a missing data
+# dir would "succeed" into an all-SKIP file that overwrites the baseline
+if [ ! -d "$SF" ]; then
+  echo "[width-audit] FAILED: sfDir $SF does not exist — $OUT left untouched" >&2
+  exit 1
+fi
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
-java $ADD_OPENS -Xmx8g -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-  graft.WidthAudit "$SF" 2>/dev/null \
-  | grep -E '^(FLAG|SKIP|===)' > "$OUT.tmp"
+# java's stderr (Spark log noise) is captured to a scratch file and
+# shown only when the audit fails, so a failure is diagnosable; zero
+# FLAG/===/SKIP lines also aborts (that only happens when the audit main
+# is broken).
+if ! java $ADD_OPENS -Xmx8g -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
+    graft.WidthAudit "$SF" > "$OUT.raw" 2> "$OUT.err"; then
+  echo "[width-audit] FAILED: graft.WidthAudit exited non-zero — $OUT left untouched; stderr tail:" >&2
+  tail -20 "$OUT.err" >&2
+  rm -f "$OUT.raw" "$OUT.err"
+  exit 1
+fi
+rm -f "$OUT.err"
+grep -E '^(FLAG|SKIP|===)' "$OUT.raw" > "$OUT.tmp" || true
+rm -f "$OUT.raw"
+if [ ! -s "$OUT.tmp" ]; then
+  rm -f "$OUT.tmp"
+  echo "[width-audit] FAILED: audit produced zero FLAG/===/SKIP lines — $OUT left untouched" >&2
+  exit 1
+fi
 mv "$OUT.tmp" "$OUT"
 echo "[width-audit] wrote $OUT"
-grep '^===' "$OUT"
+grep '^===' "$OUT" || true
 # a diff against the committed baseline is the gate: new NARROW names
 # mean a kernel lost its guard (or a new query shipped unguarded)
 if ! git ls-files --error-unmatch "$OUT" >/dev/null 2>&1; then
