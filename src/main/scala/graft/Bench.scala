@@ -108,6 +108,47 @@ object Bench {
     (1 to reps).map(_ => once()).min
   }
 
+  /** Disk-write box-speed probe (round 18): the r18 sf10 record's
+    * above-median movers were EXACTLY the write-heavy queries (q09
+    * dedup-shuffle, q89 sorted write, q129 Z-order, q130 compaction,
+    * q156 snapshot rewrites — 1.2-1.4× after dividing out the CPU-uniform
+    * inflation), a fingerprint the jvm1/sparkN CPU probes cannot see:
+    * the driver provisions a fresh VM per session and its DISK can drift
+    * independently of its CPUs. One fixed probe: write `mb` megabytes of
+    * incompressible-ish bytes to `dir` in 1 MiB chunks, fsync, delete;
+    * min over `reps` after one untimed warmup (repeat-min: contention
+    * only inflates). Returns seconds, or -1 on any failure (diagnostic
+    * metadata must never abort the run it annotates).
+    */
+  def diskCalib(dir: String = sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp").split(",")(0),
+      mb: Int = 256, reps: Int = 3): Double = {
+    def once(): Double = {
+      val f = java.nio.file.Files.createTempFile(java.nio.file.Paths.get(dir), "graft_dcal", ".bin")
+      try {
+        val chunk = new Array[Byte](1 << 20)
+        // xorshift-filled once: constant-byte pages can be cheated by
+        // filesystem-level compression/dedup on some hosts
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < chunk.length) { x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27; chunk(i) = (x >>> 33).toByte; i += 1 }
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          var m = 0
+          while (m < mb) { ch.write(java.nio.ByteBuffer.wrap(chunk)); m += 1 }
+          ch.force(true)
+        } finally ch.close()
+        (System.nanoTime() - t0) / 1e9
+      } finally java.nio.file.Files.deleteIfExists(f)
+    }
+    try { once(); (1 to reps).map(_ => once()).min }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] disk calib probe failed (${e.getMessage}) — recording -1")
+      -1.0
+    }
+  }
+
   /** Contamination verdict stamped into every record (r17 verdict item 3:
     * attempt-1's rejection relied on a human reading steal_sec — make it
     * policy-in-code so a contaminated raw total can never silently
@@ -213,7 +254,8 @@ object Bench {
       System.err.println(s"[bench] spark calib probe failed (${e.getMessage}) — recording -1")
       -1.0
     }
-    System.err.println(f"[bench] calib: jvm1=$calibJvm%.3f s, spark$cpus=$calibSpark%.3f s")
+    val calibDisk = diskCalib()
+    System.err.println(f"[bench] calib: jvm1=$calibJvm%.3f s, spark$cpus=$calibSpark%.3f s, disk256=$calibDisk%.3f s")
     val stealStart = procStatSteal()
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -322,7 +364,7 @@ object Bench {
         f"CPU-s over a $total%.1f s run exceeds max(30, 10%% of wall) — " +
         "do not anchor the series on this record; re-run when the box is quiet")
     val calib =
-      s"""{"jvm1_sec":${fmt(calibJvm)},"spark${cpus}_sec":${fmt(calibSpark)},"steal_sec":${fmt(stealSec)},"contaminated":$contaminated}"""
+      s"""{"jvm1_sec":${fmt(calibJvm)},"spark${cpus}_sec":${fmt(calibSpark)},"disk256_sec":${fmt(calibDisk)},"steal_sec":${fmt(stealSec)},"contaminated":$contaminated}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"calib":$calib,"serving":$serving}"""
     println(fullLine)
@@ -358,7 +400,7 @@ object Bench {
     // count, serving to 3-dp short keys, sf to its numeric suffix)
     val sfShort = sfDir.split("sf").last
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qsCompact,"sf":"$sfShort","nreplay":${replayed.size},"cal":{"j":${fmt(calibJvm)},"s":${fmt(calibSpark)},"st":${fmt(stealSec)},"ct":${if (contaminated) 1 else 0}},"serving":$servingCompact}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qsCompact,"sf":"$sfShort","nreplay":${replayed.size},"cal":{"j":${fmt(calibJvm)},"s":${fmt(calibSpark)},"d":${fmt(calibDisk)},"st":${fmt(stealSec)},"ct":${if (contaminated) 1 else 0}},"serving":$servingCompact}"""
     println(line)
     spark.stop()
   }

@@ -85,6 +85,14 @@ class BenchSpec extends AnyFunSuite {
     } else assert(a.isEmpty)
   }
 
+  test("diskCalib: positive on a writable dir, -1 sentinel on an unwritable one") {
+    // tiny write: the spec pins the contract (positive, cleans up, never
+    // throws), not the probe's absolute speed
+    val t = Bench.diskCalib(mb = 2, reps = 1)
+    assert(t > 0)
+    assert(Bench.diskCalib(dir = "/nonexistent_graft", mb = 1, reps = 1) == -1.0)
+  }
+
   test("contaminationVerdict: the observed record population classifies correctly") {
     // quiet anchors: r16 sf0.1 (11.2 CPU-s / 213 s) and a hypothetical
     // clean sf10 (25 CPU-s / 1400 s) are NOT contaminated

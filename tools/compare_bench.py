@@ -48,6 +48,7 @@ def load(path):
     calib = rec.get("calib")
     if calib is None and "cal" in rec:
         calib = {"jvm1_sec": rec["cal"].get("j"), "spark_sec": rec["cal"].get("s"),
+                 "disk256_sec": rec["cal"].get("d"),
                  "steal_sec": rec["cal"].get("st"),
                  "contaminated": bool(rec["cal"].get("ct", 0))}
     # verdict: the explicit stamp when the record carries one (graft.Bench,
@@ -124,6 +125,14 @@ def main():
               f"({cur['total'] / box / prior['total']:.3f}x vs prior)")
     else:
         print("calib: absent from at least one record (pre-round-16) — totals not box-normalized")
+    # disk probe (round 18): CPU probes are blind to disk drift, and the
+    # write-heavy query cluster is exactly where a fresh VM's disk shows;
+    # a disk ratio far from the jvm1 ratio fingerprints that class
+    dp = (prior.get("calib") or {}).get("disk256_sec")
+    dc = (cur.get("calib") or {}).get("disk256_sec")
+    if dp and dc and dp > 0 and dc > 0:
+        print(f"calib (disk256): {dp:.3f} -> {dc:.3f} s ({dc / dp:.3f}x) — "
+              "judge write-heavy movers against THIS ratio, not the CPU one")
     for label, rec in (("prior", prior), ("current", cur)):
         st = (rec.get("calib") or {}).get("steal_sec", (rec.get("calib") or {}).get("st"))
         if st is not None and st >= 0:
