@@ -47,10 +47,15 @@ def load(path):
         qs[key] = v / 100.0 if cs else v
     calib = rec.get("calib")
     if calib is None and "cal" in rec:
+        # 'ct' absent (legacy compact records, pre-r18) must map to None,
+        # not False — None falls through to the retroactive steal-recompute
+        # below, so a known-contaminated legacy anchor (e.g. BENCH_r17) is
+        # still refused (ADVICE r18, high)
+        _ct = rec["cal"].get("ct")
         calib = {"jvm1_sec": rec["cal"].get("j"), "spark_sec": rec["cal"].get("s"),
                  "disk256_sec": rec["cal"].get("d"),
                  "steal_sec": rec["cal"].get("st"),
-                 "contaminated": bool(rec["cal"].get("ct", 0))}
+                 "contaminated": None if _ct is None else bool(_ct)}
     # verdict: the explicit stamp when the record carries one (graft.Bench,
     # round 18+); otherwise recomputed from steal_sec with the SAME
     # threshold (max(30 CPU-s, 10% of wall)) so the policy covers the
