@@ -121,7 +121,27 @@ object Bench {
     * metadata must never abort the run it annotates).
     */
   def diskCalib(dir: String = sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp").split(",")(0),
-      mb: Int = 256, reps: Int = 3): Double = {
+      mb: Int = sys.env.get("SPARK_GRAFT_DISKCAL_MB")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+        .getOrElse(256),
+      reps: Int = 3): Double = {
+    // ADVICE r18: the probe writes (reps+1)×mb MB total (peak mb on disk
+    // at once); on a nearly-full or tmpfs-backed local dir the default
+    // 1 GiB could ENOSPC and degrade to the -1 sentinel, losing the disk
+    // fingerprint the write-cluster attribution depends on. Check usable
+    // space first and shrink the probe (floor 16 MB — below that fsync
+    // latency dominates and the number stops being a bandwidth probe)
+    // rather than fail; a resized probe is stamped to stderr because its
+    // seconds are NOT comparable across records taken at different sizes.
+    val effMb = try {
+      val usableMb = java.nio.file.Files
+        .getFileStore(java.nio.file.Paths.get(dir)).getUsableSpace >> 20
+      // keep the probe ≤ 1/4 of usable space so it cannot meaningfully
+      // perturb the shuffle dir the timed run is about to use
+      if (usableMb / 4 < mb) math.max(16, (usableMb / 4).toInt) else mb
+    } catch { case scala.util.control.NonFatal(_) => mb }
+    if (effMb != mb)
+      System.err.println(s"[bench] disk calib resized ${mb}->${effMb} MB (low usable space in $dir) — not comparable to full-size disk256 stamps")
     def once(): Double = {
       val f = java.nio.file.Files.createTempFile(java.nio.file.Paths.get(dir), "graft_dcal", ".bin")
       try {
@@ -136,7 +156,7 @@ object Bench {
           java.nio.file.StandardOpenOption.WRITE)
         try {
           var m = 0
-          while (m < mb) { ch.write(java.nio.ByteBuffer.wrap(chunk)); m += 1 }
+          while (m < effMb) { ch.write(java.nio.ByteBuffer.wrap(chunk)); m += 1 }
           ch.force(true)
         } finally ch.close()
         (System.nanoTime() - t0) / 1e9

@@ -349,8 +349,8 @@ object OrderedStats {
     * Same machinery as TrainingData.packSequences' distributed prefix sum:
     * range-partition by (group, orderCols) — which preserves the total
     * (group, order) sequence ACROSS partitions — then count per
-    * (partition, group) (a #partitions × #groups aggregate, safe to
-    * collect), exclusive-prefix-sum those counts on the driver, and add
+    * (partition, group) (a #partitions × #groups aggregate, small by
+    * construction), exclusive-prefix-sum those counts in-plan, and add
     * each partition's offset to a row_number window that only ever sorts
     * WITHIN one range partition (bounded by partition size, not group
     * size). Output = input columns + `rnCol` (1-based rank in the group's
@@ -372,14 +372,24 @@ object OrderedStats {
     * derived IN-PLAN from the same pinned `ranged` frame the row_number
     * pass reads and broadcast into the join. One action evaluates both
     * branches, so there is no cross-action window in which a cache clear
-    * can split the range boundaries the two passes see, no unbounded
-    * driver materialization at any group cardinality, and no O(G×E)
-    * driver-side offsets scan. The pin is still the correctness carrier
+    * can split the range boundaries the two passes see. To be precise
+    * about what moved where (ADVICE r18): the prefix-sum COMPUTE now runs
+    * on executors, but `broadcast(offsetDf)` still materializes its build
+    * side on the driver — the driver holds ≤ #partitions × #groups offset
+    * ROWS (not the data), subject to Spark's broadcast caps (8 GB / 512M
+    * rows) and, without AQE, to `spark.sql.broadcastTimeout` (300 s
+    * default) on the first materialization of `ranged`. At the small-G
+    * cardinalities this operator targets that table is KBs; a caller with
+    * G large enough to strain the broadcast cap should use the window
+    * form, whose per-group task is no longer the bottleneck at that
+    * width. The pin is still the correctness carrier
     * WITHIN that action (both branches must read the same partition
     * assignment): its lifetime follows Materialize.eager's documented
     * contract — harness mains clear the catalog cache after consuming
-    * each query; a long-lived caller releases via spark.catalog
-    * .clearCache() once the result is consumed. Clearing the cache
+    * each query; a long-lived caller should use
+    * [[groupedRowNumbersReleasable]] and invoke the returned releaser once
+    * the result is consumed (per-call release, no global clearCache
+    * needed). Clearing the cache
     * BEFORE consumption recomputes `ranged` from lineage, which is safe
     * exactly when the input's recompute is deterministic
     * (RangePartitioner samples with a fixed per-partition seed, so
@@ -393,7 +403,25 @@ object OrderedStats {
   def groupedRowNumbers(
       df: DataFrame, groupCol: String, orderCols: Seq[Column],
       rnCol: String = "rn", nCol: String = "n",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    groupedRowNumbersReleasable(df, groupCol, orderCols, rnCol, nCol,
+      numPartitions)._1
+
+  /** [[groupedRowNumbers]] plus a releaser for its internal pin (ADVICE
+    * r18: the convenience form leaks one CacheManager entry per call
+    * until a caller-wide `spark.catalog.clearCache()` — fine for the
+    * harness mains, which clear after every query, but a long-lived
+    * caller invoking this per-batch accumulates cached `ranged` frames
+    * indefinitely). The releaser unpersists the pinned range-partitioned
+    * frame; call it AFTER the returned frame's result has been consumed
+    * (unpersisting earlier recomputes `ranged` from lineage, with the
+    * nondeterministic-upstream caveat documented above). Idempotent,
+    * non-blocking.
+    */
+  def groupedRowNumbersReleasable(
+      df: DataFrame, groupCol: String, orderCols: Seq[Column],
+      rnCol: String = "rn", nCol: String = "n",
+      numPartitions: Int = 0): (DataFrame, () => Unit) = {
     require(orderCols.nonEmpty, "OrderedStats: an order is required")
     val spark = df.sparkSession
     val parts =
@@ -420,11 +448,12 @@ object OrderedStats {
         (sum("__cnt").over(wOff) - col("__cnt")).as("__off"),
         sum("__cnt").over(wTot).as("__ntot"))
     val w = Window.partitionBy(col("__pid"), col("__g")).orderBy(orderCols: _*)
-    ranged
+    val out = ranged
       .join(broadcast(offsetDf), Seq("__pid", "__g"))
       .withColumn(rnCol, col("__off") + row_number().over(w))
       .withColumn(nCol, col("__ntot"))
       .drop("__pid", "__g", "__off", "__ntot")
+    (out, () => { ranged.unpersist(blocking = false); () })
   }
 
   /** SQL `ntile(k)`'s bucket for a (1-based) row number `rn` out of `n`

@@ -272,6 +272,26 @@ class OrderedStatsSpec extends SparkSpec {
     // re-asserted here; the identity above is the semantic gate)
   }
 
+  test("groupedRowNumbersReleasable releases its pin without a global clearCache") {
+    val df = (1 to 200).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (out, release) = OrderedStats.groupedRowNumbersReleasable(
+      df, "g", Seq(col("id")), numPartitions = 5)
+    assert(out.count() == 200) // consume: populates the pin
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+      "the internal range-partitioned frame should be pinned after consumption")
+    release()
+    // unpersist(blocking=false) is async at the block level but the
+    // CacheManager entry drop is synchronous
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "releaser must drop exactly the one pin this call created")
+    release() // idempotent
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // the result stays correct if re-consumed after release (recomputed
+    // from lineage; deterministic input => identical boundaries)
+    assert(out.where(col("rn") === 1).count() == 3)
+  }
+
   test("ntileFromRn matches the ntile window for every n and k") {
     for (k <- Seq(1, 3, 4, 7); n <- Seq(1, 2, 3, 4, 5, 9, 16, 100)) {
       val df = (1L to n.toLong).toDF("rn")
