@@ -1,0 +1,43 @@
+#!/bin/bash
+# Opportunistic quiet-window bench hunter (round 19). The co-tenant's
+# steal bursts make clean records a timing game: sample steal over a
+# 20 s pre-gate and launch the bench ONLY when the box reads quiet
+# (< ~0.05 CPU-s/s, the r16+ fingerprint threshold), else sleep and
+# retry. Each launched record still self-stamps its contamination
+# verdict (graft.Bench) — a burst that starts mid-run is caught by the
+# stamp, and the hunter keeps going until a record lands with ct:0 or
+# attempts run out. Never runs concurrently with another JVM (that
+# would contaminate the record with SELF-load the steal stamp cannot
+# see — the r12/r15 lesson in SCALE.md).
+#
+# Usage: tools/hunt_quiet_bench.sh <sfDir> <outPrefix> [maxAttempts]
+#   tools/hunt_quiet_bench.sh /root/testdata/sf0.1 /tmp/BENCH_sf01_r19 6
+set -u
+SF=${1:?sfDir}
+PREFIX=${2:?output prefix}
+MAX=${3:-6}
+GATE_JIFFIES=${GATE_JIFFIES:-15}   # per 20 s window = 0.075 CPU-s/s
+attempt=0
+while [ "$attempt" -lt "$MAX" ]; do
+  if [ "$(ps aux | grep -c '[j]ava')" -gt 0 ]; then
+    echo "[hunt] another JVM is running — refusing to launch (self-load contaminates silently)"; exit 2
+  fi
+  s0=$(awk '/^cpu /{print $9}' /proc/stat); sleep 20
+  s1=$(awk '/^cpu /{print $9}' /proc/stat); d=$((s1 - s0))
+  if [ "$d" -ge "$GATE_JIFFIES" ]; then
+    echo "[hunt] $(date +%H:%M:%S) busy (${d}j/20s >= ${GATE_JIFFIES}) — sleeping 90s"
+    sleep 90
+    continue
+  fi
+  attempt=$((attempt + 1))
+  out="${PREFIX}_a${attempt}.json"
+  echo "[hunt] $(date +%H:%M:%S) quiet (${d}j/20s) — attempt $attempt -> $out"
+  SPARK_GRAFT_BENCH_OUT="$out" tools/run_bench.sh "$SF" \
+    > "${PREFIX}_a${attempt}.out" 2> "${PREFIX}_a${attempt}.err"
+  ct=$(python3 -c "import json;print(1 if json.load(open('$out'))['calib']['contaminated'] else 0)" 2>/dev/null)
+  if [ "$ct" = "0" ]; then
+    echo "[hunt] CLEAN record landed: $out"; exit 0
+  fi
+  echo "[hunt] attempt $attempt stamped ct:$ct — continuing"
+done
+echo "[hunt] no clean record in $MAX attempts"; exit 1
