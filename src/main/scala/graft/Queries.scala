@@ -929,10 +929,13 @@ object Queries {
     // plan-audit flag). The window's ORDER BY carries the unique event_id
     // tiebreak, so the order is TOTAL: ties are impossible, rank() =
     // dense_rank() = row_number(), and the whole rank family is
-    // closed-form from (rn, n) — OrderedStats.groupedRowNumbers computes
-    // those at full shuffle width (range partition + driver prefix-sum of
-    // the 32x5 per-partition counts). percent_rank's n=1 guard matches
-    // Spark's and DuckDB's 0.0 convention.
+    // closed-form from (rn, n). groupedRowNumbers dispatches on measured
+    // per-group volume (round-20): below the break-even it IS that plain
+    // window (one shuffle — the distributed machinery paid ~1.4× at sf1
+    // for a shape that only wins past ~512k rows/group), above it the
+    // range-partition + in-plan prefix-sum form runs every stage at full
+    // shuffle width. percent_rank's n=1 guard matches Spark's and
+    // DuckDB's 0.0 convention.
     "q92_rank_family" -> ((s, dir) => {
       val rn = graft.operators.OrderedStats.groupedRowNumbers(
         t(s, dir, "events").select("event_id", "event_type", "value"),

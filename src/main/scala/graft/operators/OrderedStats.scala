@@ -338,6 +338,30 @@ object OrderedStats {
     agged.select(col(groupCol) +: outs: _*)
   }
 
+  /** Largest per-group row count the plain WINDOW form still handles
+    * well: one task external-sorting ≤512k rows stays sub-second, and
+    * the window form is ONE shuffle against the distributed form's
+    * range-exchange + subtotal agg + broadcast join. Measured on q92's
+    * 5-group events table (TimeQuery, both arms one sitting, fresh JVMs,
+    * min over 4-5 post-warm iterations — min because co-tenant steal
+    * bursts hit individual iterations; full records in SCALE.md r20):
+    * sf0.1 ≈20k rows/group window 1.64 s vs distributed 1.98 s; sf1
+    * ≈200k rows/group window 5.08 s vs distributed 7.05 s (the ~1.4×
+    * the r19 verdict flagged); sf10 ≈2M rows/group window 28.7 s vs
+    * distributed 17.6 s — the single-task-per-group sort becomes the
+    * whole query, and its gap is unbounded in data-per-group (~1B rows
+    * per task a decade up). The break-even sits between 200k and 2M;
+    * 512k splits it and matches [[SortFormMaxGroupRows]]'s independently
+    * measured sort-task comfort bound. Same dispatch philosophy as
+    * there: pick the shape by measured volume, never globally.
+    * Overridable via the `graft.rank.windowThreshold` system property
+    * (the chaos harness sets 0 to force the distributed machinery under
+    * executor kills at chaos-sized data).
+    */
+  private def WindowFormMaxGroupRows: Long =
+    sys.props.get("graft.rank.windowThreshold").map(_.toLong)
+      .getOrElse(512L * 1024L)
+
   /** Distributed per-group row numbers (1-based) + group totals over a
     * TOTAL order — the scale-safe form of
     * `row_number().over(partitionBy(group).orderBy(...))` when the group
@@ -345,6 +369,21 @@ object OrderedStats {
     * 5-event-type table sorts ~2M rows per task at sf10 and ~1B rows per
     * task a decade up, however many cores the cluster has), while this
     * runs every stage at the configured shuffle width.
+    *
+    * Volume dispatch (round-20; same precedent as [[exactPercentiles]]'
+    * sort-vs-selection choice): the distributed shape only wins once a
+    * single group outgrows what one task sorts comfortably — below
+    * [[WindowFormMaxGroupRows]] it pays ~1.4× at sf1 for machinery it
+    * does not need. A narrow probe (one count-by-group over the group
+    * column alone, so the scan prunes to one dictionary/RLE column)
+    * measures the max per-group row count and picks the plain window
+    * form below the break-even, the distributed form above. Pass
+    * `distributedThreshold = 0` to force the distributed form (the spec
+    * and the chaos harness do, to exercise the offset machinery on
+    * test-sized data); pass a negative value (the default) to use
+    * [[WindowFormMaxGroupRows]]. A dispatch miss is a performance
+    * choice, never a correctness one — both forms are exact and
+    * external-sort spill-safe.
     *
     * Same machinery as TrainingData.packSequences' distributed prefix sum:
     * range-partition by (group, orderCols) — which preserves the total
@@ -403,9 +442,9 @@ object OrderedStats {
   def groupedRowNumbers(
       df: DataFrame, groupCol: String, orderCols: Seq[Column],
       rnCol: String = "rn", nCol: String = "n",
-      numPartitions: Int = 0): DataFrame =
+      numPartitions: Int = 0, distributedThreshold: Long = -1L): DataFrame =
     groupedRowNumbersReleasable(df, groupCol, orderCols, rnCol, nCol,
-      numPartitions)._1
+      numPartitions, distributedThreshold)._1
 
   /** [[groupedRowNumbers]] plus a releaser for its internal pin (ADVICE
     * r18: the convenience form leaks one CacheManager entry per call
@@ -421,9 +460,30 @@ object OrderedStats {
   def groupedRowNumbersReleasable(
       df: DataFrame, groupCol: String, orderCols: Seq[Column],
       rnCol: String = "rn", nCol: String = "n",
-      numPartitions: Int = 0): (DataFrame, () => Unit) = {
+      numPartitions: Int = 0,
+      distributedThreshold: Long = -1L): (DataFrame, () => Unit) = {
     require(orderCols.nonEmpty, "OrderedStats: an order is required")
     val spark = df.sparkSession
+    val threshold =
+      if (distributedThreshold < 0) WindowFormMaxGroupRows
+      else distributedThreshold
+    if (threshold > 0) {
+      val maxGroup = df.groupBy(col(groupCol).as("__g"))
+        .agg(count(lit(1)).as("__n")).agg(max("__n")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      if (maxGroup <= threshold) {
+        // one shuffle, one task per group — fine at this volume, and
+        // nothing to pin, so the releaser is a no-op
+        val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+        val wn = Window.partitionBy(col(groupCol))
+        val out = df
+          .withColumn(rnCol, row_number().over(w).cast(LongType))
+          .withColumn(nCol, count(lit(1)).over(wn))
+        return (out, () => ())
+      }
+    }
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -438,8 +498,11 @@ object OrderedStats {
       .persist()
     // exclusive prefix sum of per-(partition, group) counts along the
     // partition order — ≤ parts rows per group, one tiny window task per
-    // group over a #partitions × #groups frame that never leaves the
-    // executors (the old driver collect was unbounded in G)
+    // group over a #partitions × #groups frame. The prefix-sum COMPUTE
+    // runs on executors (the old driver collect ran it driver-side), but
+    // broadcast() below still materializes these offset rows on the
+    // driver as the join's build side — see the doc comment above for
+    // the exact bound
     val wOff = Window.partitionBy("__g").orderBy("__pid")
     val wTot = Window.partitionBy("__g")
     val offsetDf = ranged.groupBy("__pid", "__g")

@@ -253,7 +253,8 @@ class OrderedStatsSpec extends SparkSpec {
       (s"t${rnd.nextInt(4)}", rnd.nextInt(50).toDouble, i.toLong))
     val df = rows.toDF("g", "v", "id").repartition(7)
     val ours = OrderedStats.groupedRowNumbers(
-        df, "g", Seq(col("v").desc, col("id")), numPartitions = 11)
+        df, "g", Seq(col("v").desc, col("id")), numPartitions = 11,
+        distributedThreshold = 0)
       .select("g", "v", "id", "rn", "n")
       .collect().map(r => (r.getLong(2), (r.getLong(3), r.getLong(4)))).toMap
     val w = org.apache.spark.sql.expressions.Window
@@ -276,7 +277,7 @@ class OrderedStatsSpec extends SparkSpec {
     val df = (1 to 200).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
     val before = spark.sparkContext.getPersistentRDDs.size
     val (out, release) = OrderedStats.groupedRowNumbersReleasable(
-      df, "g", Seq(col("id")), numPartitions = 5)
+      df, "g", Seq(col("id")), numPartitions = 5, distributedThreshold = 0)
     assert(out.count() == 200) // consume: populates the pin
     assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
       "the internal range-partitioned frame should be pinned after consumption")
@@ -290,6 +291,45 @@ class OrderedStatsSpec extends SparkSpec {
     // the result stays correct if re-consumed after release (recomputed
     // from lineage; deterministic input => identical boundaries)
     assert(out.where(col("rn") === 1).count() == 3)
+  }
+
+  test("groupedRowNumbers dispatches to the window form below the volume threshold") {
+    val rnd = new Random(20)
+    val rows = (1 to 3000).map(i =>
+      (s"t${rnd.nextInt(4)}", rnd.nextInt(40).toDouble, i.toLong))
+    val df = rows.toDF("g", "v", "id").repartition(5)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // max group ≈ 750 rows, far below any sane threshold: the dispatch
+    // must pick the plain window form — observable as ZERO new pins (the
+    // distributed form pins its range-partitioned frame) and a no-op
+    // releaser, with identical (rn, n) either way
+    val (win, releaseWin) = OrderedStats.groupedRowNumbersReleasable(
+      df, "g", Seq(col("v").desc, col("id")))
+    val winRows = win.select("id", "rn", "n")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "window-form dispatch must not create a pin")
+    releaseWin() // no-op, must not throw or drop anything
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    val dist = OrderedStats.groupedRowNumbers(
+        df, "g", Seq(col("v").desc, col("id")), distributedThreshold = 0)
+      .select("id", "rn", "n")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(winRows == dist, "both dispatch arms must agree on (rn, n)")
+    // and a threshold below the max group volume forces the distributed
+    // form even on tiny data (the chaos harness's force-distributed knob).
+    // Clear the dist call's pin first: its ranged frame has the same
+    // logical plan as forced's, and CacheManager would dedup the persist
+    // (no new entry) instead of pinning a second copy.
+    spark.catalog.clearCache()
+    val forcedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (forced, releaseForced) = OrderedStats.groupedRowNumbersReleasable(
+      df, "g", Seq(col("v").desc, col("id")), distributedThreshold = 1)
+    forced.count()
+    assert(spark.sparkContext.getPersistentRDDs.size == forcedBefore + 1,
+      "sub-volume threshold must select the distributed (pinned) form")
+    releaseForced()
+    spark.catalog.clearCache()
   }
 
   test("ntileFromRn matches the ntile window for every n and k") {

@@ -37,7 +37,7 @@ OUT=${2:-/tmp/graft_chaos_out}
 KILLS=${KILLS:-4}
 INTERVAL=${INTERVAL:-6}
 PHASES=${PHASES:-"batch streaming commit straddle"}
-BATCH_QUERIES=${BATCH_QUERIES:-"q09_dedup_key q31_join_agg q33_minhash_pairs q45_dedup_clusters q47_percentile q59_salted_agg q74_grouping_sets q82_salted_join q84_ann_join q109_decontam q179_imi_join"}
+BATCH_QUERIES=${BATCH_QUERIES:-"q09_dedup_key q31_join_agg q33_minhash_pairs q45_dedup_clusters q47_percentile q59_salted_agg q74_grouping_sets q82_salted_join q84_ann_join q92_rank_family q109_decontam q157_cdc_apply q179_imi_join"}
 STREAM_QUERIES=${STREAM_QUERIES:-"q162_stream_restart q61_stream_window q62_stream_sessions q63_stream_dedup q64_stream_state q83_stream_join q121_stream_tws q147_stream_left_join"}
 
 ADD_OPENS=""
@@ -72,6 +72,10 @@ pick_victim() {
 # master re-provisions a replacement on the surviving worker slot.
 # Pass criteria: driver rc 0, >=1 executor-loss event observed (else the
 # kills all missed and the pass is vacuous), oracle compare green.
+# graft.rank.windowThreshold=0 forces q92's DISTRIBUTED rank form (range
+# partition + pinned offsets): its round-20 volume dispatch would pick
+# the plain window at chaos-sized data and leave the machinery this
+# phase exists to kill-test unexercised.
 chaos_verify_phase() {
   local label=$1 out=$2; shift 2
   local queries="$*"
@@ -83,6 +87,7 @@ chaos_verify_phase() {
   SPARK_GRAFT_MASTER=${SPARK_GRAFT_MASTER:-local-cluster[2,8,4096]} \
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} java $ADD_OPENS -Xmx8g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Dgraft.rank.windowThreshold=0 \
     -cp "/opt/spark/jars/*:$CLASSES" \
     graft.VerifySome "$SF" "$out" $queries > "$driver_log" 2>&1 &
   local driver=$!
