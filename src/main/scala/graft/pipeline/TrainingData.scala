@@ -125,10 +125,26 @@ object TrainingData {
   /** Benchmark decontamination: flag training documents sharing any
     * character n-gram with an evaluation set. The contamination join is a
     * LEFT SEMI join on the shingle — the eval side's distinct shingle set
-    * is orders of magnitude smaller than the corpus, so Spark broadcasts
-    * it and the probe stays a single narrow pass over the training
+    * is orders of magnitude smaller than the corpus (an eval suite is a
+    * FIXED benchmark set, bounded by construction), so it is broadcast and
+    * the probe stays a single narrow map-side pass over the training
     * shingles; matched doc_ids are then de-duplicated by the semi join
     * itself (no row explosion reaches the output).
+    *
+    * The broadcast is an EXPLICIT hint (round 20): Spark's own size
+    * estimate of the exploded+distinct eval side grows past
+    * autoBroadcastJoinThreshold with the corpus, and the r20 sf10 plan
+    * audit caught the join silently flipped to SortMergeJoin — the full
+    * train shingle set (137.6M rows at sf10) exchanged AND sorted on a
+    * 20-char string key, the exact large-side shuffle the semi-join
+    * design exists to avoid; at cluster scale that shuffle is O(corpus)
+    * network while the broadcast probe moves only the bounded eval set.
+    * Measured at sf10 local[32] the two shapes are within noise (20.6 s
+    * broadcast vs 15.9-28.6 s SMJ across repeats — local shuffle is
+    * memory/page-cache, so the network term the hint removes is invisible
+    * locally); at sf0.1/sf1 the hint is a no-op (the estimate already
+    * broadcasts). Callers with a genuinely unbounded right side should
+    * pass `broadcastEval = false` and accept the shuffle.
     *
     * The shingle join key here is the raw n-gram string so external
     * engines can reproduce the exact semantics; at 100 TB you'd hash the
@@ -137,7 +153,7 @@ object TrainingData {
     */
   def contaminatedDocIds(
       train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
-      n: Int = 20): DataFrame = {
+      n: Int = 20, broadcastEval: Boolean = true): DataFrame = {
     // the explode fans each doc into ~|text| shingle rows BEFORE any
     // exchange — on a single-row-group source that generation runs on one
     // core (round-14 serial-scan finding). widenPlan widens exactly that
@@ -152,8 +168,10 @@ object TrainingData {
           explode(expr(s"transform(sequence(1, length(__t) - ${n - 1}), i -> substring(__t, i, $n))"))
             .as("shingle")))
     val evalShingles = shingles(eval_).select("shingle").distinct()
+    val buildSide =
+      if (broadcastEval) broadcast(evalShingles) else evalShingles
     shingles(train)
-      .join(evalShingles, Seq("shingle"), "left_semi")
+      .join(buildSide, Seq("shingle"), "left_semi")
       .select(idCol).distinct()
   }
 

@@ -92,6 +92,36 @@ class TrainingDataSpec extends SparkSpec {
     assert(out === Set(1L))
   }
 
+  test("contaminatedDocIds broadcasts the eval side even when the size " +
+      "estimator declines (the r20 sf10 SMJ-flip guard)") {
+    // sf10 finding: Spark's size estimate of the exploded+distinct eval
+    // shingle set crosses autoBroadcastJoinThreshold with the corpus and
+    // the semi join silently flips to SortMergeJoin — the full train
+    // shingle set shuffled+sorted on a 20-char string key. The explicit
+    // hint must hold independent of the estimate: model the estimator
+    // declining by disabling auto-broadcast outright.
+    val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix text the quick brown fox jumps over the end"),
+      (2L, "completely unrelated content with no overlap at all xyz"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = TrainingData.contaminatedDocIds(train, eval_, "doc_id", "text", n = 20)
+      val pHinted = hinted.queryExecution.executedPlan.toString
+      assert(pHinted.contains("BroadcastHashJoin") && pHinted.contains("LeftSemi"), pHinted)
+      assert(hinted.collect().map(_.getLong(0)).toSet === Set(1L))
+      val unhinted = TrainingData.contaminatedDocIds(
+        train, eval_, "doc_id", "text", n = 20, broadcastEval = false)
+      val pUnhinted = unhinted.queryExecution.executedPlan.toString
+      assert(!pUnhinted.contains("BroadcastHashJoin"), pUnhinted)
+      // both shapes compute the same membership
+      assert(unhinted.collect().map(_.getLong(0)).toSet === Set(1L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("redactPii replaces and counts every kind") {
     val df = Seq((1L, "mail a.b@x.io and b@y.co tel 555-123-4567 ssn 123-45-6789 clean"))
       .toDF("id", "text")
