@@ -2882,7 +2882,16 @@ object Queries {
       val dim = t(s, dir, "events")
         .groupBy("event_type").agg(count(lit(1)).as("type_n"))
         .filter(col("event_type").isin("click", "purchase"))
-      val joined = fact.join(dim, "event_type")
+      // explicit broadcast (round 20): the dim is ≤ |event_type| rows
+      // (2 after the isin) at ANY scale, but without CBO stats its size
+      // estimate is the pre-aggregation events scan — past sf1 that
+      // crosses autoBroadcastJoinThreshold and the join silently planned
+      // as SortMergeJoin at sf10 (the full partitioned fact exchanged and
+      // sorted to meet a 2-row dim; caught by the r20 sf10 plan sweep,
+      // same failure class as q109's semi join). The hint pins the only
+      // shape that makes sense for a grouped-dim join: broadcast, with
+      // DPP reusing the broadcast on the fact scan.
+      val joined = fact.join(broadcast(dim), "event_type")
         .groupBy(col("event_type"), col("type_n"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 100).cast(LongType)).as("cents"))
