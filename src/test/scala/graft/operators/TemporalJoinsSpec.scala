@@ -156,6 +156,30 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinForward matches a brute-force computation on random data " +
+      "(the r20 reversed-window form)") {
+    // the forward form now sorts DESCENDING and takes last(ignoreNulls)
+    // over the incremental preceding frame instead of first(ignoreNulls)
+    // over the per-row-rescanning following frame — this pins the
+    // equivalence on data with ties, gaps, and keys with no match at all
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val leftRows = (1L to 300L).map(i =>
+      (i, s"k${rnd.nextInt(6)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+    val rightRows = (1 to 50).map(i =>
+      (s"k${rnd.nextInt(5)}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toDouble))
+      .groupBy(r => (r._1, r._2)).map(_._2.minBy(_._3)).toSeq
+    val out = TemporalJoins.asofJoinForward(
+      leftRows.toDF("id", "k", "t"), rightRows.toDF("k", "rt", "v"),
+      Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    leftRows.foreach { case (id, k, t) =>
+      val expect = rightRows.filter(r => r._1 == k && !r._2.before(t))
+        .sortBy(_._2.getTime).headOption.map(_._3)
+      assert(out(id) == expect, s"row $id")
+    }
+  }
+
   test("rangeJoin equals the naive between-join") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
