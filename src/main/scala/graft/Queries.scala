@@ -1683,13 +1683,20 @@ object Queries {
       // aggregate makes Catalyst plan an Expand (row duplication per
       // aggregate group) through which the 2^14-register HLL partials
       // ran 40× slower (measured: 56 s vs 1.4 s at sf0.1).
-      // rsd 0.01 → the 5% gate has 5σ of margin (default 0.05 rsd sat
-      // right on the gate and failed one group).
+      // rsd 0.02 → the 5% gate keeps 2.5σ of margin (default 0.05 rsd sat
+      // right on the gate and failed one group; 0.04 fails one group at
+      // sf0.1). rsd drives the HLL++ register count, and registers ARE
+      // the aggregation buffer: rsd 0.01 → 2^14 registers → a 1640-long
+      // UnsafeRow buffer whose partial/merge codegen dominated the query
+      // (r20 A/B at sf0.1: 1.44 s at rsd 0.01 vs 0.78 s at 0.02 — 0.54×,
+      // same approx_ok output at sf0.001/0.01/0.1). At 100 TB the same
+      // width multiplies per-group state across every map task, so the
+      // 4× smaller sketch is the scale-correct choice too.
       graft.operators.Shuffle.widenPlan(t(s, dir, "lineitem"))(
         _.select("l_returnflag", "l_orderkey").distinct()
           .groupBy("l_returnflag").agg(
             count(lit(1)).as("exact_n"),
-            approx_count_distinct(col("l_orderkey"), 0.01).as("approx_n"))
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_n"))
           .select(col("l_returnflag"), col("exact_n"),
             (abs(col("approx_n") - col("exact_n")).cast(DoubleType) /
               col("exact_n").cast(DoubleType) <= 0.05).as("approx_ok"))

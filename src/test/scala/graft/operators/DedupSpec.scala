@@ -55,6 +55,24 @@ class DedupSpec extends SparkSpec {
     assert(full.length == 30 * 29 / 2)
   }
 
+  test("bandedCandidatePairs: the uncapped fast path equals the generic plan") {
+    import spark.implicits._
+    // multi-band fixture with cross-band duplicate collisions (docs 1-4
+    // collide in band 0 AND band 1 -> distinct must dedup), a singleton
+    // bucket, and duplicate doc_id rows in one bucket (no self-pairs)
+    val banded = ((1L to 4L).flatMap(id => Seq((id, 0, 7L), (id, 1, 9L))) ++
+      Seq((5L, 0, 8L), (6L, 2, 11L), (6L, 2, 11L), (7L, 2, 11L)))
+      .toDF("doc_id", "band", "bh")
+    val fast = Dedup.bandedCandidatePairs(banded, maxPop = Int.MaxValue, chainWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // generic path with a cap no bucket reaches — same semantics
+    val generic = Dedup.bandedCandidatePairs(banded, maxPop = 1000, chainWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == generic)
+    assert(fast == (1L to 4L).combinations(2).map(p => (p(0), p(1))).toSet + ((6L, 7L)))
+    assert(fast.forall { case (da, db) => da < db })
+  }
+
   test("bandedCandidatePairs: an oversized bucket switches to the bounded star+chain window") {
     import spark.implicits._
     val banded = (1L to 30L).map(id => (id, 0, 77L)).toDF("doc_id", "band", "bh")
