@@ -130,7 +130,10 @@ object Queries {
     * so it must be sized to expected state volume up front.
     */
   private def withStatePartitions[T](s: SparkSession, dir: String)(body: => T): T = {
-    val rows = t(s, dir, "events").count()
+    // footer read (no Spark job), memoized per dir — the count() fallback
+    // only fires when the footers are unreadable (Tables.eventsRowCount)
+    val rows = Tables.eventsRowCount(dir)
+      .getOrElse(t(s, dir, "events").count())
     val n = math.max(8L, math.min(
       s.sparkContext.defaultParallelism.toLong, rows / 312500L)).toInt
     val prev = s.conf.get("spark.sql.shuffle.partitions")

@@ -171,4 +171,50 @@ object Tables {
   private val eventsSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, ((Long, Long), org.apache.spark.sql.types.StructType)]()
+
+  /** Exact row count of `dir`/events.parquet read from parquet FOOTERS —
+    * no Spark job. The streaming queries size their state-store partition
+    * count from this volume probe (Queries.withStatePartitions, whose
+    * comment always promised "parquet metadata-only" but whose
+    * implementation ran a count() job — 13 streaming queries × one full
+    * scan job per bench run for a number every footer already carries).
+    * None on any read failure so callers can fall back to the count()
+    * job. Memoized under the same content fingerprint as the schema
+    * cache: one entry per dir, replaced on rewrite.
+    */
+  def eventsRowCount(dir: String): Option[Long] = {
+    val fp = eventsFingerprint(dir)
+    eventsRowsCache.compute(dir, (d, old) =>
+      if (old != null && old._1 == fp) old
+      else (fp, footerRowCount(new java.io.File(d, "events.parquet"))))._2
+  }
+
+  private def footerRowCount(root: java.io.File): Option[Long] =
+    try {
+      def leaves(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(leaves)
+        else if (f.getName.endsWith(".parquet")) Seq(f)
+        else Seq.empty
+      // a bare path named events.parquet is itself a parquet file; a
+      // Spark-written directory holds .parquet part files (+ _SUCCESS)
+      val files = if (root.isFile) Seq(root) else leaves(root)
+      if (files.isEmpty) return None
+      val conf = new org.apache.hadoop.conf.Configuration()
+      Some(files.map { f =>
+        val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          in.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        }
+        finally in.close()
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // dir → (fingerprint, row count); bounded at one live entry per dir
+  private val eventsRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, ((Long, Long), Option[Long])]()
 }

@@ -60,6 +60,28 @@ class EngineSessionSpec extends SparkSpec {
     }
   }
 
+  test("eventsRowCount reads the exact row count from footers alone") {
+    // single-file fixture layout
+    val dir = "/root/testdata/sf0.001"
+    val fromFooters = Tables.eventsRowCount(dir)
+    val fromScan = Tables.table(spark, dir, "events").count()
+    assert(fromFooters.contains(fromScan))
+    // directory layout (Spark-written part files) counts identically
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rowcount").toString
+    try {
+      Tables.table(spark, dir, "events").repartition(3)
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      assert(Tables.eventsRowCount(tmp).contains(fromScan))
+    } finally {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rec); f.delete(); ()
+      }
+      rec(new java.io.File(tmp))
+    }
+    // a dir with no events.parquet yields None, not a crash
+    assert(Tables.eventsRowCount("/nonexistent_graft_dir").isEmpty)
+  }
+
   test("adaptEventsTs rejects an unconvertible ts type loudly") {
     import spark.implicits._
     val bad = Seq("not-a-ts").toDF("ts")
