@@ -117,14 +117,20 @@ object Bench {
     * independently of its CPUs. One fixed probe: write `mb` megabytes of
     * incompressible-ish bytes to `dir` in 1 MiB chunks, fsync, delete;
     * min over `reps` after one untimed warmup (repeat-min: contention
-    * only inflates). Returns seconds, or -1 on any failure (diagnostic
-    * metadata must never abort the run it annotates).
+    * only inflates). Returns (seconds, effectiveMb), seconds -1 on any
+    * failure (diagnostic metadata must never abort the run it
+    * annotates). The effective probe size is part of the return — and is
+    * stamped into the record's calib block as `diskcal_mb` — because a
+    * low-usable-space resize changes what the seconds MEAN: a 16 MB
+    * probe's seconds are not comparable to a 256 MB probe's, and a
+    * stderr-only resize note left compare_bench.py silently comparing
+    * incomparable sizes (ADVICE r19).
     */
   def diskCalib(dir: String = sys.env.getOrElse("SPARK_LOCAL_DIRS", "/tmp").split(",")(0),
       mb: Int = sys.env.get("SPARK_GRAFT_DISKCAL_MB")
         .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
         .getOrElse(256),
-      reps: Int = 3): Double = {
+      reps: Int = 3): (Double, Int) = {
     // ADVICE r18: the probe writes (reps+1)×mb MB total (peak mb on disk
     // at once); on a nearly-full or tmpfs-backed local dir the default
     // 1 GiB could ENOSPC and degrade to the -1 sentinel, losing the disk
@@ -162,10 +168,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } finally java.nio.file.Files.deleteIfExists(f)
     }
-    try { once(); (1 to reps).map(_ => once()).min }
+    try { once(); ((1 to reps).map(_ => once()).min, effMb) }
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] disk calib probe failed (${e.getMessage}) — recording -1")
-      -1.0
+      (-1.0, effMb)
     }
   }
 
@@ -274,8 +280,8 @@ object Bench {
       System.err.println(s"[bench] spark calib probe failed (${e.getMessage}) — recording -1")
       -1.0
     }
-    val calibDisk = diskCalib()
-    System.err.println(f"[bench] calib: jvm1=$calibJvm%.3f s, spark$cpus=$calibSpark%.3f s, disk256=$calibDisk%.3f s")
+    val (calibDisk, calibDiskMb) = diskCalib()
+    System.err.println(f"[bench] calib: jvm1=$calibJvm%.3f s, spark$cpus=$calibSpark%.3f s, disk256=$calibDisk%.3f s (probe ${calibDiskMb} MB)")
     val stealStart = procStatSteal()
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -384,7 +390,7 @@ object Bench {
         f"CPU-s over a $total%.1f s run exceeds max(30, 10%% of wall) — " +
         "do not anchor the series on this record; re-run when the box is quiet")
     val calib =
-      s"""{"jvm1_sec":${fmt(calibJvm)},"spark${cpus}_sec":${fmt(calibSpark)},"disk256_sec":${fmt(calibDisk)},"steal_sec":${fmt(stealSec)},"contaminated":$contaminated}"""
+      s"""{"jvm1_sec":${fmt(calibJvm)},"spark${cpus}_sec":${fmt(calibSpark)},"disk256_sec":${fmt(calibDisk)},"diskcal_mb":$calibDiskMb,"steal_sec":${fmt(stealSec)},"contaminated":$contaminated}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"calib":$calib,"serving":$serving}"""
     println(fullLine)

@@ -2357,17 +2357,17 @@ object Queries {
       val src = t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
       val path = scratchPath(dir, "q129_zorder")
-      graft.storage.Layout.zorderWrite(src, path, "l_orderkey", "l_partkey",
-        bits = 8, files = 16)
-      val r = src.agg(
-        min(col("l_orderkey").cast("double")), max(col("l_orderkey").cast("double")),
-        min(col("l_partkey").cast("double")), max(col("l_partkey").cast("double"))).head()
+      // the write returns the min/max ranges its bucketization measured —
+      // re-running the identical aggregate here (the pre-r20 shape) cost
+      // one full extra pass over the table just clustered. Non-empty at
+      // every SF, so the .get is safe; the range VALUES are bit-identical
+      // to the old second aggregate (same min/max over the same casts).
+      val (rlo1, rhi1, rlo2, rhi2) = graft.storage.Layout.zorderWrite(
+        src, path, "l_orderkey", "l_partkey", bits = 8, files = 16).get
       // [lo + range*2/8, lo + range*3/8) in each dimension — double
       // arithmetic, reproduced bit-identically in the oracle's subqueries
-      val (lo1, hi1) = (r.getDouble(0) + (r.getDouble(1) - r.getDouble(0)) * 2 / 8,
-        r.getDouble(0) + (r.getDouble(1) - r.getDouble(0)) * 3 / 8)
-      val (lo2, hi2) = (r.getDouble(2) + (r.getDouble(3) - r.getDouble(2)) * 2 / 8,
-        r.getDouble(2) + (r.getDouble(3) - r.getDouble(2)) * 3 / 8)
+      val (lo1, hi1) = (rlo1 + (rhi1 - rlo1) * 2 / 8, rlo1 + (rhi1 - rlo1) * 3 / 8)
+      val (lo2, hi2) = (rlo2 + (rhi2 - rlo2) * 2 / 8, rlo2 + (rhi2 - rlo2) * 3 / 8)
       val back = s.read.parquet(path)
       val box = back.filter(
         col("l_orderkey") >= lo1 && col("l_orderkey") < hi1 &&

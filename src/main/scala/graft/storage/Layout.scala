@@ -53,11 +53,23 @@ object Layout {
     * The column ranges come from one O(1) aggregate over the input (at real
     * scale: a sample or table-level stats). `files` sizes the output; at
     * 100 TB this is total-bytes / target-file-size, not a constant.
+    *
+    * Returns the (lo1, hi1, lo2, hi2) ranges that aggregate measured —
+    * callers that derive range-aligned predicates (q129's bucket-boundary
+    * box) reuse them instead of re-running the identical min/max pass
+    * over the table they just clustered (one full scan saved per write;
+    * None when the input was empty/all-null and written as-is).
     */
   def zorderWrite(df: DataFrame, path: String, c1: String, c2: String,
-      bits: Int = 8, files: Int = 16): Unit =
-    zorderFrame(df, c1, c2, bits, files).getOrElse(df)
-      .write.mode("overwrite").parquet(path)
+      bits: Int = 8, files: Int = 16): Option[(Double, Double, Double, Double)] =
+    zorderFrameWithRanges(df, c1, c2, bits, files) match {
+      case Some((frame, ranges)) =>
+        frame.write.mode("overwrite").parquet(path)
+        Some(ranges)
+      case None =>
+        df.write.mode("overwrite").parquet(path)
+        None
+    }
 
   /** The clustered frame [[zorderWrite]] persists — Morton value derived,
     * range-partitioned into `files`, sorted within partitions, `__z`
@@ -68,7 +80,16 @@ object Layout {
     * callers write the input as-is).
     */
   def zorderFrame(df: DataFrame, c1: String, c2: String,
-      bits: Int = 8, files: Int = 16): Option[DataFrame] = {
+      bits: Int = 8, files: Int = 16): Option[DataFrame] =
+    zorderFrameWithRanges(df, c1, c2, bits, files).map(_._1)
+
+  /** [[zorderFrame]] plus the measured (lo1, hi1, lo2, hi2) column ranges
+    * the bucketization used — the single range aggregate feeds both the
+    * Morton derivation and any caller-side range arithmetic.
+    */
+  def zorderFrameWithRanges(df: DataFrame, c1: String, c2: String,
+      bits: Int = 8, files: Int = 16)
+      : Option[(DataFrame, (Double, Double, Double, Double))] = {
     val r = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
@@ -77,10 +98,11 @@ object Layout {
       val z = zValue(
         bucketize(col(c1), r.getDouble(0), r.getDouble(1), bits),
         bucketize(col(c2), r.getDouble(2), r.getDouble(3), bits), bits)
-      Some(df.withColumn("__z", z)
+      Some((df.withColumn("__z", z)
         .repartitionByRange(files, col("__z"))
         .sortWithinPartitions("__z")
-        .drop("__z"))
+        .drop("__z"),
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
     }
   }
 

@@ -87,10 +87,11 @@ class BenchSpec extends AnyFunSuite {
 
   test("diskCalib: positive on a writable dir, -1 sentinel on an unwritable one") {
     // tiny write: the spec pins the contract (positive, cleans up, never
-    // throws), not the probe's absolute speed
-    val t = Bench.diskCalib(mb = 2, reps = 1)
+    // throws, reports the effective probe size), not the probe's speed
+    val (t, effMb) = Bench.diskCalib(mb = 2, reps = 1)
     assert(t > 0)
-    assert(Bench.diskCalib(dir = "/nonexistent_graft", mb = 1, reps = 1) == -1.0)
+    assert(effMb == 2)
+    assert(Bench.diskCalib(dir = "/nonexistent_graft", mb = 1, reps = 1)._1 == -1.0)
   }
 
   test("contaminationVerdict: the observed record population classifies correctly") {

@@ -135,8 +135,18 @@ def main():
     # a disk ratio far from the jvm1 ratio fingerprints that class
     dp = (prior.get("calib") or {}).get("disk256_sec")
     dc = (cur.get("calib") or {}).get("disk256_sec")
-    if dp and dc and dp > 0 and dc > 0:
-        print(f"calib (disk256): {dp:.3f} -> {dc:.3f} s ({dc / dp:.3f}x) — "
+    # probe-size guard (ADVICE r19): a low-usable-space run shrinks the
+    # probe, and a 16 MB probe's seconds are not comparable to a 256 MB
+    # probe's. Records before round 20 never stamped the size; absent
+    # means "the default 256 unless it was silently resized" — compare,
+    # but only when both sides claim the same size.
+    mp = (prior.get("calib") or {}).get("diskcal_mb", 256)
+    mc = (cur.get("calib") or {}).get("diskcal_mb", 256)
+    if dp and dc and dp > 0 and dc > 0 and mp != mc:
+        print(f"calib (disk): probe sizes differ ({mp} vs {mc} MB) — "
+              "disk ratio NOT comparable, skipping it")
+    elif dp and dc and dp > 0 and dc > 0:
+        print(f"calib (disk{mc}): {dp:.3f} -> {dc:.3f} s ({dc / dp:.3f}x) — "
               "judge write-heavy movers against THIS ratio, not the CPU one")
     for label, rec in (("prior", prior), ("current", cur)):
         st = (rec.get("calib") or {}).get("steal_sec", (rec.get("calib") or {}).get("st"))

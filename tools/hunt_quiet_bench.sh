@@ -2,8 +2,8 @@
 # Opportunistic quiet-window bench hunter (round 19). The co-tenant's
 # steal bursts make clean records a timing game: sample steal over a
 # 20 s pre-gate and launch the bench ONLY when the box reads quiet
-# (< ~0.05 CPU-s/s, the r16+ fingerprint threshold), else sleep and
-# retry. Each launched record still self-stamps its contamination
+# (< 0.75 jiffies/s = 0.0075 CPU-s/s at 100 Hz — SCALE.md's fingerprint
+# threshold), else sleep and retry. Each launched record still self-stamps its contamination
 # verdict (graft.Bench) — a burst that starts mid-run is caught by the
 # stamp, and the hunter keeps going until a record lands with ct:0 or
 # attempts run out. Never runs concurrently with another JVM (that
@@ -16,7 +16,7 @@ set -u
 SF=${1:?sfDir}
 PREFIX=${2:?output prefix}
 MAX=${3:-6}
-GATE_JIFFIES=${GATE_JIFFIES:-15}   # per 20 s window = 0.075 CPU-s/s
+GATE_JIFFIES=${GATE_JIFFIES:-15}   # per 20 s window = 0.75 j/s = 0.0075 CPU-s/s
 attempt=0
 while [ "$attempt" -lt "$MAX" ]; do
   if [ "$(ps aux | grep -c '[j]ava')" -gt 0 ]; then
@@ -34,10 +34,22 @@ while [ "$attempt" -lt "$MAX" ]; do
   echo "[hunt] $(date +%H:%M:%S) quiet (${d}j/20s) — attempt $attempt -> $out"
   SPARK_GRAFT_BENCH_OUT="$out" tools/run_bench.sh "$SF" \
     > "${PREFIX}_a${attempt}.out" 2> "${PREFIX}_a${attempt}.err"
+  rc=$?
+  # a crashed run leaves no/partial JSON; without the rc/ERR distinction
+  # the log read "stamped ct:" with a blank value — indistinguishable
+  # from a contaminated record (ADVICE r19)
+  if [ "$rc" -ne 0 ]; then
+    echo "[hunt] attempt $attempt: bench run FAILED (exit $rc) — see ${PREFIX}_a${attempt}.err"
+    continue
+  fi
   ct=$(python3 -c "import json;print(1 if json.load(open('$out'))['calib']['contaminated'] else 0)" 2>/dev/null)
+  ct=${ct:-ERR}
   if [ "$ct" = "0" ]; then
     echo "[hunt] CLEAN record landed: $out"; exit 0
+  elif [ "$ct" = "ERR" ]; then
+    echo "[hunt] attempt $attempt: record unreadable (run exited 0 but $out is missing/partial)"
+  else
+    echo "[hunt] attempt $attempt stamped ct:$ct — continuing"
   fi
-  echo "[hunt] attempt $attempt stamped ct:$ct — continuing"
 done
 echo "[hunt] no clean record in $MAX attempts"; exit 1
