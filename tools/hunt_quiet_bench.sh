@@ -10,12 +10,16 @@
 # would contaminate the record with SELF-load the steal stamp cannot
 # see — the r12/r15 lesson in SCALE.md).
 #
-# Usage: tools/hunt_quiet_bench.sh <sfDir> <outPrefix> [maxAttempts]
+# Usage: tools/hunt_quiet_bench.sh <sfDir> <outPrefix> [maxAttempts] [cpus]
 #   tools/hunt_quiet_bench.sh /root/testdata/sf0.1 /tmp/BENCH_sf01_r19 6
+# cpus defaults to run_bench.sh's 8 (the committed BENCH_sf01_* series
+# protocol); pass 32 to hunt a record in the driver's graded
+# configuration (BENCH_rNN runs at SPARK_GRAFT_CPUS=32).
 set -u
 SF=${1:?sfDir}
 PREFIX=${2:?output prefix}
 MAX=${3:-6}
+CPUS=${4:-8}
 GATE_JIFFIES=${GATE_JIFFIES:-15}   # per 20 s window = 0.75 j/s = 0.0075 CPU-s/s
 attempt=0
 while [ "$attempt" -lt "$MAX" ]; do
@@ -32,7 +36,7 @@ while [ "$attempt" -lt "$MAX" ]; do
   attempt=$((attempt + 1))
   out="${PREFIX}_a${attempt}.json"
   echo "[hunt] $(date +%H:%M:%S) quiet (${d}j/20s) — attempt $attempt -> $out"
-  SPARK_GRAFT_BENCH_OUT="$out" tools/run_bench.sh "$SF" \
+  SPARK_GRAFT_BENCH_OUT="$out" tools/run_bench.sh "$SF" "$CPUS" \
     > "${PREFIX}_a${attempt}.out" 2> "${PREFIX}_a${attempt}.err"
   rc=$?
   # a crashed run leaves no/partial JSON; without the rc/ERR distinction
