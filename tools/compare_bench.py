@@ -85,17 +85,72 @@ def calib_ratio(prior, cur):
     return None
 
 
+# the write-heavy query set (r18 attribution: the movers that track the
+# DISK probe, not the CPU probes — dedup shuffle-write, sorted write,
+# Z-order, compaction, stat/crosstab sinks, snapshot rewrites, commit log)
+WRITE_HEAVY = {"9", "89", "129", "130", "155", "156", "164", "170"}
+
+
+def min_merge(paths, out_path):
+    """Per-query-min pseudo-anchor from >=2 records (the validated
+    contamination-era evidence protocol: steal only ever inflates, so the
+    per-query min across attempts is an upper BOUND on the clean time —
+    1.006x against the first clean sf10 record, SCALE.md r19). The merged
+    record is labeled (min_merge_of) and stamped not-contaminated: it is
+    exactly the anchor the protocol licenses, while any single ct:1
+    input stays refused."""
+    if len(paths) < 2:
+        raise SystemExit("--min-merge needs at least 2 input records")
+    recs = [load(p) for p in paths]
+    sfs = {str(r.get("sf")).split("sf")[-1] for r in recs if r.get("sf")}
+    if len(sfs) > 1:
+        raise SystemExit(f"--min-merge inputs span scale factors {sfs} — refusing")
+    mins = {}
+    names = {}
+    for p, r in zip(paths, recs):
+        for k, v in r["queries"].items():
+            if v >= 0 and (k not in mins or v < mins[k]):
+                mins[k] = v
+                names[k] = p
+    total = sum(mins.values())
+    jvm1 = min((r["calib"].get("jvm1_sec") for r in recs
+                if r.get("calib") and r["calib"].get("jvm1_sec")), default=None)
+    merged = {
+        "metric": "total", "value": total, "unit": "sec",
+        "queries": {("q" + k if k.isdigit() else k): v for k, v in mins.items()},
+        "sf": recs[0].get("sf"),
+        "min_merge_of": list(paths),
+        "calib": {"jvm1_sec": jvm1, "steal_sec": -1, "contaminated": False,
+                  "min_merge": True},
+    }
+    with open(out_path, "w") as f:
+        json.dump(merged, f)
+    print(f"min-merge of {len(paths)} records -> {out_path}: "
+          f"total {total:.1f} s over {len(mins)} queries "
+          f"(upper bound on the clean time; jvm1 {jvm1})")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("prior")
     ap.add_argument("current")
+    ap.add_argument("rest", nargs="*",
+                    help="with --min-merge: further input records")
     ap.add_argument("--top", type=int, default=10,
                     help="movers to list per direction (default 10)")
     ap.add_argument("--allow-contaminated-prior", action="store_true",
                     help="compare against a steal-contaminated prior anyway "
                          "(exploratory only — never for a series claim)")
+    ap.add_argument("--min-merge", metavar="OUT",
+                    help="instead of comparing, merge ALL positional records "
+                         "(>=2) into a per-query-min pseudo-anchor at OUT")
     ns = ap.parse_args()
+    if ns.min_merge:
+        min_merge([ns.prior, ns.current] + ns.rest, ns.min_merge)
+        return
+    if ns.rest:
+        raise SystemExit("extra positional records are only valid with --min-merge")
     top = ns.top
     prior, cur = load(ns.prior), load(ns.current)
     # policy-in-code (r17 verdict item 3): a record that graft.Bench
@@ -166,6 +221,23 @@ def main():
               f"individual queries against the {med:.2f}x median")
     else:
         print("verdict: LOCALIZED — the movers below are candidate code changes")
+    # write-heavy tier (r18 ask #4, closed r20): these queries track the
+    # DISK probe, so judging them against the CPU median misattributes a
+    # disk-drifted VM as a code regression. When a comparable disk ratio
+    # exists, classify them against it.
+    wh = {k: r for k, r in ratios.items() if k in WRITE_HEAVY}
+    disk_ok = dp and dc and dp > 0 and dc > 0 and mp == mc
+    if wh and disk_ok:
+        dratio = dc / dp
+        whmed = statistics.median(wh.values())
+        flagged = [k for k, r in wh.items() if r > 1.10 * dratio]
+        print(f"write-heavy tier ({len(wh)} queries): median {whmed:.3f}x vs "
+              f"disk ratio {dratio:.3f}x — "
+              + (f"movers beyond 1.10x of disk: {', '.join('q'+k for k in sorted(flagged, key=int))}"
+                 if flagged else "all within 1.10x of the disk ratio (disk drift, not code)"))
+    elif wh:
+        print("write-heavy tier: no comparable disk probe in both records — "
+              "judge q" + ", q".join(sorted(wh, key=int)) + " with care")
     devs = sorted(ratios.items(), key=lambda kv: kv[1] / med, reverse=True)
     print(f"\ntop {top} above-median movers (ratio, vs-median, prior->cur s):")
     for k, r in devs[:top]:
