@@ -206,6 +206,61 @@ object Bench {
       finally src.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Box-wide CPU counters for the per-query contention stamps: (busy,
+    * iowait, steal) jiffies from /proc/stat's aggregate `cpu` row, where
+    * busy = user+nice+system+irq+softirq (everything ANY process on the
+    * box executed). None off-Linux or on parse failure.
+    */
+  def procStatCpu(): Option[(Long, Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map { f =>
+          (f(1).toLong + f(2).toLong + f(3).toLong + f(6).toLong + f(7).toLong,
+            f(5).toLong, f(8).toLong)
+        }
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** This JVM's own CPU jiffies (utime+stime across all threads — local
+    * mode runs every executor in-process, so this is the bench's entire
+    * compute) from /proc/self/stat. Parsed after the last ')' because the
+    * comm field may contain spaces/parens; utime/stime are overall fields
+    * 14/15 (1-based), i.e. indices 11/12 of the post-comm remainder.
+    */
+  def procSelfBusy(): Option[Long] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+      val rest = txt.substring(txt.lastIndexOf(')') + 2).split(" ")
+      Some(rest(11).toLong + rest(12).toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-query external-contention stamp (round-21, VERDICT r20 item 1):
+    * CPU-seconds of (steal, iowait, other-process busy) that elapsed
+    * INSIDE one query's timed window. `other` = box busy minus this JVM's
+    * own busy — the signal the run-global steal stamp is blind to: the
+    * r20 driver record carried 8 phantom 2-6× "regressions" on a
+    * contiguous q70-q76 stretch while its whole-run steal read 1.5 CPU-s
+    * (clean), so whatever inflated that stretch was same-VM contention
+    * (another process on the box), not hypervisor steal. Sampling both
+    * /proc/stat and /proc/self/stat around each query makes an inflated
+    * stretch attributable FROM THE RECORD ALONE: tools/compare_bench.py
+    * marks stamped queries `suspect` instead of `regressed`.
+    */
+  case class ExtStamp(steal: Double, iowait: Double, other: Double) {
+    def combined: Double = steal + other // iowait excluded: our own writes cause it
+  }
+
+  def extDelta(
+      c0: Option[(Long, Long, Long)], s0: Option[Long],
+      c1: Option[(Long, Long, Long)], s1: Option[Long]): Option[ExtStamp] =
+    for ((b0, i0, st0) <- c0; (b1, i1, st1) <- c1; u0 <- s0; u1 <- s1)
+      yield ExtStamp(
+        (st1 - st0) / 100.0,
+        (i1 - i0) / 100.0,
+        math.max(0L, (b1 - b0) - (u1 - u0)) / 100.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -283,7 +338,11 @@ object Bench {
     val (calibDisk, calibDiskMb) = diskCalib()
     System.err.println(f"[bench] calib: jvm1=$calibJvm%.3f s, spark$cpus=$calibSpark%.3f s, disk256=$calibDisk%.3f s (probe ${calibDiskMb} MB)")
     val stealStart = procStatSteal()
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // name -> stamp for the OBSERVATION whose time the record keeps (a
+    // replay that wins the min overwrites the first pass's stamp)
+    val extStamps = scala.collection.mutable.Map.empty[String, ExtStamp]
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[ExtStamp]) = {
+      val c0 = procStatCpu(); val s0 = procSelfBusy()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -292,6 +351,9 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      // stamp window closes HERE — the cache clearing below is untimed,
+      // so its contention cannot be charged to this query's stamp
+      val ext = extDelta(c0, s0, procStatCpu(), procSelfBusy())
       // untimed: release caches and localCheckpoint RDDs the query left
       // behind — 73 queries accumulating storage in one 8-16g JVM turn
       // into GC pressure that bills later queries for earlier ones'
@@ -300,10 +362,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       // -1 keeps failures machine-detectable in the JSON contract
-      if (ok) elapsed else -1.0
+      (if (ok) elapsed else -1.0, ext)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> run(name, fn)
+      val (t, ext) = run(name, fn)
+      ext.foreach(extStamps(name) = _)
+      name -> t
     }
     // replay pass: an external contention window (another process pinning
     // the machine for a minute) inflates whichever queries it overlaps and
@@ -327,12 +391,26 @@ object Bench {
     val results = firstPass.map { case (name, t) =>
       if (t > threshold || regressedVsPrior(t, prior.get(name))) {
         replayed += name
-        val t2 = run(name, SparkEntry.queries(name))
+        val (t2, ext2) = run(name, SparkEntry.queries(name))
+        // the stamp follows the kept observation: if the replay wins the
+        // min, its contention context is the one the recorded time saw
+        if (t2 >= 0 && (t < 0 || t2 < t)) ext2.foreach(extStamps(name) = _)
         name -> (if (t2 >= 0) math.min(t, t2) else t)
       } else name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query contention stamps, full form: [steal, iowait, other]
+    // CPU-seconds at 2 dp, sparse (entries whose combined external signal
+    // clears 0.02 CPU-s — one jiffy each way is sampling noise). The KEY
+    // `qext` being present at all distinguishes "stamped clean" from
+    // "legacy record without stamps" in compare_bench.py.
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qext = results.flatMap { case (k, _) =>
+      extStamps.get(k).filter(e => e.steal + e.iowait + e.other >= 0.02).map(e =>
+        "\"" + k + "\":[" + fmt2(e.steal) + "," + fmt2(e.iowait) + "," + fmt2(e.other) + "]")
+    }.mkString("{", ",", "}")
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The driver keeps only the LAST ~2000 chars of stdout (r07 and r08
@@ -346,12 +424,14 @@ object Bench {
     // full line. Measured size at sf0.1: ~1.7 KB with ~200 chars spare.
     def fmtCs(v: Double): String =
       if (v < 0) "-1" else math.round(v * 100).toString
-    val shortKeys = results.map { case (k, _) =>
+    val shortKeys0 = results.map { case (k, _) =>
       k -> k.drop(1).takeWhile(_.isDigit).dropWhile(_ == '0')
     }.toMap
-    val compactKeyed =
-      if (shortKeys.values.toSet.size == results.size) results.map { case (k, v) => shortKeys(k) -> v }
-      else results // number collision: fall back to full names rather than drop data
+    // number collision: fall back to full names rather than drop data
+    val useShortKeys = shortKeys0.values.toSet.size == results.size
+    val shortKeys: Map[String, String] =
+      if (useShortKeys) shortKeys0 else results.map { case (k, _) => k -> k }.toMap
+    val compactKeyed = results.map { case (k, v) => shortKeys(k) -> v }
     val qsCompact = compactKeyed.map { case (k, v) => "\"" + k + "\":" + fmtCs(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -392,7 +472,7 @@ object Bench {
     val calib =
       s"""{"jvm1_sec":${fmt(calibJvm)},"spark${cpus}_sec":${fmt(calibSpark)},"disk256_sec":${fmt(calibDisk)},"diskcal_mb":$calibDiskMb,"steal_sec":${fmt(stealSec)},"contaminated":$contaminated}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"calib":$calib,"serving":$serving}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","replayed":$rep,"calib":$calib,"qext":$qext,"serving":$serving}"""
     println(fullLine)
     // BENCH_full.json is the graded sf0.1 artifact AND the replay-trigger
     // prior; a non-sf0.1 run overwriting it silently degrades both (r16:
@@ -425,8 +505,19 @@ object Bench {
     // driver's stdout-tail capture whole (replay list collapses to its
     // count, serving to 3-dp short keys, sf to its numeric suffix)
     val sfShort = sfDir.split("sf").last
+    // compact contention stamps: combined (steal + other-process) centi-
+    // CPU-s per query, only entries ≥ 25 cs, capped at the 12 largest —
+    // a clean run emits "{}" (~10 chars) and even a badly contaminated
+    // run stays within the last line's stdout-tail size budget while
+    // still naming the inflated stretch (q70-76-class bursts are
+    // contiguous; 12 offenders localize them)
+    val qxCompact = results.flatMap { case (k, _) =>
+      extStamps.get(k).map(e => k -> math.round(e.combined * 100))
+    }.filter(_._2 >= 25).sortBy(-_._2).take(12)
+      .map { case (k, cs) => "\"" + shortKeys(k) + "\":" + cs }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qsCompact,"sf":"$sfShort","nreplay":${replayed.size},"cal":{"j":${fmt(calibJvm)},"s":${fmt(calibSpark)},"d":${fmt(calibDisk)},"st":${fmt(stealSec)},"ct":${if (contaminated) 1 else 0}},"serving":$servingCompact}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qsCompact,"sf":"$sfShort","nreplay":${replayed.size},"cal":{"j":${fmt(calibJvm)},"s":${fmt(calibSpark)},"d":${fmt(calibDisk)},"st":${fmt(stealSec)},"ct":${if (contaminated) 1 else 0}},"qx":$qxCompact,"serving":$servingCompact}"""
     println(line)
     spark.stop()
   }

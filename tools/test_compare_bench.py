@@ -80,7 +80,53 @@ def test_disk_size_guard_and_write_heavy():
         assert "no comparable disk probe" in r3.stdout
 
 
+def test_contention_stamps():
+    with tempfile.TemporaryDirectory() as d:
+        qs_p = {"q70_cube": 0.69, "q71_pivot": 0.47, "q100_agg": 1.0}
+        # r20 phantom-regression shape: q70/q71 inflate 2-4x in the current
+        # record, with per-query stamps attributing the window to external
+        # CPU (steal+other); q100 moves within noise, unstamped
+        qs_c = {"q70_cube": 1.34, "q71_pivot": 1.81, "q100_agg": 1.02}
+        p = write(d, "p.json", rec(qs_p, steal=0))
+        cdoc = rec(qs_c, steal=1.5)
+        cdoc["qext"] = {"q70_cube": [0.1, 0.0, 1.2], "q71_pivot": [0.0, 0.1, 2.3]}
+        c = write(d, "c.json", cdoc)
+        r = run(p, c)
+        assert r.returncode == 0, r.stderr
+        # stamped queries are named SUSPECT with their ext CPU-s
+        assert "SUSPECT" in r.stdout, r.stdout
+        assert "q70 (1.3 CPU-s ext)" in r.stdout, r.stdout
+        assert "q71 (2.3 CPU-s ext)" in r.stdout, r.stdout
+        # the unstamped mover is NOT marked
+        assert "q100 (" not in r.stdout
+        # prior predates stamps: said explicitly, not silently treated clean
+        assert "prior record predates per-query stamps" in r.stdout, r.stdout
+        # a stamped-clean record (qext present, nothing over gate) says so
+        cdoc2 = rec(qs_c, steal=0)
+        cdoc2["qext"] = {"q70_cube": [0.0, 0.0, 0.1]}  # under the 0.5 gate
+        c2 = write(d, "c2.json", cdoc2)
+        r2 = run(p, c2)
+        assert "contention stamps (current): no query exceeds the suspect gate" \
+            in r2.stdout, r2.stdout
+        # compact records carry "qx" (combined centi-CPU-s, bare numbers)
+        tail = {"metric": "total", "value": sum(qs_c.values()), "unit": "sec",
+                "qunit": "cs",
+                "queries": {"70": 134, "71": 181, "100": 102}, "sf": "0.1",
+                "cal": {"j": 1.0, "s": 0.2, "d": 0.5, "st": 1.5, "ct": 0},
+                "qx": {"70": 130, "71": 230}}
+        w = write(d, "w.json", {"n": 21, "tail": json.dumps(tail)})
+        r3 = run(p, w)
+        assert "q70 (1.3 CPU-s ext)" in r3.stdout, r3.stdout
+        # min-merge carries the kept observation's stamp forward
+        out = os.path.join(d, "merged.json")
+        r4 = run(c, w, "--min-merge", out)
+        assert r4.returncode == 0, r4.stderr
+        m = json.load(open(out))
+        assert m["qx"].get("70") == 120 or m["qx"].get("70") == 130, m["qx"]
+
+
 if __name__ == "__main__":
     test_min_merge()
     test_disk_size_guard_and_write_heavy()
+    test_contention_stamps()
     print("compare_bench self-tests: OK")
